@@ -1,0 +1,21 @@
+"""Model catalog: analytic/molecular test systems + molecular file loaders.
+
+TPU-native port of the reference's testsystems catalog
+(``/root/reference/openmmtools/testsystems.py``, ~68 systems) — the
+correctness oracle for integrators, samplers, and alchemy.
+"""
+
+from openmmtools_tpu.models.testsystems import (  # noqa: F401
+    TestSystem,
+    HarmonicOscillator,
+    PowerOscillator,
+    HarmonicOscillatorArray,
+    CustomExternalForcesTestSystem,
+    Diatom,
+    IdealGas,
+    LennardJonesCluster,
+    LennardJonesFluid,
+    LennardJonesPair,
+    WCAFluid,
+    get_available_testsystems,
+)

@@ -1,0 +1,614 @@
+"""Analytic and molecular test systems (batch 1: analytic + LJ family).
+
+TPU-native port of ``/root/reference/openmmtools/testsystems.py`` (4612 LoC,
+~68 systems). Same construction parameters and analytic expectations, but
+systems are built as :class:`openmmtools_tpu.system.System` pytrees with pure
+energy terms instead of OpenMM force objects. Global "context parameters"
+(e.g. ``testsystems_HarmonicOscillator_K``, testsystems.py:780-790) are
+entries resolvable through each term's ``global_defaults`` and overridable via
+``ThermodynamicState.global_params``.
+
+Units: all constructor arguments are in internal MD units (nm, ps, amu,
+kJ/mol, K, bar) — e.g. the reference's ``K=100 kcal/mol/Å^2`` default appears
+here as ``K=41840.0`` kJ/mol/nm^2.
+"""
+from __future__ import annotations
+
+import math
+from typing import Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from openmmtools_tpu.constants import BAR_TO_KJ_PER_MOL_NM3, kB
+from openmmtools_tpu.ops.geometry import minimum_image
+from openmmtools_tpu.states import SamplerState, ThermodynamicState
+from openmmtools_tpu.system import (
+    Constraints,
+    CustomExternalTerm,
+    HarmonicBondTerm,
+    NonbondedTerm,
+    System,
+    no_constraints,
+)
+from openmmtools_tpu.utils.pytree import pytree_dataclass, static_field
+
+# unit conversion helpers (kept local: the public API is already in MD units)
+KCAL = 4.184                 # kJ per kcal
+A = 0.1                      # nm per angstrom
+ATM = 1.01325                # bar per atmosphere
+
+
+def _f32(x):
+    return jnp.asarray(x, dtype=jnp.float32)
+
+
+def subrandom_particle_positions(n_particles: int, box: np.ndarray) -> np.ndarray:
+    """Quasi-random (Halton sequence) particle placement in a box.
+
+    Plays the role of the reference's Sobol-based
+    ``subrandom_particle_positions`` (testsystems.py; sobol.py:136-171):
+    low-discrepancy placement that avoids steric clashes better than uniform
+    random. Bases 2/3/5 Halton, scaled by the box diagonal.
+    """
+
+    def halton(index: np.ndarray, base: int) -> np.ndarray:
+        result = np.zeros_like(index, dtype=np.float64)
+        f = 1.0 / base
+        i = index.copy()
+        while np.any(i > 0):
+            result += f * (i % base)
+            i //= base
+            f /= base
+        return result
+
+    idx = np.arange(1, n_particles + 1)
+    u = np.stack([halton(idx, b) for b in (2, 3, 5)], axis=1)
+    lengths = np.diagonal(np.asarray(box))
+    return u * lengths
+
+
+class TestSystem:
+    """Base class: bundles a System pytree, initial positions, and optional
+    analytic expectations (reference testsystems.py:448).
+
+    Attributes
+    ----------
+    system : openmmtools_tpu.system.System
+    positions : jnp.ndarray (N, 3)
+    velocities : optional
+    """
+
+    def __init__(self):
+        self.system: Optional[System] = None
+        self.positions: Optional[jax.Array] = None
+        self.velocities: Optional[jax.Array] = None
+        self.topology = None
+
+    @property
+    def n_particles(self) -> int:
+        return self.system.n_particles
+
+    def sampler_state(self) -> SamplerState:
+        return SamplerState(
+            positions=self.positions,
+            velocities=self.velocities,
+            box_vectors=self.system.default_box,
+        )
+
+    def thermodynamic_state(self, temperature, pressure=None) -> ThermodynamicState:
+        return ThermodynamicState(
+            system=self.system, temperature=jnp.asarray(temperature),
+            pressure=None if pressure is None else jnp.asarray(pressure))
+
+    @property
+    def analytical_properties(self):
+        """Names of analytically-computable properties (testsystems.py:563)."""
+        prefix = "get_"
+        suffixes = ("_expectation", "_standard_deviation", "_free_energy")
+        out = []
+        for name in dir(self):
+            if name.startswith(prefix) and any(name.endswith(s) for s in suffixes):
+                out.append(name[len(prefix):])
+        return sorted(out)
+
+    def reduced_potential_expectation(self, sampled_state, evaluated_state):
+        """<u_evaluated>_sampled for harmonic-type systems where implemented."""
+        raise NotImplementedError
+
+
+def get_available_testsystems():
+    """All concrete TestSystem subclasses defined in this module
+    (analog of the reference's auto-discovery, tests/test_testsystems.py:30).
+    """
+    import sys
+
+    module = sys.modules[__name__]
+    out = []
+    for name in dir(module):
+        obj = getattr(module, name)
+        if isinstance(obj, type) and issubclass(obj, TestSystem) and obj is not TestSystem:
+            out.append(name)
+    return sorted(out)
+
+
+# ---------------------------------------------------------------------------
+# harmonic / power oscillators
+# ---------------------------------------------------------------------------
+
+
+class HarmonicOscillator(TestSystem):
+    """1-particle 3D harmonic well U = (K/2)((x-x0)^2 + y^2 + z^2) + U0.
+
+    Reference: testsystems.py:685-841. Defaults: K = 100 kcal/mol/Å^2 =
+    41840 kJ/mol/nm^2, mass = 39.948 amu, U0 = 0.
+    Context parameters testsystems_HarmonicOscillator_{K,x0,U0}.
+
+    Analytic: <U> = sigma_U = (3/2) kT;
+    configurational f = -(3/2) ln(2 pi kT / K) (used by multistate tests).
+    """
+
+    def __init__(self, K=41840.0, mass=39.948, U0=0.0):
+        super().__init__()
+        self.K, self.mass, self.U0 = K, mass, U0
+        term = CustomExternalTerm(
+            particles=jnp.arange(1, dtype=jnp.int32),
+            global_defaults={
+                "testsystems_HarmonicOscillator_K": _f32(K),
+                "testsystems_HarmonicOscillator_x0": _f32(0.0),
+                "testsystems_HarmonicOscillator_U0": _f32(U0),
+            },
+            expression=(
+                "(testsystems_HarmonicOscillator_K/2.0)"
+                "*((x-testsystems_HarmonicOscillator_x0)**2 + y**2 + z**2)"
+                " + testsystems_HarmonicOscillator_U0"
+            ),
+        )
+        self.system = System(
+            masses=_f32([mass]),
+            terms=(term,),
+            constraints=no_constraints(),
+            default_box=None,
+            periodic=False,
+        )
+        self.positions = jnp.zeros((1, 3), dtype=jnp.float32)
+        self.ndof = 3
+
+    def get_potential_expectation(self, state: ThermodynamicState):
+        return 1.5 * kB * state.temperature
+
+    def get_potential_standard_deviation(self, state: ThermodynamicState):
+        return 1.5 * kB * state.temperature
+
+    def configurational_free_energy(self, temperature, K=None):
+        """f = -ln Z_config in kT units: -(3/2) ln(2 pi kT / K)."""
+        K = self.K if K is None else K
+        return -1.5 * math.log(2.0 * math.pi * kB * float(temperature) / K)
+
+
+class PowerOscillator(TestSystem):
+    """1-particle power well U = K (x^b + y^b + z^b).
+
+    Reference: testsystems.py:843-948. K given in kcal/mol/Å^b (reference
+    convention) and converted internally. <U> = 3 kT / b.
+    """
+
+    def __init__(self, K=100.0, b=2, mass=39.948):
+        super().__init__()
+        self.b = int(b)
+        self.K = K * KCAL / (A ** self.b)  # kJ/mol/nm^b
+        self.mass = mass
+        term = CustomExternalTerm(
+            particles=jnp.arange(1, dtype=jnp.int32),
+            global_defaults={"testsystems_PowerOscillator_K": _f32(self.K)},
+            expression=(
+                f"testsystems_PowerOscillator_K*(x**{self.b} + y**{self.b} + z**{self.b})"
+            ),
+        )
+        self.system = System(
+            masses=_f32([mass]), terms=(term,), constraints=no_constraints(),
+            default_box=None, periodic=False)
+        self.positions = jnp.zeros((1, 3), dtype=jnp.float32)
+        self.ndof = 3
+
+    def get_potential_expectation(self, state: ThermodynamicState):
+        return 3.0 * kB * state.temperature / self.b
+
+
+@pytree_dataclass
+class HarmonicWellArrayTerm:
+    """Per-particle harmonic wells with per-particle x0 offsets
+    (HarmonicOscillatorArray's CustomExternalForce, testsystems.py:1500-1516).
+    U = sum_i (K/2)((x_i - x0_i)^2 + y_i^2 + z_i^2); K is globally
+    controllable via ``testsystems_HarmonicOscillatorArray_K``."""
+
+    particles: jax.Array   # (P,)
+    x0: jax.Array          # (P,)
+    global_defaults: dict
+    force_group: int = static_field(default=0)
+
+    def energy(self, x, box, params=None):
+        k = self.global_defaults["testsystems_HarmonicOscillatorArray_K"]
+        if params is not None and "testsystems_HarmonicOscillatorArray_K" in params:
+            k = params["testsystems_HarmonicOscillatorArray_K"]
+        xp = x[self.particles]
+        return jnp.sum(0.5 * k * ((xp[:, 0] - self.x0) ** 2
+                                  + xp[:, 1] ** 2 + xp[:, 2] ** 2))
+
+
+class HarmonicOscillatorArray(TestSystem):
+    """N independent harmonic oscillators spaced d apart on the x axis.
+
+    Reference: testsystems.py:1440-1560. Defaults K = 90 kcal/mol/Å^2,
+    d = 1 nm, mass = 39.948 amu, N = 5. <U> = sigma_U = (3N/2) kT.
+    """
+
+    def __init__(self, K=90.0 * KCAL / A**2, d=1.0, mass=39.948, N=5):
+        super().__init__()
+        self.K, self.d, self.mass, self.N = K, d, mass, N
+        x0 = np.arange(N) * d
+        term = HarmonicWellArrayTerm(
+            particles=jnp.arange(N, dtype=jnp.int32),
+            x0=_f32(x0),
+            global_defaults={"testsystems_HarmonicOscillatorArray_K": _f32(K)},
+        )
+        self.system = System(
+            masses=_f32(np.full(N, mass)), terms=(term,),
+            constraints=no_constraints(), default_box=None, periodic=False)
+        positions = np.zeros((N, 3), dtype=np.float32)
+        positions[:, 0] = x0
+        self.positions = jnp.asarray(positions)
+        self.ndof = 3 * N
+
+    def get_potential_expectation(self, state: ThermodynamicState):
+        return (self.ndof / 2.0) * kB * state.temperature
+
+    def get_potential_standard_deviation(self, state: ThermodynamicState):
+        return (self.ndof / 2.0) * kB * state.temperature
+
+
+class CustomExternalForcesTestSystem(TestSystem):
+    """N noninteracting particles in identical external potentials given as
+    math expressions of (x, y, z) — reference testsystems.py:647-684, used by
+    SAMS/multistate tests. Default: ``("x**2 + y**2 + z**2",)`` on 500
+    particles of argon mass (expressions use Python ``**`` here instead of
+    Lepton ``^``)."""
+
+    def __init__(self, energy_expressions=("x**2 + y**2 + z**2",),
+                 mass=39.948, n_particles=500):
+        super().__init__()
+        terms = []
+        for i, expr in enumerate(energy_expressions):
+            terms.append(CustomExternalTerm(
+                particles=jnp.arange(n_particles, dtype=jnp.int32),
+                global_defaults={},
+                expression=expr,
+                force_group=i,
+            ))
+        self.system = System(
+            masses=_f32(np.full(n_particles, mass)), terms=tuple(terms),
+            constraints=no_constraints(), default_box=None, periodic=False)
+        self.positions = jnp.zeros((n_particles, 3), dtype=jnp.float32)
+        self.ndof = 3 * n_particles
+
+
+# ---------------------------------------------------------------------------
+# diatom
+# ---------------------------------------------------------------------------
+
+
+class Diatom(TestSystem):
+    """Two particles joined by a harmonic bond (optionally constrained),
+    optionally in a central harmonic field.
+
+    Reference: testsystems.py:948-1090. Defaults: K = 290.1 kcal/mol/Å^2,
+    r0 = 1.55 Å, m1 = m2 = 39.948 amu. <U> = (ndof/2) kT with
+    ndof = 6 - constraint.
+    """
+
+    def __init__(self, K=290.1 * KCAL / A**2, r0=1.550 * A,
+                 m1=39.948, m2=39.948, constraint=False,
+                 use_central_potential=False):
+        super().__init__()
+        self.K, self.r0, self.m1, self.m2 = K, r0, m1, m2
+        self.constraint = constraint
+        self.use_central_potential = use_central_potential
+
+        terms = [HarmonicBondTerm(
+            index=jnp.asarray([[0, 1]], dtype=jnp.int32),
+            length=_f32([r0]), k=_f32([K]))]
+        if use_central_potential:
+            Kcentral = 1.0 * KCAL  # kcal/mol/nm^2 in reference
+            terms.append(CustomExternalTerm(
+                particles=jnp.arange(2, dtype=jnp.int32),
+                global_defaults={"testsystems_Diatom_Kcentral": _f32(Kcentral)},
+                expression="(testsystems_Diatom_Kcentral/2.0)*(x**2 + y**2 + z**2)",
+            ))
+        constraints = no_constraints()
+        if constraint:
+            constraints = Constraints(
+                index=jnp.asarray([[0, 1]], dtype=jnp.int32),
+                distance=_f32([r0]))
+        self.system = System(
+            masses=_f32([m1, m2]), terms=tuple(terms), constraints=constraints,
+            default_box=None, periodic=False)
+        positions = np.zeros((2, 3), dtype=np.float32)
+        positions[1, 0] = r0
+        self.positions = jnp.asarray(positions)
+        self.ndof = 6 - (1 if constraint else 0)
+
+    def get_potential_expectation(self, state: ThermodynamicState):
+        # 1 harmonic bond DOF contributes kT/2 (constraint removes it)
+        return (0.0 if self.constraint else 0.5) * kB * state.temperature
+
+
+# ---------------------------------------------------------------------------
+# ideal gas
+# ---------------------------------------------------------------------------
+
+
+class IdealGas(TestSystem):
+    """N noninteracting particles in a periodic box (NVT or NPT exact).
+
+    Reference: testsystems.py:2631-2828. Defaults: 216 argon-mass particles,
+    T = 298 K, p = 1 atm; V chosen so pV = N kT. <U> = 0,
+    <KE> = (3/2) N kT, NPT <V> = (N+1) kT / p.
+    """
+
+    def __init__(self, nparticles=216, mass=39.9, temperature=298.0,
+                 pressure=ATM, volume=None):
+        super().__init__()
+        self.nparticles = nparticles
+        self.temperature0 = temperature
+        self.pressure0 = pressure
+        if volume is None:
+            volume = nparticles * kB * temperature / (pressure * BAR_TO_KJ_PER_MOL_NM3)
+        self.volume0 = volume
+        length = volume ** (1.0 / 3.0)
+        box = jnp.diag(_f32([length, length, length]))
+        # a "null" nonbonded term so NPT machinery has a periodic interaction
+        # to rescale (reference adds a null NonbondedForce, testsystems.py:2678)
+        nb = NonbondedTerm(
+            charge=_f32(np.zeros(nparticles)),
+            sigma=_f32(np.full(nparticles, 1.0)),
+            epsilon=_f32(np.zeros(nparticles)),
+            exception_index=jnp.zeros((0, 2), dtype=jnp.int32),
+            exception_chargeprod=_f32([]), exception_sigma=_f32([]),
+            exception_epsilon=_f32([]),
+            method="cutoff_periodic", cutoff=min(1.0, length * 0.49),
+            use_dispersion_correction=False,
+        )
+        self.system = System(
+            masses=_f32(np.full(nparticles, mass)), terms=(nb,),
+            constraints=no_constraints(), default_box=box, periodic=True)
+        self.positions = jnp.asarray(
+            subrandom_particle_positions(nparticles, np.asarray(box)),
+            dtype=jnp.float32)
+        self.ndof = 3 * nparticles
+
+    def get_potential_expectation(self, state):
+        return 0.0
+
+    def get_potential_standard_deviation(self, state):
+        return 0.0
+
+    def get_kinetic_expectation(self, state):
+        return 1.5 * self.nparticles * kB * state.temperature
+
+    def get_volume_expectation(self, state):
+        if state.pressure is None:
+            return float(np.prod(np.diagonal(self.system.default_box)))
+        return ((self.nparticles + 1) * kB * state.temperature
+                / (state.pressure * BAR_TO_KJ_PER_MOL_NM3))
+
+    def get_volume_standard_deviation(self, state):
+        if state.pressure is None:
+            return 0.0
+        return math.sqrt(self.nparticles + 1) * kB * state.temperature / (
+            state.pressure * BAR_TO_KJ_PER_MOL_NM3)
+
+
+# ---------------------------------------------------------------------------
+# Lennard-Jones family
+# ---------------------------------------------------------------------------
+
+
+def _lj_nonbonded(n, sigma, epsilon, charge, method, cutoff, switch_width,
+                  dispersion_correction):
+    charges = np.zeros(n)
+    if charge is not None and charge != 0.0:
+        charges[0::2] = charge
+        charges[1::2] = -charge
+    return NonbondedTerm(
+        charge=_f32(charges),
+        sigma=_f32(np.full(n, sigma)),
+        epsilon=_f32(np.full(n, epsilon)),
+        exception_index=jnp.zeros((0, 2), dtype=jnp.int32),
+        exception_chargeprod=_f32([]), exception_sigma=_f32([]),
+        exception_epsilon=_f32([]),
+        method=method, cutoff=cutoff, switch_width=switch_width,
+        use_dispersion_correction=dispersion_correction,
+    )
+
+
+class LennardJonesCluster(TestSystem):
+    """Non-periodic nx*ny*nz cubic lattice of LJ particles in a central
+    harmonic restraint (reference testsystems.py:1676-1782). Defaults:
+    3x3x3 argon-like particles, K = 1 kJ/mol/nm^2, scaled-up sigma.
+    """
+
+    def __init__(self, nx=3, ny=3, nz=3, K=1.0, cutoff=None, switch_width=None):
+        super().__init__()
+        # reference uses charge=0.1*q but sets epsilon/sigma for argon scaled
+        mass = 39.9
+        sigma = 3.4 * A
+        epsilon = 0.238 * KCAL
+        scale = 0.9  # lattice spacing factor of sigma
+        n = nx * ny * nz
+        positions = np.zeros((n, 3), dtype=np.float32)
+        i = 0
+        for ix in range(nx):
+            for iy in range(ny):
+                for iz in range(nz):
+                    positions[i] = (ix * sigma * scale,
+                                    iy * sigma * scale,
+                                    iz * sigma * scale)
+                    i += 1
+        positions -= positions.mean(axis=0, keepdims=True)
+        method = "no_cutoff" if cutoff is None else "cutoff_nonperiodic"
+        nb = _lj_nonbonded(n, sigma, epsilon, None, method, cutoff,
+                           switch_width, False)
+        restraint = CustomExternalTerm(
+            particles=jnp.arange(n, dtype=jnp.int32),
+            global_defaults={"testsystems_LennardJonesCluster_K": _f32(K)},
+            expression=("(testsystems_LennardJonesCluster_K/2.0)"
+                        "*(x**2 + y**2 + z**2)"),
+        )
+        self.system = System(
+            masses=_f32(np.full(n, mass)), terms=(nb, restraint),
+            constraints=no_constraints(), default_box=None, periodic=False)
+        self.positions = jnp.asarray(positions)
+
+
+class LennardJonesFluid(TestSystem):
+    """Periodic LJ fluid (argon defaults), subrandom initial placement.
+
+    Reference: testsystems.py:1872-2082. Defaults: 1000 particles, reduced
+    density 0.05, sigma = 0.34 nm, epsilon = 0.238 kcal/mol, cutoff = 3 sigma,
+    quintic switch over the last ``switch_width`` (= sigma) before the cutoff,
+    analytic dispersion correction. ``shift=True`` replaces the switch with an
+    energy shift making U continuous at the cutoff.
+    """
+
+    def __init__(self, nparticles=1000, reduced_density=0.05, mass=39.9,
+                 sigma=3.4 * A, epsilon=0.238 * KCAL, cutoff=None,
+                 switch_width=3.4 * A, shift=False, dispersion_correction=True,
+                 lattice=False, charge=None, seed=0):
+        super().__init__()
+        self.nparticles = nparticles
+        self.sigma, self.epsilon, self.mass = sigma, epsilon, mass
+        self.reduced_density = reduced_density
+        if cutoff is None:
+            cutoff = 3.0 * sigma
+        self.cutoff = cutoff
+
+        volume = nparticles * sigma**3 / reduced_density
+        length = volume ** (1.0 / 3.0)
+        self.box_edge = length
+        box = jnp.diag(_f32([length, length, length]))
+
+        if shift:
+            switch_width = None  # shift handled below via a constant offset
+        method = "cutoff_periodic" if charge is None else "pme"
+        nb = _lj_nonbonded(nparticles, sigma, epsilon, charge, method, cutoff,
+                           switch_width,
+                           dispersion_correction and switch_width is None)
+        self.shift = shift
+        terms = (nb,)
+        self.system = System(
+            masses=_f32(np.full(nparticles, mass)), terms=terms,
+            constraints=no_constraints(), default_box=box, periodic=True)
+
+        if lattice:
+            n_side = int(np.ceil(nparticles ** (1 / 3)))
+            grid = np.stack(np.meshgrid(*[np.arange(n_side)] * 3,
+                                        indexing="ij"), axis=-1).reshape(-1, 3)
+            positions = (grid[:nparticles] + 0.5) * (length / n_side)
+        else:
+            positions = subrandom_particle_positions(nparticles, np.asarray(box))
+        self.positions = jnp.asarray(positions, dtype=jnp.float32)
+
+
+@pytree_dataclass
+class WCATerm:
+    """Weeks–Chandler–Andersen pair potential: purely repulsive LJ, shifted by
+    +epsilon and truncated at r_min = 2^(1/6) sigma (reference
+    testsystems.py:2312-2391 Custom nonbonded expression)."""
+
+    sigma: jax.Array   # scalar
+    epsilon: jax.Array  # scalar
+    n_particles: int = static_field(default=0)
+    force_group: int = static_field(default=0)
+
+    def energy(self, x, box, params=None):
+        n = self.n_particles
+        d = x[:, None, :] - x[None, :, :]
+        d = minimum_image(d, box)
+        r2 = jnp.maximum(jnp.sum(d * d, axis=-1), 1e-12)
+        s2 = self.sigma * self.sigma / r2
+        s6 = s2 * s2 * s2
+        e = 4.0 * self.epsilon * (s6 * s6 - s6) + self.epsilon
+        rmin2 = (2.0 ** (1.0 / 3.0)) * self.sigma * self.sigma
+        row = jax.lax.broadcasted_iota(jnp.int32, (n, n), 0)
+        col = jax.lax.broadcasted_iota(jnp.int32, (n, n), 1)
+        mask = (row < col) & (r2 < rmin2)
+        return jnp.sum(jnp.where(mask, e, 0.0))
+
+
+class WCAFluid(TestSystem):
+    """WCA fluid: 216 particles, reduced density 0.96, epsilon = 120 K * kB
+    (reference testsystems.py:2312-2391)."""
+
+    def __init__(self, nparticles=216, density=0.96, mass=39.9,
+                 epsilon=120.0 * kB, sigma=3.4 * A):
+        super().__init__()
+        self.nparticles, self.density = nparticles, density
+        self.sigma, self.epsilon = sigma, epsilon
+        volume = nparticles * sigma**3 / density
+        length = volume ** (1.0 / 3.0)
+        box = jnp.diag(_f32([length, length, length]))
+        term = WCATerm(sigma=_f32(sigma), epsilon=_f32(epsilon),
+                       n_particles=nparticles)
+        self.system = System(
+            masses=_f32(np.full(nparticles, mass)), terms=(term,),
+            constraints=no_constraints(), default_box=box, periodic=True)
+        self.positions = jnp.asarray(
+            subrandom_particle_positions(nparticles, np.asarray(box)),
+            dtype=jnp.float32)
+
+
+class LennardJonesPair(TestSystem):
+    """Two LJ particles at the potential minimum separation; analytic B2
+    virial coefficient and binding free energy by quadrature
+    (reference testsystems.py:4456-4612)."""
+
+    def __init__(self, mass=39.9, sigma=3.4 * A, epsilon=1.0 * KCAL):
+        super().__init__()
+        self.mass, self.sigma, self.epsilon = mass, sigma, epsilon
+        nb = _lj_nonbonded(2, sigma, epsilon, None, "no_cutoff", None, None, False)
+        self.system = System(
+            masses=_f32([mass, mass]), terms=(nb,),
+            constraints=no_constraints(), default_box=None, periodic=False)
+        positions = np.zeros((2, 3), dtype=np.float32)
+        positions[1, 0] = 2.0 ** (1.0 / 6.0) * sigma
+        self.positions = jnp.asarray(positions)
+        self.ligand_indices = [0]
+        self.receptor_indices = [1]
+
+    def get_b2_virial(self, temperature, r_max=None, n_points=20000):
+        """Second virial coefficient B2 = -2 pi ∫ (e^{-beta u(r)} - 1) r^2 dr
+        by quadrature (reference computes the same numerically)."""
+        beta = 1.0 / (kB * float(temperature))
+        if r_max is None:
+            r_max = 10.0 * self.sigma
+        r = np.linspace(1e-4, r_max, n_points)
+        s6 = (self.sigma / r) ** 6
+        u = 4.0 * self.epsilon * (s6 * s6 - s6)
+        integrand = (np.exp(-beta * u) - 1.0) * r**2
+        return -2.0 * math.pi * np.trapezoid(integrand, r)
+
+    def get_binding_free_energy(self, temperature, r_max=None, n_points=20000):
+        """Standard-state binding free energy via radial quadrature
+        (reference testsystems.py:4536-4612): DeltaG = -kT ln(V_bound/V0)
+        with V_bound = 4 pi ∫ e^{-beta u} r^2 dr."""
+        from openmmtools_tpu.constants import STANDARD_STATE_VOLUME
+
+        beta = 1.0 / (kB * float(temperature))
+        if r_max is None:
+            r_max = 3.0 * self.sigma
+        r = np.linspace(1e-4, r_max, n_points)
+        s6 = (self.sigma / r) ** 6
+        u = 4.0 * self.epsilon * (s6 * s6 - s6)
+        v_bound = 4.0 * math.pi * np.trapezoid(np.exp(-beta * u) * r**2, r)
+        return -kB * float(temperature) * math.log(v_bound / STANDARD_STATE_VOLUME)

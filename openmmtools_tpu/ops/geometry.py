@@ -1,0 +1,63 @@
+"""Differentiable molecular geometry primitives (distances, angles, dihedrals).
+
+Gradients are safe at degenerate configurations (zero-length separations)
+via the standard ``safe_norm`` trick.
+"""
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+
+def safe_norm(d, axis=-1, keepdims=False, eps=1e-12):
+    """Norm with a non-NaN gradient at 0."""
+    sq = jnp.sum(d * d, axis=axis, keepdims=keepdims)
+    return jnp.sqrt(jnp.maximum(sq, eps))
+
+
+def minimum_image(d, box):
+    """Apply the minimum-image convention for an orthorhombic box.
+
+    ``d``: displacement vectors (..., 3). ``box``: (3, 3) box-vector matrix
+    (rows are box vectors); only the diagonal is used (orthorhombic).
+    Triclinic reduction is handled by :func:`minimum_image_triclinic`.
+    """
+    lengths = jnp.diagonal(box)
+    return d - lengths * jnp.round(d / lengths)
+
+
+def minimum_image_triclinic(d, box):
+    """Minimum image for reduced-form triclinic boxes (OpenMM convention:
+    box[0] = (a,0,0), box[1] = (bx,b,0), box[2] = (cx,cy,c) with
+    |bx| <= a/2 etc.). Sequential reduction along c, b, a."""
+    d = d - box[2] * jnp.round(d[..., 2:3] / box[2, 2])
+    d = d - box[1] * jnp.round(d[..., 1:2] / box[1, 1])
+    d = d - box[0] * jnp.round(d[..., 0:1] / box[0, 0])
+    return d
+
+
+def distance(xi, xj, box=None):
+    d = xi - xj
+    if box is not None:
+        d = minimum_image(d, box)
+    return safe_norm(d)
+
+
+def angle(xi, xj, xk):
+    """Angle at xj between (xi - xj) and (xk - xj), radians."""
+    a = xi - xj
+    b = xk - xj
+    cross = jnp.cross(a, b)
+    return jnp.arctan2(safe_norm(cross), jnp.sum(a * b, axis=-1))
+
+
+def dihedral(xi, xj, xk, xl):
+    """Signed dihedral angle of the i-j-k-l chain, radians, via atan2."""
+    b1 = xj - xi
+    b2 = xk - xj
+    b3 = xl - xk
+    n1 = jnp.cross(b1, b2)
+    n2 = jnp.cross(b2, b3)
+    m1 = jnp.cross(n1, b2 / safe_norm(b2, keepdims=True))
+    x = jnp.sum(n1 * n2, axis=-1)
+    y = jnp.sum(m1 * n2, axis=-1)
+    return jnp.arctan2(y, x)

@@ -1,0 +1,315 @@
+"""The immutable ``System`` pytree and its energy-term algebra.
+
+TPU-native redesign of ``openmm.System`` (SURVEY.md §7 design table): instead
+of a mutable force graph interpreted by a C++ engine, a ``System`` is a frozen
+pytree of parameter arrays plus a tuple of *energy terms*. Each term is itself
+a pytree dataclass exposing
+
+    term.energy(x, box, params) -> scalar
+
+where ``params`` is a dict of global (context) parameters — the analog of
+OpenMM global parameters that the reference manipulates through
+``GlobalParameterState`` (states.py:3100) and alchemical lambdas. The total
+potential is a pure function, differentiable with ``jax.grad``; forces never
+exist as stateful objects.
+
+Force groups (used by MTS/r-RESPA splittings, reference integrators.py:
+1425-1446) are static integer tags on terms; ``make_energy_fn(system,
+groups=...)`` selects a subset at trace time.
+"""
+from __future__ import annotations
+
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from openmmtools_tpu.ops import bonded, nonbonded
+from openmmtools_tpu.utils.pytree import pytree_dataclass, static_field
+
+GlobalParams = Dict[str, Any]
+
+
+def _param(params: Optional[GlobalParams], name: Optional[str], default):
+    """Resolve a possibly-globally-controlled parameter."""
+    if name is None or params is None or name not in params:
+        return default
+    return params[name]
+
+
+# ---------------------------------------------------------------------------
+# energy terms
+# ---------------------------------------------------------------------------
+
+
+@pytree_dataclass
+class HarmonicBondTerm:
+    """U = sum (k/2)(r - r0)^2. OpenMM HarmonicBondForce analog."""
+
+    index: jax.Array          # (B, 2) int32
+    length: jax.Array         # (B,)
+    k: jax.Array              # (B,)
+    force_group: int = static_field(default=0)
+
+    def energy(self, x, box, params=None):
+        return bonded.harmonic_bond_energy(x, self.index, self.length, self.k)
+
+
+@pytree_dataclass
+class HarmonicAngleTerm:
+    """U = sum (k/2)(theta - theta0)^2. OpenMM HarmonicAngleForce analog."""
+
+    index: jax.Array          # (A, 3) int32
+    angle: jax.Array          # (A,)
+    k: jax.Array              # (A,)
+    force_group: int = static_field(default=0)
+
+    def energy(self, x, box, params=None):
+        return bonded.harmonic_angle_energy(x, self.index, self.angle, self.k)
+
+
+@pytree_dataclass
+class PeriodicTorsionTerm:
+    """U = sum k(1 + cos(n phi - phase)). OpenMM PeriodicTorsionForce analog."""
+
+    index: jax.Array          # (T, 4) int32
+    periodicity: jax.Array    # (T,)
+    phase: jax.Array          # (T,)
+    k: jax.Array              # (T,)
+    force_group: int = static_field(default=0)
+
+    def energy(self, x, box, params=None):
+        return bonded.periodic_torsion_energy(
+            x, self.index, self.periodicity, self.phase, self.k
+        )
+
+
+@pytree_dataclass
+class NonbondedTerm:
+    """LJ + Coulomb with OpenMM NonbondedForce semantics.
+
+    ``exceptions`` *replace* the combination-rule interaction for their pairs
+    (chargeprod/sigma/epsilon per pair); excluded pairs are exceptions with
+    zero parameters. Implementation: dense/neighbor sum over all pairs, then
+    subtract the standard interaction for every exception pair and add the
+    exception's own interaction — exact because the same functional form and
+    cutoff are used for the subtraction.
+
+    ``method`` in {"no_cutoff", "cutoff_periodic", "cutoff_nonperiodic",
+    "pme", "ewald"}. For pme/ewald this term contributes the *direct* space
+    (erfc) plus exception/self corrections; the reciprocal-space term is
+    :class:`openmmtools_tpu.ops.pme.PmeReciprocalTerm` created alongside by
+    the system builders.
+    """
+
+    charge: jax.Array         # (N,)
+    sigma: jax.Array          # (N,)
+    epsilon: jax.Array        # (N,)
+    exception_index: jax.Array      # (E, 2) int32
+    exception_chargeprod: jax.Array  # (E,)
+    exception_sigma: jax.Array       # (E,)
+    exception_epsilon: jax.Array     # (E,)
+    method: str = static_field(default="no_cutoff")
+    cutoff: Optional[float] = static_field(default=None)
+    switch_width: Optional[float] = static_field(default=None)  # None = no switch
+    dielectric: float = static_field(default=78.3)
+    ewald_alpha: Optional[float] = static_field(default=None)
+    use_dispersion_correction: bool = static_field(default=False)
+    force_group: int = static_field(default=0)
+    # optional global-parameter hooks for charge/epsilon scaling (alchemy)
+    charge_scale_param: Optional[str] = static_field(default=None)
+    lj_scale_param: Optional[str] = static_field(default=None)
+
+    @property
+    def periodic(self) -> bool:
+        return self.method in ("cutoff_periodic", "pme", "ewald")
+
+    def energy(self, x, box, params=None):
+        charge_scale = _param(params, self.charge_scale_param, None)
+        lj_scale = _param(params, self.lj_scale_param, None)
+        e = nonbonded.all_pairs_energy(
+            x, box, self.charge, self.sigma, self.epsilon,
+            method=self.method, cutoff=self.cutoff,
+            switch_width=self.switch_width, dielectric=self.dielectric,
+            alpha=self.ewald_alpha, periodic=self.periodic,
+            charge_scale=charge_scale, lj_scale=lj_scale,
+        )
+        # exceptions: subtract standard pair interaction, add exception term
+        if self.exception_index.shape[0] > 0:
+            i = self.exception_index[:, 0]
+            j = self.exception_index[:, 1]
+            q = self.charge if charge_scale is None else self.charge * charge_scale
+            eps = self.epsilon if lj_scale is None else self.epsilon * lj_scale
+            e = e - nonbonded.pair_list_energy(
+                x, box, self.exception_index,
+                q[i] * q[j],
+                0.5 * (self.sigma[i] + self.sigma[j]),
+                jnp.sqrt(eps[i] * eps[j]),
+                method=self.method, cutoff=self.cutoff,
+                switch_width=self.switch_width, dielectric=self.dielectric,
+                alpha=self.ewald_alpha, periodic=self.periodic,
+            )
+            # OpenMM computes exceptions like bonded terms: plain LJ+Coulomb,
+            # no cutoff truncation, no reaction-field/erfc modification.
+            e = e + nonbonded.pair_list_energy(
+                x, box, self.exception_index,
+                self.exception_chargeprod, self.exception_sigma,
+                self.exception_epsilon,
+                method="no_cutoff", periodic=self.periodic,
+            )
+        if self.use_dispersion_correction and self.periodic:
+            e = e + nonbonded.dispersion_correction_energy(
+                box, self.sigma, self.epsilon, self.cutoff, lj_scale=lj_scale
+            )
+        return e
+
+
+@pytree_dataclass
+class CustomExternalTerm:
+    """Per-particle external potential from a math expression of (x, y, z).
+
+    Analog of OpenMM CustomExternalForce as used by the reference test systems
+    (e.g. HarmonicOscillator, testsystems.py:685: energy
+    ``(K/2)*((x-x0)^2+y^2+z^2) + U0`` with global parameters
+    ``testsystems_HarmonicOscillator_{K,x0,U0}``).
+
+    ``expression`` is evaluated with :func:`openmmtools_tpu.utils.math_eval`
+    on traced coordinates, so it is differentiable and jittable.
+    ``global_defaults`` supplies default values for global parameter names in
+    the expression; ``params`` overrides them at evaluation time.
+    """
+
+    particles: jax.Array      # (P,) int32
+    global_defaults: Dict[str, jax.Array]
+    expression: str = static_field(default="0.0")
+    force_group: int = static_field(default=0)
+
+    def energy(self, x, box, params=None):
+        from openmmtools_tpu.utils.math_eval import math_eval
+
+        if self.particles.shape[0] == 0:
+            return jnp.zeros((), dtype=x.dtype)
+        xp = x[self.particles]
+        variables = dict(self.global_defaults)
+        if params is not None:
+            for name in self.global_defaults:
+                if name in params:
+                    variables[name] = params[name]
+        variables.update(x=xp[:, 0], y=xp[:, 1], z=xp[:, 2])
+        e = math_eval(self.expression, variables)
+        return jnp.sum(e)
+
+
+# ---------------------------------------------------------------------------
+# constraints & system
+# ---------------------------------------------------------------------------
+
+
+@pytree_dataclass
+class Constraints:
+    """Holonomic distance constraints |x_i - x_j| = d (SHAKE/RATTLE targets)."""
+
+    index: jax.Array          # (C, 2) int32
+    distance: jax.Array       # (C,)
+
+    @property
+    def n_constraints(self) -> int:
+        return self.index.shape[0]
+
+
+def no_constraints() -> Constraints:
+    return Constraints(
+        index=jnp.zeros((0, 2), dtype=jnp.int32),
+        distance=jnp.zeros((0,), dtype=jnp.float32),
+    )
+
+
+@pytree_dataclass
+class System:
+    """Immutable system: masses + energy terms + constraints (+ default box).
+
+    Redesign of ``openmm.System``: all mutation happens by building a new
+    pytree (cheap, host-side); the potential is the pure function returned by
+    :func:`make_energy_fn`.
+    """
+
+    masses: jax.Array                       # (N,) amu; 0 = immobile particle
+    terms: Tuple[Any, ...]                  # energy-term pytrees
+    constraints: Constraints
+    default_box: Optional[jax.Array] = None  # (3,3) nm
+    periodic: bool = static_field(default=False)
+
+    @property
+    def n_particles(self) -> int:
+        return self.masses.shape[0]
+
+    def energy(self, x, box=None, params=None, groups=None):
+        return make_energy_fn(self, groups=groups)(x, box, params)
+
+    def find_terms(self, term_type):
+        """All (position, term) pairs of a given type — ``find_forces`` analog
+        (reference forces.py:63)."""
+        return [(i, t) for i, t in enumerate(self.terms) if isinstance(t, term_type)]
+
+    def replace_term(self, position: int, new_term) -> "System":
+        terms = list(self.terms)
+        terms[position] = new_term
+        return self.replace(terms=tuple(terms))
+
+
+def make_energy_fn(system: System, groups=None):
+    """Return ``U(x, box, params) -> scalar`` summing the selected terms.
+
+    ``groups``: None (all terms) or an iterable/int bitmask of force groups,
+    resolved statically at trace time — the analog of OpenMM's
+    ``Context.getState(groups=...)`` force-group masking that the reference
+    uses for cheap per-lambda re-evaluation (states.py:954-991).
+    """
+    if groups is None:
+        selected = system.terms
+    else:
+        if isinstance(groups, int):
+            mask = groups
+            selected = tuple(t for t in system.terms if (mask >> t.force_group) & 1)
+        else:
+            gs = frozenset(groups)
+            selected = tuple(t for t in system.terms if t.force_group in gs)
+
+    def energy_fn(x, box=None, params=None):
+        if box is None:
+            box = system.default_box
+        total = jnp.zeros((), dtype=x.dtype)
+        for term in selected:
+            total = total + term.energy(x, box, params)
+        return total
+
+    return energy_fn
+
+
+def make_force_fn(system: System, groups=None):
+    """Return ``F(x, box, params) -> (N,3)`` = -grad U."""
+    u = make_energy_fn(system, groups=groups)
+
+    def force_fn(x, box=None, params=None):
+        return -jax.grad(u)(x, box, params)
+
+    return force_fn
+
+
+def kinetic_energy(masses, velocities):
+    """KE = 1/2 sum m v^2 (kJ/mol with internal units)."""
+    return 0.5 * jnp.sum(masses[:, None] * velocities * velocities)
+
+
+def instantaneous_temperature(masses, velocities, n_constraints=0):
+    """Temperature from KE with DOF = 3 N_mobile - n_constraints."""
+    from openmmtools_tpu.constants import kB
+
+    n_mobile = jnp.sum(masses > 0)
+    dof = 3 * n_mobile - n_constraints
+    return 2.0 * kinetic_energy(masses, velocities) / (dof * kB)
+
+
+def volume(box) -> jax.Array:
+    """Box volume (orthorhombic/triclinic reduced form: product of diagonal)."""
+    return jnp.prod(jnp.diagonal(box))

@@ -1,0 +1,24 @@
+"""Utility layer: pytree dataclasses, timers, safe math evaluation, serialization.
+
+TPU-native analog of ``/root/reference/openmmtools/utils/utils.py``. The
+reference's RestorableOpenMMObject machinery (utils.py:810) exists to survive
+OpenMM XML round-trips; here objects are plain pytree dataclasses that
+serialize structurally (see :mod:`openmmtools_tpu.utils.serialization`).
+"""
+
+from openmmtools_tpu.utils.pytree import pytree_dataclass, static_field
+from openmmtools_tpu.utils.timing import Timer, time_it, with_timer
+from openmmtools_tpu.utils.math_eval import math_eval, sanitize_expression
+from openmmtools_tpu.utils.serialization import serialize, deserialize
+
+__all__ = [
+    "pytree_dataclass",
+    "static_field",
+    "Timer",
+    "time_it",
+    "with_timer",
+    "math_eval",
+    "sanitize_expression",
+    "serialize",
+    "deserialize",
+]

@@ -1,0 +1,42 @@
+"""Test configuration: run on a virtual 8-device CPU mesh with x64 enabled.
+
+Mirrors the reference's MPI-aware-but-serial-capable test strategy
+(SURVEY.md §4.5): the same suite runs on one host with
+``--xla_force_host_platform_device_count=8`` standing in for an 8-chip TPU
+slice, so sharding paths are exercised without hardware.
+
+Must configure the environment BEFORE jax initializes a backend.
+"""
+import os
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+import jax  # noqa: E402
+
+jax.config.update("jax_enable_x64", True)
+
+import pytest  # noqa: E402
+
+
+def pytest_addoption(parser):
+    parser.addoption(
+        "--runslow", action="store_true", default=False,
+        help="run tests marked slow (reference conftest.py:1-21 analog)")
+
+
+def pytest_configure(config):
+    config.addinivalue_line("markers", "slow: mark test as slow to run")
+
+
+def pytest_collection_modifyitems(config, items):
+    if config.getoption("--runslow"):
+        return
+    skip_slow = pytest.mark.skip(reason="need --runslow option to run")
+    for item in items:
+        if "slow" in item.keywords:
+            item.add_marker(skip_slow)

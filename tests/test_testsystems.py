@@ -1,0 +1,99 @@
+"""Test-system catalog self-tests (analog of reference tests/test_testsystems.py:30-240):
+every system constructs, has finite energy, consistent particle counts."""
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import openmmtools_tpu.models as models
+from openmmtools_tpu.constants import kB
+from openmmtools_tpu.models import (
+    Diatom,
+    HarmonicOscillator,
+    IdealGas,
+    LennardJonesCluster,
+    LennardJonesFluid,
+    LennardJonesPair,
+    WCAFluid,
+    get_available_testsystems,
+)
+
+
+@pytest.mark.parametrize("name", get_available_testsystems())
+def test_construct_and_finite_energy(name):
+    cls = getattr(models.testsystems, name)
+    try:
+        ts = cls()
+    except TypeError:
+        pytest.skip(f"{name} requires arguments")
+    assert ts.system is not None
+    assert ts.positions.shape == (ts.system.n_particles, 3)
+    state = ts.thermodynamic_state(300.0)
+    u = float(state.potential_energy(ts.sampler_state()))
+    assert np.isfinite(u), f"{name} energy not finite: {u}"
+
+
+def test_lj_pair_minimum_energy():
+    """At r = 2^(1/6) sigma the LJ energy is exactly -epsilon."""
+    pair = LennardJonesPair()
+    state = pair.thermodynamic_state(300.0)
+    u = float(state.potential_energy(pair.sampler_state()))
+    assert np.isclose(u, -pair.epsilon, rtol=1e-5)
+
+
+def test_lj_pair_b2_sign():
+    pair = LennardJonesPair()
+    b2_cold = pair.get_b2_virial(temperature=100.0)
+    b2_hot = pair.get_b2_virial(temperature=10000.0)
+    assert b2_cold < 0  # attraction dominates cold
+    assert b2_hot > b2_cold
+
+
+def test_lj_fluid_small_finite_and_cutoff_consistency():
+    fluid = LennardJonesFluid(nparticles=64, reduced_density=0.05)
+    state = fluid.thermodynamic_state(120.0)
+    u = float(state.potential_energy(fluid.sampler_state()))
+    assert np.isfinite(u)
+
+
+def test_lj_fluid_dispersion_correction_sign():
+    """Tail correction is negative (attractive tail)."""
+    with_corr = LennardJonesFluid(nparticles=64, switch_width=None,
+                                  dispersion_correction=True)
+    without = LennardJonesFluid(nparticles=64, switch_width=None,
+                                dispersion_correction=False)
+    ss = with_corr.sampler_state()
+    u_with = float(with_corr.thermodynamic_state(120.0).potential_energy(ss))
+    u_without = float(without.thermodynamic_state(120.0).potential_energy(ss))
+    assert u_with < u_without
+
+
+def test_wca_fluid_purely_repulsive():
+    wca = WCAFluid(nparticles=27)
+    state = wca.thermodynamic_state(120.0)
+    u = float(state.potential_energy(wca.sampler_state()))
+    assert np.isfinite(u)
+    assert u >= 0.0  # WCA energy is nonnegative by construction
+
+
+def test_diatom_bond_energy():
+    d = Diatom()
+    # stretch the bond by 0.01 nm along x
+    x = np.array(d.positions)
+    x[1, 0] += 0.01
+    ss = d.sampler_state().replace(positions=jnp.asarray(x))
+    u = float(d.thermodynamic_state(300.0).potential_energy(ss))
+    assert np.isclose(u, 0.5 * d.K * 0.01**2, rtol=1e-4)
+
+
+def test_harmonic_oscillator_analytics():
+    ho = HarmonicOscillator()
+    state = ho.thermodynamic_state(300.0)
+    assert np.isclose(ho.get_potential_expectation(state), 1.5 * kB * 300.0)
+
+
+def test_ideal_gas_volume_expectation():
+    gas = IdealGas(nparticles=64)
+    state = gas.thermodynamic_state(gas.temperature0, pressure=gas.pressure0)
+    v_expected = gas.get_volume_expectation(state)
+    # <V> = (N+1) kT / p should be close to the initialized V = N kT / p
+    assert np.isclose(v_expected, gas.volume0 * (64 + 1) / 64, rtol=1e-6)
