@@ -1,0 +1,548 @@
+"""Langevin splitting integrators as compiled JAX step programs.
+
+The reference builds OpenMM ``CustomIntegrator`` programs from an
+operator-splitting DSL (``LangevinIntegrator`` integrators.py:1015;
+parser :1474; substep emitters :1404-1460; Metropolization :1539-1557).
+Here the same DSL compiles — at Python build time — into a single pure
+function ``step(state) -> state``:
+
+* ``R``      position drift x += (dt/n_R) v, SHAKE + velocity correction
+* ``V``      full-force kick; ``V0``..``V31`` per-force-group kicks (MTS)
+* ``O``      Ornstein–Uhlenbeck: v = a v + b sqrt(kT/m) xi with
+             a = exp(-gamma h), b = sqrt(1 - a^2)  (integrators.py:1143-1146)
+* ``{ ... }`` Metropolization of the enclosed deterministic substeps
+             (GHMC; integrators.py:1539-1557)
+
+Work/heat bookkeeping (integrators.py:1173-1194): ``shadow_work`` accumulates
+total-energy changes of deterministic substeps, ``heat`` accumulates kinetic
+energy changes of O substeps. Both are optional at build time; per-group
+potential energies are always carried (computed with the forces in one
+``value_and_grad`` pass, so the extra cost is negligible).
+
+One compiled program integrates ``n_steps`` under ``lax.scan``; replicas
+batch with ``vmap``; the thermostat temperature is a *traced* field of the
+state (ThermostatedIntegrator analog, integrators.py:124-253 — changing
+temperature does not retrace).
+"""
+from __future__ import annotations
+
+import math
+from typing import Any, Dict, List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from openmmtools_tpu.constants import kB
+from openmmtools_tpu.ops.constraints import rattle_velocities, shake_positions
+from openmmtools_tpu.states import SamplerState, ThermodynamicState
+from openmmtools_tpu.system import System, make_energy_fn
+from openmmtools_tpu.utils.pytree import pytree_dataclass, static_field
+
+
+class IntegratorError(Exception):
+    pass
+
+
+# ---------------------------------------------------------------------------
+# splitting parser (reference _parse_splitting_string, integrators.py:1474)
+# ---------------------------------------------------------------------------
+
+_MAX_GROUPS = 32
+
+
+def parse_splitting(splitting: str) -> List[str]:
+    """Tokenize and validate a splitting string.
+
+    Rules (mirroring integrators.py:1319-1402 sanity checks):
+    tokens are R, O, V, V0..V31, {, }; braces must match, not nest, and may
+    not contain O (the Metropolized block must be deterministic); bare V and
+    numbered Vn may not be mixed.
+    """
+    tokens = splitting.upper().split()
+    if not tokens:
+        raise IntegratorError("empty splitting string")
+    depth = 0
+    seen_block = False
+    has_bare_v = False
+    has_numbered_v = False
+    for tok in tokens:
+        if tok == "{":
+            if depth:
+                raise IntegratorError("nested Metropolization blocks")
+            if seen_block:
+                raise IntegratorError("only one Metropolization block allowed")
+            depth += 1
+            seen_block = True
+        elif tok == "}":
+            if not depth:
+                raise IntegratorError("unmatched '}'")
+            depth -= 1
+        elif tok == "R":
+            pass
+        elif tok == "O":
+            if depth:
+                raise IntegratorError("O step inside Metropolization block")
+        elif tok == "V":
+            has_bare_v = True
+        elif tok.startswith("V") and tok[1:].isdigit():
+            g = int(tok[1:])
+            if not 0 <= g < _MAX_GROUPS:
+                raise IntegratorError(f"force group {g} out of range")
+            has_numbered_v = True
+        elif tok == "H":
+            pass  # alchemical perturbation (nonequilibrium subclasses)
+        else:
+            raise IntegratorError(f"unknown splitting token {tok!r}")
+    if depth:
+        raise IntegratorError("unmatched '{'")
+    if has_bare_v and has_numbered_v:
+        raise IntegratorError("cannot mix bare V with numbered Vn tokens")
+    return tokens
+
+
+# ---------------------------------------------------------------------------
+# integrator state
+# ---------------------------------------------------------------------------
+
+
+@pytree_dataclass
+class IntegratorState:
+    """Carried state of a compiled integrator program.
+
+    The analog of the reference's CustomIntegrator globals/per-DOF variables
+    (kT, a, b, heat, shadow_work, protocol_work, naccept, ntrials —
+    integrators.py:1139-1194,2242-2290) as a pytree.
+    """
+
+    positions: jax.Array
+    velocities: jax.Array
+    rng_key: jax.Array
+    kT: jax.Array
+    box: Optional[jax.Array] = None
+    global_params: Dict[str, Any] = None
+    # per-force-group caches, aligned with the builder's group list
+    forces: Tuple[jax.Array, ...] = ()
+    potentials: Tuple[jax.Array, ...] = ()
+    heat: jax.Array = 0.0
+    shadow_work: jax.Array = 0.0
+    protocol_work: jax.Array = 0.0
+    n_accepted: jax.Array = 0
+    n_proposed: jax.Array = 0
+    lambda_: jax.Array = 0.0
+    lambda_step: jax.Array = 0
+    step_count: jax.Array = 0
+
+    @property
+    def temperature(self):
+        return self.kT / kB
+
+
+def thermalize_velocities(masses, kT, key, dtype=jnp.float32):
+    """Draw Maxwell–Boltzmann velocities (massless particles get 0)."""
+    n = masses.shape[0]
+    sigma = jnp.where(masses > 0, jnp.sqrt(kT / jnp.maximum(masses, 1e-30)), 0.0)
+    noise = jax.random.normal(key, (n, 3), dtype=dtype)
+    return noise * sigma[:, None].astype(dtype)
+
+
+# ---------------------------------------------------------------------------
+# builder
+# ---------------------------------------------------------------------------
+
+
+class _Env:
+    """Mutable trace-time environment threaded through substep emitters."""
+
+    def __init__(self):
+        self.x = None
+        self.v = None
+        self.key = None
+        self.kT = None
+        self.params = None
+        self.U: Dict[Any, Any] = {}      # group -> cached potential (or None)
+        self.F: Dict[Any, Any] = {}      # group -> cached force (or None)
+        self.heat = None
+        self.shadow_work = None
+        self.protocol_work = None
+        self.n_accepted = None
+        self.n_proposed = None
+        self.lambda_ = None
+        self.lambda_step = None
+        self.step_count = None
+        self.box = None
+        self.stash = None
+
+
+class BoundIntegrator:
+    """An integrator compiled against a specific System.
+
+    Provides the pure ``step_fn`` / ``run(state, n_steps)`` and state
+    constructors. The (System-independent) integrator classes below bind
+    lazily; binding plays the role of OpenMM Context creation
+    (states.py:1094) minus device allocation.
+    """
+
+    def __init__(self, integrator: "LangevinIntegrator", system: System):
+        self.integrator = integrator
+        self.system = system
+        self.masses = system.masses
+        self.inv_mass = jnp.where(system.masses > 0,
+                                  1.0 / jnp.maximum(system.masses, 1e-30), 0.0)
+        self.tokens = parse_splitting(integrator.splitting)
+
+        # group list: None = all forces in one evaluation
+        numbered = sorted({int(t[1:]) for t in self.tokens
+                           if t.startswith("V") and len(t) > 1})
+        self.groups: List[Any] = numbered if numbered else [None]
+
+        self._vg_fns = {}
+        for g in self.groups:
+            u_fn = make_energy_fn(system, groups=None if g is None else [g])
+            self._vg_fns[g] = jax.value_and_grad(u_fn)
+
+        # substep counts → per-substep timesteps (integrators.py:1474 counts)
+        self.n_R = max(1, self.tokens.count("R"))
+        self.n_O = max(1, self.tokens.count("O"))
+        self.n_V = {g: max(1, (self.tokens.count("V") if g is None
+                               else self.tokens.count(f"V{g}")))
+                    for g in self.groups}
+        self.n_H = self.tokens.count("H")
+
+        dt = integrator.timestep
+        gamma = integrator.collision_rate
+        self.h_R = dt / self.n_R
+        self.h_O = dt / self.n_O
+        # a, b constants per O substep (integrators.py:1143-1146)
+        self.ou_a = math.exp(-gamma * self.h_O)
+        self.ou_b = math.sqrt(1.0 - math.exp(-2.0 * gamma * self.h_O))
+
+        self._step_fn = self._build_step()
+        self._run_cache: Dict[int, Any] = {}
+
+    # -- energy plumbing ----------------------------------------------------
+    def _eval_group(self, g, x, box, params):
+        u, grad = self._vg_fns[g](x, box, params)
+        return u, -grad
+
+    def _ensure_forces(self, env: _Env, groups=None):
+        for g in (self.groups if groups is None else groups):
+            if env.F[g] is None:
+                u, f = self._eval_group(g, env.x, env.box, env.params)
+                env.U[g] = u
+                env.F[g] = f
+
+    def _total_potential(self, env: _Env):
+        self._ensure_forces(env)
+        total = env.U[self.groups[0]]
+        for g in self.groups[1:]:
+            total = total + env.U[g]
+        return total
+
+    def _kinetic(self, env: _Env):
+        return 0.5 * jnp.sum(self.masses[:, None] * env.v * env.v)
+
+    # -- substep emitters (trace-time; reference integrators.py:1404-1557) --
+    def _emit_R(self, env: _Env):
+        integ = self.integrator
+        if integ.measure_shadow_work:
+            u_old = self._total_potential(env)
+        x_old = env.x
+        x_new = env.x + self.h_R * env.v
+        if self.system.constraints.n_constraints > 0:
+            x_proj = shake_positions(x_new, x_old, self.system.constraints,
+                                     self.masses, tol=integ.constraint_tolerance)
+            # velocity correction v += (x_proj - x_unconstrained)/h
+            env.v = env.v + (x_proj - x_new) / self.h_R
+            x_new = x_proj
+        env.x = x_new
+        for g in self.groups:
+            env.U[g] = None
+            env.F[g] = None
+        if integ.measure_shadow_work:
+            u_new = self._total_potential(env)
+            env.shadow_work = env.shadow_work + (u_new - u_old)
+
+    def _emit_V(self, env: _Env, g):
+        integ = self.integrator
+        self._ensure_forces(env, [g])
+        if integ.measure_shadow_work:
+            ke_old = self._kinetic(env)
+        h = self.integrator.timestep / self.n_V[g]
+        env.v = env.v + h * env.F[g] * self.inv_mass[:, None]
+        if self.system.constraints.n_constraints > 0:
+            env.v = rattle_velocities(env.x, env.v, self.system.constraints,
+                                      self.masses,
+                                      tol=integ.constraint_tolerance)
+        if integ.measure_shadow_work:
+            env.shadow_work = env.shadow_work + (self._kinetic(env) - ke_old)
+
+    def _emit_O(self, env: _Env):
+        integ = self.integrator
+        if integ.measure_heat:
+            ke_old = self._kinetic(env)
+        env.key, sub = jax.random.split(env.key)
+        sigma = jnp.sqrt(env.kT * self.inv_mass)[:, None]
+        noise = jax.random.normal(sub, env.v.shape, dtype=env.v.dtype)
+        env.v = self.ou_a * env.v + self.ou_b * sigma * noise
+        if self.system.constraints.n_constraints > 0:
+            env.v = rattle_velocities(env.x, env.v, self.system.constraints,
+                                      self.masses,
+                                      tol=integ.constraint_tolerance)
+        if integ.measure_heat:
+            env.heat = env.heat + (self._kinetic(env) - ke_old)
+
+    def _emit_block_start(self, env: _Env):
+        e_old = self._total_potential(env) + self._kinetic(env)
+        env.stash = (env.x, env.v, dict(env.U), dict(env.F), e_old)
+
+    def _emit_block_end(self, env: _Env):
+        x0, v0, U0, F0, e_old = env.stash
+        e_new = self._total_potential(env) + self._kinetic(env)
+        env.key, sub = jax.random.split(env.key)
+        u = jax.random.uniform(sub, dtype=e_new.dtype)
+        accept = u < jnp.exp(-(e_new - e_old) / env.kT)
+        env.x = jnp.where(accept, env.x, x0)
+        # momentum flip on rejection (GHMC; integrators.py:1556)
+        env.v = jnp.where(accept, env.v, -v0)
+        for g in self.groups:
+            env.U[g] = jnp.where(accept, env.U[g], U0[g])
+            env.F[g] = jnp.where(accept, env.F[g], F0[g])
+        env.n_accepted = env.n_accepted + accept.astype(jnp.int32)
+        env.n_proposed = env.n_proposed + 1
+        env.stash = None
+
+    def _emit_H(self, env: _Env):
+        raise IntegratorError(
+            "H token requires a nonequilibrium integrator subclass")
+
+    # -- program assembly ---------------------------------------------------
+    def _pre_step(self, env: _Env):
+        """Hook executed at the start of each step (neq reset logic)."""
+
+    def _post_step(self, env: _Env):
+        """Hook executed at the end of each step."""
+
+    def _build_step(self):
+        def step(state: IntegratorState) -> IntegratorState:
+            env = _Env()
+            env.x = state.positions
+            env.v = state.velocities
+            env.key = state.rng_key
+            env.kT = state.kT
+            env.box = state.box
+            env.params = state.global_params
+            has_cache = len(state.forces) == len(self.groups)
+            for i, g in enumerate(self.groups):
+                env.F[g] = state.forces[i] if has_cache else None
+                env.U[g] = state.potentials[i] if has_cache else None
+            env.heat = state.heat
+            env.shadow_work = state.shadow_work
+            env.protocol_work = state.protocol_work
+            env.n_accepted = state.n_accepted
+            env.n_proposed = state.n_proposed
+            env.lambda_ = state.lambda_
+            env.lambda_step = state.lambda_step
+            env.step_count = state.step_count
+
+            self._pre_step(env)
+            for tok in self.tokens:
+                if tok == "R":
+                    self._emit_R(env)
+                elif tok == "O":
+                    self._emit_O(env)
+                elif tok == "V":
+                    self._emit_V(env, None)
+                elif tok == "{":
+                    self._emit_block_start(env)
+                elif tok == "}":
+                    self._emit_block_end(env)
+                elif tok == "H":
+                    self._emit_H(env)
+                else:
+                    self._emit_V(env, int(tok[1:]))
+            self._post_step(env)
+            # leave caches valid for the next step
+            self._ensure_forces(env)
+            return state.replace(
+                positions=env.x, velocities=env.v, rng_key=env.key,
+                kT=env.kT,
+                global_params=env.params,
+                forces=tuple(env.F[g] for g in self.groups),
+                potentials=tuple(env.U[g] for g in self.groups),
+                heat=env.heat, shadow_work=env.shadow_work,
+                protocol_work=env.protocol_work,
+                n_accepted=env.n_accepted, n_proposed=env.n_proposed,
+                lambda_=env.lambda_, lambda_step=env.lambda_step,
+                step_count=state.step_count + 1,
+            )
+
+        return step
+
+    # -- public API ---------------------------------------------------------
+    @property
+    def step_fn(self):
+        return self._step_fn
+
+    def initial_state(self, sampler_state: SamplerState, key,
+                      temperature=None, thermodynamic_state: Optional[ThermodynamicState] = None,
+                      global_params: Optional[Dict[str, Any]] = None) -> IntegratorState:
+        """Build the integrator carry from a sampler state. Velocities are
+        thermalized if absent. Forces/potentials are precomputed so the first
+        V substep is exact."""
+        if thermodynamic_state is not None:
+            temperature = thermodynamic_state.temperature
+            global_params = dict(thermodynamic_state.global_params)
+        if temperature is None:
+            temperature = self.integrator.temperature
+        kT = jnp.asarray(kB) * temperature
+        x = sampler_state.positions
+        box = sampler_state.box_vectors
+        if box is None:
+            box = self.system.default_box
+        params = dict(global_params or {})
+        v = sampler_state.velocities
+        if v is None:
+            key, sub = jax.random.split(key)
+            v = thermalize_velocities(self.masses, kT, sub, dtype=x.dtype)
+        zero = jnp.zeros((), dtype=x.dtype)
+        izero = jnp.zeros((), dtype=jnp.int32)
+        forces, potentials = [], []
+        for g in self.groups:
+            u, f = self._eval_group(g, x, box, params)
+            potentials.append(u)
+            forces.append(f)
+        return IntegratorState(
+            positions=x, velocities=v, rng_key=key,
+            kT=jnp.asarray(kT, dtype=x.dtype), box=box,
+            global_params=params,
+            forces=tuple(forces), potentials=tuple(potentials),
+            heat=zero, shadow_work=zero, protocol_work=zero,
+            n_accepted=izero, n_proposed=izero,
+            lambda_=zero, lambda_step=izero, step_count=izero,
+        )
+
+    def run(self, state: IntegratorState, n_steps: int) -> IntegratorState:
+        """Advance n_steps under one jitted ``lax.scan`` program."""
+        fn = self._run_cache.get(n_steps)
+        if fn is None:
+            step = self._step_fn
+
+            @jax.jit
+            def run_fn(s):
+                def body(carry, _):
+                    return step(carry), None
+
+                out, _ = jax.lax.scan(body, s, None, length=n_steps)
+                return out
+
+            self._run_cache[n_steps] = fn = run_fn
+        return fn(state)
+
+    def sampler_state_from(self, state: IntegratorState) -> SamplerState:
+        return SamplerState(positions=state.positions,
+                            velocities=state.velocities, box_vectors=state.box)
+
+    def pretty_print(self) -> str:
+        """Human-readable program listing (PrettyPrintableIntegrator analog,
+        integrators.py:58)."""
+        lines = [f"# splitting: {self.integrator.splitting}"]
+        for tok in self.tokens:
+            if tok == "R":
+                lines.append(f"x += {self.h_R:.6g} * v   ; constrain positions")
+            elif tok == "O":
+                lines.append(
+                    f"v = {self.ou_a:.6g} v + {self.ou_b:.6g} sqrt(kT/m) xi")
+            elif tok.startswith("V"):
+                g = tok[1:] or "all"
+                lines.append(f"v += h * F[{g}]/m       ; constrain velocities")
+            elif tok == "{":
+                lines.append("begin Metropolize(save x, v, E)")
+            elif tok == "}":
+                lines.append("end Metropolize(accept/reject; flip v on reject)")
+            elif tok == "H":
+                lines.append("lambda step: perturb global params, "
+                             "protocol_work += dU")
+        return "\n".join(lines)
+
+
+class LangevinIntegrator:
+    """System-independent integrator spec; binds to a System on demand.
+
+    Parameters mirror the reference LangevinIntegrator (integrators.py:1071):
+    temperature (K), collision_rate (1/ps), timestep (ps), splitting,
+    constraint_tolerance, measure_shadow_work, measure_heat.
+    """
+
+    _default_splitting = "V R O R V"
+
+    def __init__(self, temperature=298.0, collision_rate=1.0, timestep=0.001,
+                 splitting: Optional[str] = None, constraint_tolerance=1e-8,
+                 measure_shadow_work=False, measure_heat=False):
+        self.temperature = temperature
+        self.collision_rate = collision_rate
+        self.timestep = timestep
+        self.splitting = splitting or self._default_splitting
+        self.constraint_tolerance = constraint_tolerance
+        self.measure_shadow_work = measure_shadow_work
+        self.measure_heat = measure_heat
+        parse_splitting(self.splitting)  # fail fast
+        self._bound: Dict[int, BoundIntegrator] = {}
+
+    _bound_class = BoundIntegrator
+
+    def bind(self, system: System) -> BoundIntegrator:
+        key = id(system)
+        bound = self._bound.get(key)
+        if bound is None:
+            self._bound[key] = bound = self._bound_class(self, system)
+        return bound
+
+    # acceptance statistics for metropolized splittings (GHMC)
+    @staticmethod
+    def acceptance_rate(state: IntegratorState):
+        return state.n_accepted / jnp.maximum(state.n_proposed, 1)
+
+
+class BAOABIntegrator(LangevinIntegrator):
+    """BAOAB: 'V R O R V' (integrators.py:2152)."""
+
+    _default_splitting = "V R O R V"
+
+
+class VVVRIntegrator(LangevinIntegrator):
+    """VVVR: 'O V R V O' (integrators.py:2125)."""
+
+    _default_splitting = "O V R V O"
+
+
+class GeodesicBAOABIntegrator(LangevinIntegrator):
+    """g-BAOAB with K_r position substeps: 'V R..R O R..R V'
+    (integrators.py:2194)."""
+
+    def __init__(self, K_r=2, temperature=298.0, collision_rate=1.0,
+                 timestep=0.001, constraint_tolerance=1e-8,
+                 measure_shadow_work=False, measure_heat=False):
+        r = " ".join(["R"] * K_r)
+        super().__init__(temperature=temperature, collision_rate=collision_rate,
+                         timestep=timestep, splitting=f"V {r} O {r} V",
+                         constraint_tolerance=constraint_tolerance,
+                         measure_shadow_work=measure_shadow_work,
+                         measure_heat=measure_heat)
+        self.K_r = K_r
+
+
+class GHMCIntegrator(LangevinIntegrator):
+    """Generalized hybrid MC: 'O { V R V } O' (integrators.py:2242)."""
+
+    _default_splitting = "O { V R V } O"
+
+
+class VelocityVerletIntegrator(LangevinIntegrator):
+    """Deterministic velocity Verlet: 'V R V' (integrators.py:456)."""
+
+    _default_splitting = "V R V"
+
+    def __init__(self, timestep=0.001, **kwargs):
+        kwargs.setdefault("temperature", 298.0)
+        kwargs.setdefault("collision_rate", 1.0)
+        super().__init__(timestep=timestep, **kwargs)

@@ -1,0 +1,130 @@
+"""Energy minimizers: FIRE and gradient descent, as jitted loops.
+
+TPU-native replacement for (a) OpenMM's ``LocalEnergyMinimizer`` (L-BFGS)
+used by ``MCMCSampler.minimize`` (mcmc.py:305) and the multistate samplers'
+``_minimize_replica`` (multistatesampler.py:1351), and (b) the reference's
+``FIREMinimizationIntegrator`` (integrators.py:2290) and
+``GradientDescentMinimizationIntegrator`` (:388).
+
+The multistate sampler mirrors the reference's policy: FIRE first, fall back
+if non-finite (multistatesampler.py:1414-1420; there FIRE→L-BFGS).
+"""
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from openmmtools_tpu.states import SamplerState, ThermodynamicState
+from openmmtools_tpu.system import System, make_energy_fn
+
+
+def fire_minimize(system: System, x, box=None, params=None, *,
+                  timestep=1e-3, max_steps=500, alpha0=0.1, f_inc=1.1,
+                  f_dec=0.5, alpha_shrink=0.99, n_min=5, dt_max_factor=10.0):
+    """FIRE (Fast Inertial Relaxation Engine) minimization.
+
+    Same scheme/defaults as the reference FIREMinimizationIntegrator
+    (integrators.py:2290): velocity mixing v = (1-a) v + a |v| F/|F|,
+    accelerate dt after n_min consecutive downhill steps, halve dt and zero
+    velocities on uphill steps.
+    Returns (x_min, U_min).
+    """
+    u_fn = make_energy_fn(system)
+    vg = jax.value_and_grad(u_fn)
+    masses = jnp.maximum(system.masses, 1e-30)[:, None]
+    dt_max = dt_max_factor * timestep
+
+    def body(carry, _):
+        x, v, dt, alpha, n_up, _u = carry
+        u, g = vg(x, box, params)
+        f = -g
+        power = jnp.sum(f * v)
+        f_norm = jnp.sqrt(jnp.sum(f * f) + 1e-30)
+        v_norm = jnp.sqrt(jnp.sum(v * v))
+        v_mixed = (1.0 - alpha) * v + alpha * v_norm * f / f_norm
+        uphill = power < 0.0
+        v_new = jnp.where(uphill, jnp.zeros_like(v), v_mixed)
+        n_up_new = jnp.where(uphill, 0, n_up + 1)
+        grow = (~uphill) & (n_up_new > n_min)
+        dt_new = jnp.where(grow, jnp.minimum(dt * f_inc, dt_max),
+                           jnp.where(uphill, dt * f_dec, dt))
+        alpha_new = jnp.where(grow, alpha * alpha_shrink,
+                              jnp.where(uphill, alpha0, alpha))
+        # MD step (velocity Verlet style kick-drift)
+        v_next = v_new + dt_new * f / masses
+        x_next = x + dt_new * v_next
+        # guard against NaN blowups: keep previous iterate if energy explodes
+        finite = jnp.all(jnp.isfinite(x_next))
+        x_next = jnp.where(finite, x_next, x)
+        v_next = jnp.where(finite, v_next, jnp.zeros_like(v))
+        return (x_next, v_next, dt_new, alpha_new, n_up_new, u), None
+
+    v0 = jnp.zeros_like(x)
+    init = (x, v0, jnp.asarray(timestep, x.dtype), jnp.asarray(alpha0, x.dtype),
+            jnp.zeros((), jnp.int32), jnp.zeros((), x.dtype))
+    (x_min, _, _, _, _, _), _ = jax.lax.scan(body, init, None, length=max_steps)
+    return x_min, u_fn(x_min, box, params)
+
+
+def gradient_descent_minimize(system: System, x, box=None, params=None, *,
+                              initial_step=1e-4, max_steps=200):
+    """Adaptive-step gradient descent (GradientDescentMinimizationIntegrator,
+    integrators.py:388): step x -= gamma F/|F|max, accept if energy drops,
+    else halve gamma."""
+    u_fn = make_energy_fn(system)
+    vg = jax.value_and_grad(u_fn)
+
+    def body(carry, _):
+        x, gamma, u = carry
+        _, g = vg(x, box, params)
+        gmax = jnp.maximum(jnp.max(jnp.abs(g)), 1e-12)
+        x_try = x - gamma * g / gmax
+        u_try = u_fn(x_try, box, params)
+        better = u_try < u
+        x_new = jnp.where(better, x_try, x)
+        u_new = jnp.where(better, u_try, u)
+        gamma_new = jnp.where(better, gamma * 1.2, gamma * 0.5)
+        return (x_new, gamma_new, u_new), None
+
+    u0 = u_fn(x, box, params)
+    (x_min, _, u_min), _ = jax.lax.scan(
+        body, (x, jnp.asarray(initial_step, x.dtype), u0), None, length=max_steps)
+    return x_min, u_min
+
+
+def minimize(thermodynamic_state: ThermodynamicState,
+             sampler_state: SamplerState, tolerance: float = 1.0,
+             max_iterations: int = 500) -> SamplerState:
+    """Minimize a sampler state under a thermodynamic state — the
+    ``MCMCSampler.minimize``/LocalEnergyMinimizer analog (mcmc.py:305).
+
+    FIRE with a gradient-descent fallback on non-finite results
+    (multistatesampler.py:1414-1420 policy). ``tolerance`` is accepted for
+    API parity; the loop runs a fixed (bounded) number of steps under jit.
+    """
+    system = thermodynamic_state.system
+    box = sampler_state.box_vectors
+    if box is None:
+        box = system.default_box
+    params = thermodynamic_state.global_params
+    x0 = sampler_state.positions
+
+    x_min, u_min = jax.jit(
+        lambda x: fire_minimize(system, x, box, params,
+                                max_steps=max_iterations))(x0)
+    if not bool(jnp.isfinite(u_min)):
+        x_min, u_min = jax.jit(
+            lambda x: gradient_descent_minimize(system, x, box, params,
+                                                max_steps=max_iterations))(x0)
+    # never return something worse than the input
+    u0 = thermodynamic_state.potential_energy(sampler_state)
+    if bool(u_min > u0) or not bool(jnp.isfinite(u_min)):
+        return sampler_state
+    # re-project onto constraints if present
+    if system.constraints.n_constraints > 0:
+        from openmmtools_tpu.ops.constraints import shake_positions
+
+        x_min = shake_positions(x_min, x_min, system.constraints, system.masses)
+    return sampler_state.replace(positions=x_min)

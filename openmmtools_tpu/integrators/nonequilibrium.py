@@ -1,0 +1,169 @@
+"""Nonequilibrium (NCMC) Langevin integrators: protocol work + H steps.
+
+Reference: ``NonequilibriumLangevinIntegrator`` (integrators.py:1559),
+``AlchemicalNonequilibriumLangevinIntegrator`` (:1654) whose ``H`` substep
+advances the master ``lambda`` = lambda_step/n_lambda_steps, evaluates each
+alchemical function of lambda into its global parameter, and accumulates
+``protocol_work += U_new - U_old`` (:1845-1867); per-cycle reset via
+step/lambda counters (:1869-1912); ``PeriodicNonequilibriumIntegrator``
+(:1914) drives lambda 0→1→0 with equilibration dwells;
+``ExternalPerturbationLangevinIntegrator`` (:2058) measures work from
+externally-changed parameters — here the explicit
+:meth:`BoundNonequilibriumIntegrator.perturb` transition.
+
+Lambda functions are math-expression strings of ``lambda`` evaluated by
+:func:`openmmtools_tpu.utils.math_eval` on *traced* values, so the whole
+protocol (H steps included) stays inside one jitted ``lax.scan``.
+"""
+from __future__ import annotations
+
+from typing import Dict, Optional
+
+import jax.numpy as jnp
+
+from openmmtools_tpu.integrators.langevin import (
+    BoundIntegrator,
+    IntegratorError,
+    IntegratorState,
+    LangevinIntegrator,
+)
+from openmmtools_tpu.utils.math_eval import math_eval
+
+
+class BoundNonequilibriumIntegrator(BoundIntegrator):
+    """BoundIntegrator with H-step support and per-cycle work/lambda reset."""
+
+    def _lambda_schedule(self, lambda_step):
+        return self.integrator._schedule(lambda_step, max(1, self.n_H))
+
+    def _pre_step(self, env):
+        cycle = self.integrator._n_steps_per_cycle()
+        if cycle <= 0:
+            return
+        # reset work/lambda at the start of each cycle (integrators.py:1869)
+        reset = (env.step_count % cycle) == 0
+        zero = jnp.zeros((), dtype=env.x.dtype)
+        env.protocol_work = jnp.where(reset, zero, env.protocol_work)
+        env.shadow_work = jnp.where(reset, zero, env.shadow_work)
+        env.heat = jnp.where(reset, zero, env.heat)
+        env.lambda_step = jnp.where(reset, 0, env.lambda_step)
+        env.lambda_ = self._lambda_schedule(env.lambda_step)
+
+    def _emit_H(self, env):
+        functions = self.integrator.alchemical_functions
+        u_old = self._total_potential(env)
+        env.lambda_step = env.lambda_step + 1
+        lam = self._lambda_schedule(env.lambda_step)
+        new_params = dict(env.params)
+        for name, expr in functions.items():
+            new_params[name] = math_eval(expr, {"lambda": lam})
+        env.params = new_params
+        for g in self.groups:
+            env.U[g] = None
+            env.F[g] = None
+        u_new = self._total_potential(env)
+        env.protocol_work = env.protocol_work + (u_new - u_old)
+        env.lambda_ = lam
+
+    # -- external perturbation work (ExternalPerturbationLangevinIntegrator)
+    def perturb(self, state: IntegratorState, new_params: Dict) -> IntegratorState:
+        """Change global parameters between steps, charging the energy
+        difference to protocol_work (integrators.py:2058 semantics)."""
+        u_old = sum(state.potentials[1:], state.potentials[0])
+        forces, potentials = [], []
+        for g in self.groups:
+            u, f = self._eval_group(g, state.positions, state.box, new_params)
+            potentials.append(u)
+            forces.append(f)
+        u_new = sum(potentials[1:], potentials[0])
+        return state.replace(
+            global_params=dict(new_params),
+            forces=tuple(forces), potentials=tuple(potentials),
+            protocol_work=state.protocol_work + (u_new - u_old),
+        )
+
+
+class NonequilibriumLangevinIntegrator(LangevinIntegrator):
+    """Langevin integrator tracking protocol work (integrators.py:1559).
+
+    Work accumulates through explicit :meth:`perturb` calls (external
+    protocols) or through H substeps (alchemical subclasses).
+    """
+
+    _bound_class = BoundNonequilibriumIntegrator
+    alchemical_functions: Dict[str, str] = {}
+
+    def _schedule(self, lambda_step, n_H: int):
+        return jnp.asarray(lambda_step, dtype=jnp.float32) * 0.0
+
+    def _n_steps_per_cycle(self) -> int:
+        return 0
+
+
+# ExternalPerturbationLangevinIntegrator is behaviorally the same object:
+# NonequilibriumLangevinIntegrator + bound.perturb().
+ExternalPerturbationLangevinIntegrator = NonequilibriumLangevinIntegrator
+
+
+class AlchemicalNonequilibriumLangevinIntegrator(NonequilibriumLangevinIntegrator):
+    """NCMC switching integrator (integrators.py:1654).
+
+    Parameters
+    ----------
+    alchemical_functions : dict str -> str
+        Global parameter name -> expression of ``lambda``
+        (e.g. ``{'lambda_sterics': 'min(1, 2*lambda)'}``).
+    splitting : default 'O { V R H R V } O' (reference default :1753)
+    n_steps_neq : integrator steps per switching protocol;
+        n_lambda_steps = n_steps_neq * (H count per step).
+    """
+
+    _default_splitting = "O { V R H R V } O"
+
+    def __init__(self, alchemical_functions: Optional[Dict[str, str]] = None,
+                 splitting: Optional[str] = None, n_steps_neq=100, **kwargs):
+        super().__init__(splitting=splitting, **kwargs)
+        self.alchemical_functions = dict(alchemical_functions or {})
+        if n_steps_neq < 1:
+            raise IntegratorError("n_steps_neq must be >= 1")
+        self.n_steps_neq = n_steps_neq
+        if "H" not in self.splitting.upper().split():
+            raise IntegratorError("alchemical splitting must contain an H step")
+
+    def _schedule(self, lambda_step, n_H: int):
+        n = max(1, self.n_steps_neq * n_H)
+        return jnp.clip(jnp.asarray(lambda_step, jnp.float32) / n, 0.0, 1.0)
+
+    def _n_steps_per_cycle(self) -> int:
+        return self.n_steps_neq
+
+    def initial_params(self):
+        """Global parameter values at lambda = 0."""
+        return {name: float(math_eval(expr, {"lambda": 0.0}))
+                for name, expr in self.alchemical_functions.items()}
+
+
+class PeriodicNonequilibriumIntegrator(AlchemicalNonequilibriumLangevinIntegrator):
+    """Periodic 0→1→0 protocol with equilibration dwells (integrators.py:1914).
+
+    Cycle: n_steps_eq at lambda=0 → n_steps_neq ramp up → n_steps_eq at
+    lambda=1 → n_steps_neq ramp down. Schedule in H-substep units:
+    lambda(s) = clip((s-Neq)/Nneq, 0, 1) - clip((s-2Neq-Nneq)/Nneq, 0, 1).
+    """
+
+    def __init__(self, alchemical_functions=None, splitting=None,
+                 n_steps_eq=1000, n_steps_neq=100, **kwargs):
+        super().__init__(alchemical_functions=alchemical_functions,
+                         splitting=splitting, n_steps_neq=n_steps_neq, **kwargs)
+        self.n_steps_eq = n_steps_eq
+
+    def _schedule(self, lambda_step, n_H: int):
+        n_eq = self.n_steps_eq * n_H
+        n_neq = max(1, self.n_steps_neq * n_H)
+        s = jnp.asarray(lambda_step, jnp.float32)
+        up = jnp.clip((s - n_eq) / n_neq, 0.0, 1.0)
+        down = jnp.clip((s - (2 * n_eq + n_neq)) / n_neq, 0.0, 1.0)
+        return up - down
+
+    def _n_steps_per_cycle(self) -> int:
+        return 2 * self.n_steps_eq + 2 * self.n_steps_neq

@@ -44,27 +44,19 @@ def _f32(x):
     return jnp.asarray(x, dtype=jnp.float32)
 
 
-def subrandom_particle_positions(n_particles: int, box: np.ndarray) -> np.ndarray:
-    """Quasi-random (Halton sequence) particle placement in a box.
+def subrandom_particle_positions(n_particles: int, box: np.ndarray,
+                                 seed: int = 0) -> np.ndarray:
+    """Quasi-random (scrambled Sobol) particle placement in a box.
 
     Plays the role of the reference's Sobol-based
     ``subrandom_particle_positions`` (testsystems.py; sobol.py:136-171):
-    low-discrepancy placement that avoids steric clashes better than uniform
-    random. Bases 2/3/5 Halton, scaled by the box diagonal.
+    low-discrepancy placement that avoids steric clashes well enough that the
+    default LJ gas needs no minimization. Scrambling (Owen) improves the
+    3D minimum pair distance substantially over the raw sequence.
     """
+    from scipy.stats import qmc
 
-    def halton(index: np.ndarray, base: int) -> np.ndarray:
-        result = np.zeros_like(index, dtype=np.float64)
-        f = 1.0 / base
-        i = index.copy()
-        while np.any(i > 0):
-            result += f * (i % base)
-            i //= base
-            f /= base
-        return result
-
-    idx = np.arange(1, n_particles + 1)
-    u = np.stack([halton(idx, b) for b in (2, 3, 5)], axis=1)
+    u = qmc.Sobol(d=3, scramble=True, seed=seed).random(n_particles)
     lengths = np.diagonal(np.asarray(box))
     return u * lengths
 
@@ -535,14 +527,16 @@ class WCATerm:
         n = self.n_particles
         d = x[:, None, :] - x[None, :, :]
         d = minimum_image(d, box)
-        r2 = jnp.maximum(jnp.sum(d * d, axis=-1), 1e-12)
-        s2 = self.sigma * self.sigma / r2
-        s6 = s2 * s2 * s2
-        e = 4.0 * self.epsilon * (s6 * s6 - s6) + self.epsilon
+        r2_raw = jnp.sum(d * d, axis=-1)
         rmin2 = (2.0 ** (1.0 / 3.0)) * self.sigma * self.sigma
         row = jax.lax.broadcasted_iota(jnp.int32, (n, n), 0)
         col = jax.lax.broadcasted_iota(jnp.int32, (n, n), 1)
-        mask = (row < col) & (r2 < rmin2)
+        mask = (row < col) & (r2_raw < rmin2)
+        # double-where keeps masked self-pairs from poisoning the gradient
+        r2 = jnp.where(mask, jnp.maximum(r2_raw, 1e-12), rmin2)
+        s2 = self.sigma * self.sigma / r2
+        s6 = s2 * s2 * s2
+        e = 4.0 * self.epsilon * (s6 * s6 - s6) + self.epsilon
         return jnp.sum(jnp.where(mask, e, 0.0))
 
 

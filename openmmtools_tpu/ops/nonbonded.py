@@ -122,8 +122,7 @@ def all_pairs_energy(
     eps = epsilons if lj_scale is None else epsilons * lj_scale
 
     d = _pair_displacements(x, box, periodic)
-    r2 = jnp.maximum(jnp.sum(d * d, axis=-1), 1e-12)
-    r = jnp.sqrt(r2)
+    r2_raw = jnp.sum(d * d, axis=-1)
 
     # dense (N, N) combined parameters + strictly-upper-triangular mask;
     # avoids large gathers (TPU-hostile) in favor of VPU-friendly broadcasts
@@ -133,6 +132,14 @@ def all_pairs_energy(
     row = jax.lax.broadcasted_iota(jnp.int32, (n, n), 0)
     col = jax.lax.broadcasted_iota(jnp.int32, (n, n), 1)
     mask = row < col
+    if cutoff is not None and method != "no_cutoff":
+        mask = mask & (r2_raw < cutoff * cutoff)
+
+    # double-where: masked-out entries (self pairs!) are clamped to a safe
+    # distance BEFORE the pair functions run, else their inf/overflowing
+    # energies poison the gradient through the final where (NaN = 0 * inf)
+    r2 = jnp.where(mask, jnp.maximum(r2_raw, 1e-12), 1.0)
+    r = jnp.sqrt(r2)
 
     e_lj = lj_pair(r2, sig_ij, eps_ij)
     if switch_width is not None and cutoff is not None:
@@ -140,10 +147,7 @@ def all_pairs_energy(
     e_coul = coulomb_pair(r, qq_ij, method, cutoff=cutoff,
                           dielectric=dielectric, alpha=alpha)
 
-    e = e_lj + e_coul
-    if cutoff is not None and method != "no_cutoff":
-        mask = mask & (r2 < cutoff * cutoff)
-    return jnp.sum(jnp.where(mask, e, 0.0))
+    return jnp.sum(jnp.where(mask, e_lj + e_coul, 0.0))
 
 
 def pair_list_energy(

@@ -1,0 +1,218 @@
+"""Integrator validation (analog of reference tests/test_integrators.py):
+analytic-distribution checks, work/heat bookkeeping identities, constraints.
+"""
+import math
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from openmmtools_tpu.constants import kB
+from openmmtools_tpu.integrators import (
+    AlchemicalNonequilibriumLangevinIntegrator,
+    BAOABIntegrator,
+    GHMCIntegrator,
+    GeodesicBAOABIntegrator,
+    LangevinIntegrator,
+    PeriodicNonequilibriumIntegrator,
+    VVVRIntegrator,
+    VelocityVerletIntegrator,
+    minimize,
+    parse_splitting,
+)
+from openmmtools_tpu.integrators.langevin import IntegratorError
+from openmmtools_tpu.models import Diatom, HarmonicOscillator
+from openmmtools_tpu.states import SamplerState
+
+TEMP = 300.0
+KT = kB * TEMP
+
+
+@pytest.fixture(scope="module")
+def ho():
+    return HarmonicOscillator()
+
+
+def _sample_potential_mean(integrator, ho, n_burn=2000, n_chunks=60,
+                           chunk=200, seed=0):
+    """Mean potential over chunk endpoints after burn-in."""
+    bound = integrator.bind(ho.system)
+    key = jax.random.PRNGKey(seed)
+    state = bound.initial_state(SamplerState(positions=ho.positions), key,
+                                temperature=TEMP)
+    state = bound.run(state, n_burn)
+    us = []
+    for _ in range(n_chunks):
+        state = bound.run(state, chunk)
+        us.append(float(sum(state.potentials)))
+    return np.mean(us), np.std(us) / math.sqrt(len(us)), state
+
+
+def test_parse_splitting_validation():
+    parse_splitting("V R O R V")
+    parse_splitting("O { V R V } O")
+    parse_splitting("V0 V1 R O R V1 V0")
+    with pytest.raises(IntegratorError):
+        parse_splitting("V R X")
+    with pytest.raises(IntegratorError):
+        parse_splitting("{ O }")
+    with pytest.raises(IntegratorError):
+        parse_splitting("V { R")
+    with pytest.raises(IntegratorError):
+        parse_splitting("V V0 R O")
+
+
+def test_baoab_samples_boltzmann(ho):
+    """BAOAB on the harmonic oscillator: <U> = (3/2) kT within 6 sigma."""
+    integ = BAOABIntegrator(temperature=TEMP, collision_rate=20.0,
+                            timestep=0.002)
+    mean_u, stderr, _ = _sample_potential_mean(integ, ho)
+    expected = 1.5 * KT
+    assert abs(mean_u - expected) < 6 * max(stderr, 0.02 * expected), (
+        f"<U>={mean_u:.4f} expected {expected:.4f} ± {stderr:.4f}")
+
+
+def test_vvvr_samples_boltzmann(ho):
+    integ = VVVRIntegrator(temperature=TEMP, collision_rate=20.0,
+                           timestep=0.002)
+    mean_u, stderr, _ = _sample_potential_mean(integ, ho, seed=1)
+    expected = 1.5 * KT
+    assert abs(mean_u - expected) < 6 * max(stderr, 0.03 * expected)
+
+
+def test_ghmc_exact_sampling(ho):
+    """GHMC is Metropolized: exact Boltzmann stats even at larger timestep."""
+    integ = GHMCIntegrator(temperature=TEMP, collision_rate=20.0,
+                           timestep=0.004)
+    mean_u, stderr, state = _sample_potential_mean(integ, ho, seed=2)
+    expected = 1.5 * KT
+    assert abs(mean_u - expected) < 6 * max(stderr, 0.02 * expected)
+    rate = float(state.n_accepted) / float(state.n_proposed)
+    assert 0.5 < rate <= 1.0
+    assert int(state.n_proposed) == 2000 + 60 * 200
+
+
+def test_velocity_verlet_energy_conservation(ho):
+    """NVE total energy drift stays small over many periods."""
+    integ = VelocityVerletIntegrator(timestep=0.001)
+    bound = integ.bind(ho.system)
+    key = jax.random.PRNGKey(3)
+    state = bound.initial_state(SamplerState(positions=ho.positions), key,
+                                temperature=TEMP)
+    e0 = float(sum(state.potentials)) + 0.5 * ho.mass * float(
+        jnp.sum(state.velocities**2))
+    state = bound.run(state, 5000)
+    e1 = float(sum(state.potentials)) + 0.5 * ho.mass * float(
+        jnp.sum(state.velocities**2))
+    assert abs(e1 - e0) < 0.01 * (abs(e0) + 1.5 * KT)
+
+
+def test_velocity_verlet_analytic_trajectory(ho):
+    """1D harmonic motion: x(t) = x0 cos(w t) reproduced to O(dt^2)."""
+    integ = VelocityVerletIntegrator(timestep=0.0005)
+    bound = integ.bind(ho.system)
+    x0 = 0.1
+    state = bound.initial_state(
+        SamplerState(positions=jnp.asarray([[x0, 0.0, 0.0]]),
+                     velocities=jnp.zeros((1, 3))),
+        jax.random.PRNGKey(0), temperature=TEMP)
+    n = 400
+    state = bound.run(state, n)
+    omega = math.sqrt(ho.K / ho.mass)
+    t = n * 0.0005
+    x_expected = x0 * math.cos(omega * t)
+    assert abs(float(state.positions[0, 0]) - x_expected) < 5e-3
+
+
+def test_heat_shadow_work_bookkeeping(ho):
+    """Total energy change = heat + shadow_work for a pure Langevin splitting
+    (reference tests/test_integrators.py:314-384 identity)."""
+    integ = BAOABIntegrator(temperature=TEMP, collision_rate=5.0,
+                            timestep=0.002, measure_heat=True,
+                            measure_shadow_work=True)
+    bound = integ.bind(ho.system)
+    state = bound.initial_state(SamplerState(positions=ho.positions),
+                                jax.random.PRNGKey(4), temperature=TEMP)
+    e0 = float(sum(state.potentials)) + 0.5 * ho.mass * float(
+        jnp.sum(state.velocities**2))
+    state = bound.run(state, 1000)
+    e1 = float(sum(state.potentials)) + 0.5 * ho.mass * float(
+        jnp.sum(state.velocities**2))
+    budget = float(state.heat) + float(state.shadow_work)
+    assert abs((e1 - e0) - budget) < 1e-3 * max(1.0, abs(budget))
+
+
+def test_gbaoab_constrained_diatom():
+    """g-BAOAB keeps the constrained bond length exactly."""
+    d = Diatom(constraint=True)
+    integ = GeodesicBAOABIntegrator(K_r=2, temperature=TEMP,
+                                    collision_rate=10.0, timestep=0.002)
+    bound = integ.bind(d.system)
+    state = bound.initial_state(d.sampler_state(), jax.random.PRNGKey(5),
+                                temperature=TEMP)
+    state = bound.run(state, 500)
+    r = float(jnp.linalg.norm(state.positions[0] - state.positions[1]))
+    assert abs(r - d.r0) / d.r0 < 1e-5
+    # velocity along the bond is projected out
+    dv = state.velocities[0] - state.velocities[1]
+    dx = state.positions[0] - state.positions[1]
+    assert abs(float(jnp.dot(dv, dx))) < 1e-6
+
+
+def test_mts_splitting_runs(ho):
+    """Force-group MTS splitting (V0/V1) integrates without error."""
+    from openmmtools_tpu.models.testsystems import CustomExternalForcesTestSystem
+
+    ts = CustomExternalForcesTestSystem(
+        energy_expressions=("0.4*(x**2+y**2+z**2)", "0.6*(x**2+y**2+z**2)"),
+        n_particles=16)
+    integ = LangevinIntegrator(temperature=TEMP, collision_rate=10.0,
+                               timestep=0.002,
+                               splitting="V1 V0 V0 R O R V0 V0 V1")
+    bound = integ.bind(ts.system)
+    state = bound.initial_state(ts.sampler_state(), jax.random.PRNGKey(6),
+                                temperature=TEMP)
+    state = bound.run(state, 200)
+    assert bool(jnp.all(jnp.isfinite(state.positions)))
+
+
+def test_alchemical_nonequilibrium_protocol(ho):
+    """H steps ramp lambda 0 -> 1 over n_steps_neq and accumulate the analytic
+    work for a K(lambda) harmonic oscillator held at x=0... protocol work for
+    an oscillator at the origin is U0(lambda) changes only."""
+    # lambda scales an offset U0: U = U0 * lambda ; work = U0 at any x.
+    functions = {"testsystems_HarmonicOscillator_U0": "5.0*lambda"}
+    integ = AlchemicalNonequilibriumLangevinIntegrator(
+        alchemical_functions=functions, splitting="O { V R H R V } O",
+        temperature=TEMP, collision_rate=10.0, timestep=0.002, n_steps_neq=50)
+    bound = integ.bind(ho.system)
+    state = bound.initial_state(SamplerState(positions=ho.positions),
+                                jax.random.PRNGKey(7), temperature=TEMP,
+                                global_params=integ.initial_params())
+    state = bound.run(state, 50)
+    # U0 enters the energy additively: total protocol work = 5.0 kJ/mol
+    assert np.isclose(float(state.protocol_work), 5.0, atol=1e-3)
+    assert np.isclose(float(state.lambda_), 1.0)
+    # next step starts a new cycle: work resets
+    state = bound.run(state, 1)
+    assert float(state.protocol_work) < 5.0
+
+
+def test_periodic_nonequilibrium_schedule():
+    integ = PeriodicNonequilibriumIntegrator(
+        alchemical_functions={"testsystems_HarmonicOscillator_U0": "lambda"},
+        n_steps_eq=2, n_steps_neq=4, temperature=TEMP, timestep=0.002)
+    nH = 1
+    lams = [float(integ._schedule(jnp.asarray(s), nH)) for s in range(12)]
+    assert lams[0] == 0.0 and lams[1] == 0.0  # eq dwell
+    assert lams[6] == 1.0 and lams[7] == 1.0  # hold at 1
+    assert lams[-1] == 0.0 or lams[-1] < 0.3  # ramp back down
+
+
+def test_minimize(ho):
+    ss = SamplerState(positions=jnp.asarray([[0.5, -0.4, 0.3]]))
+    state = ho.thermodynamic_state(TEMP)
+    out = minimize(state, ss, max_iterations=200)
+    assert float(state.potential_energy(out)) < 1e-2 * float(
+        state.potential_energy(ss))
