@@ -1,0 +1,279 @@
+"""Free-energy analysis pipeline: equilibration → decorrelation → MBAR.
+
+TPU-native port of ``multistate/multistateanalyzer.py`` (2569 LoC). The
+pipeline follows SURVEY.md §2 row `MultiStateSamplerAnalyzer`: read energies
+from the reporter → effective-energy timeseries u_n (:1414-1477) →
+equilibration detection + statistical inefficiency (:2026) → decorrelate/
+subsample → kln→ln reformat (:994) → MBAR (on-device,
+:mod:`openmmtools_tpu.multistate.mbar`) → free energies / enthalpy / entropy
+with uncertainties (:1919-2024) → mixing statistics (:1243).
+
+``ObservablesRegistry`` (:106-355) and ``MultiPhaseAnalyzer`` (:2224) are
+ported in simplified but API-compatible form.
+"""
+from __future__ import annotations
+
+import logging
+from typing import Dict, List, Optional, Tuple
+
+import numpy as np
+
+from openmmtools_tpu.multistate import utils as ts_utils
+from openmmtools_tpu.multistate.mbar import MBARResult, mbar_free_energies
+
+logger = logging.getLogger(__name__)
+
+
+class ObservablesRegistry:
+    """Registry mapping observables to their error-propagation rules
+    (multistateanalyzer.py:106-355, simplified)."""
+
+    observables_defined_by_two_states = ("free_energy", "entropy", "enthalpy")
+    observables_defined_by_single_state = ()
+    observables_defined_by_phase = ()
+
+    @property
+    def observables(self):
+        return (self.observables_defined_by_two_states
+                + self.observables_defined_by_single_state
+                + self.observables_defined_by_phase)
+
+
+default_observables_registry = ObservablesRegistry()
+
+
+class PhaseAnalyzer:
+    """Base analyzer bound to a reporter (multistateanalyzer.py:446)."""
+
+    def __init__(self, reporter, name: Optional[str] = None,
+                 max_n_iterations: Optional[int] = None,
+                 analysis_kwargs=None):
+        self._reporter = reporter
+        self.name = name or "phase"
+        self.max_n_iterations = max_n_iterations
+        self._cache: Dict[str, object] = {}
+
+    @property
+    def reporter(self):
+        return self._reporter
+
+    def clear(self):
+        self._cache.clear()
+
+    def _invalidate(self):
+        self.clear()
+
+
+class MultiStateSamplerAnalyzer(PhaseAnalyzer):
+    """Analyzer for MultiStateSampler-family simulations
+    (multistateanalyzer.py:1137)."""
+
+    def __init__(self, reporter, unbias_restraint=False, n_equilibration_iterations=None,
+                 statistical_inefficiency=None, **kwargs):
+        super().__init__(reporter, **kwargs)
+        self.unbias_restraint = unbias_restraint
+        self._fixed_equilibration = n_equilibration_iterations
+        self._fixed_statistical_inefficiency = statistical_inefficiency
+
+    # -- raw data -----------------------------------------------------------
+    def _read_energies(self) -> Tuple[np.ndarray, np.ndarray]:
+        if "energies" not in self._cache:
+            if not self._reporter.is_open:
+                self._reporter.open(mode="r")
+            u, s = self._reporter.read_energies()
+            if self.max_n_iterations is not None:
+                u = u[: self.max_n_iterations + 1]
+                s = s[: self.max_n_iterations + 1]
+            self._cache["energies"] = (u, s)
+        return self._cache["energies"]
+
+    @property
+    def n_iterations(self) -> int:
+        return self._read_energies()[0].shape[0] - 1  # iteration 0 = initial
+
+    @property
+    def n_states(self) -> int:
+        return self._read_energies()[0].shape[2]
+
+    @property
+    def n_replicas(self) -> int:
+        return self._read_energies()[0].shape[1]
+
+    # -- effective energy & equilibration ------------------------------------
+    def get_effective_energy_timeseries(self) -> np.ndarray:
+        """u_n(t) = sum_replicas u_{n, s_n(t)} — the timeseries whose
+        equilibration governs the whole dataset (:1414-1477)."""
+        u, s = self._read_energies()
+        t_range = np.arange(u.shape[0])
+        total = np.empty(u.shape[0])
+        for t in t_range:
+            total[t] = u[t][np.arange(u.shape[1]), s[t]].sum()
+        return total
+
+    def _get_equilibration_data(self) -> Tuple[int, float, float]:
+        if "equil" not in self._cache:
+            series = self.get_effective_energy_timeseries()
+            # discard iteration 0 (pre-equilibration energies, :2026)
+            t0, g, neff = ts_utils.detect_equilibration(series[1:])
+            t0 += 1
+            if self._fixed_equilibration is not None:
+                t0 = self._fixed_equilibration
+            if self._fixed_statistical_inefficiency is not None:
+                g = self._fixed_statistical_inefficiency
+            self._cache["equil"] = (t0, g, neff)
+            logger.debug("equilibration: t0=%d g=%.2f neff=%.1f", t0, g, neff)
+        return self._cache["equil"]
+
+    @property
+    def n_equilibration_iterations(self) -> int:
+        return self._get_equilibration_data()[0]
+
+    @property
+    def statistical_inefficiency(self) -> float:
+        return self._get_equilibration_data()[1]
+
+    # -- MBAR input ----------------------------------------------------------
+    @staticmethod
+    def reformat_energies_for_mbar(u_kln: np.ndarray,
+                                   n_k: Optional[np.ndarray] = None):
+        """kln (state-of-origin major) → ln format (:994)."""
+        k, l, n = u_kln.shape
+        if n_k is None:
+            n_k = np.full(k, n, dtype=np.int64)
+        u_ln = np.zeros((l, int(n_k.sum())))
+        offset = 0
+        for ki in range(k):
+            u_ln[:, offset:offset + n_k[ki]] = u_kln[ki, :, : n_k[ki]]
+            offset += n_k[ki]
+        return u_ln
+
+    def _decorrelated_u_ln_and_n_k(self):
+        if "mbar_input" in self._cache:
+            return self._cache["mbar_input"]
+        u, s = self._read_energies()     # (T, N, Ktot), (T, N)
+        t0, g, _ = self._get_equilibration_data()
+        u = u[t0:]
+        s = s[t0:]
+        idx = ts_utils.subsample_correlated_data(
+            np.arange(u.shape[0]), g=g)
+        u = u[idx]
+        s = s[idx]
+        k_total = u.shape[2]
+        # flatten frames × replicas into samples
+        u_ln = u.reshape(-1, k_total).T                  # (Ktot, n_samples)
+        s_flat = s.reshape(-1)
+        n_sampled_states = int(s_flat.max()) + 1 if s_flat.size else 0
+        n_k = np.bincount(s_flat, minlength=k_total).astype(np.float64)
+        self._cache["mbar_input"] = (u_ln, n_k)
+        return u_ln, n_k
+
+    # -- MBAR & observables --------------------------------------------------
+    def _mbar(self) -> MBARResult:
+        if "mbar" not in self._cache:
+            u_ln, n_k = self._decorrelated_u_ln_and_n_k()
+            self._cache["mbar"] = mbar_free_energies(u_ln, n_k)
+        return self._cache["mbar"]
+
+    def get_free_energy(self) -> Tuple[np.ndarray, np.ndarray]:
+        """(Delta f_ij matrix, dDelta f_ij matrix) in kT
+        (multistateanalyzer.py:1958)."""
+        result = self._mbar()
+        f = np.asarray(result.free_energies)
+        th = np.asarray(result.theta)
+        df = f[None, :] - f[:, None]
+        var = (np.diag(th)[:, None] + np.diag(th)[None, :] - 2 * th)
+        return df, np.sqrt(np.maximum(var, 0.0))
+
+    def get_enthalpy(self) -> Tuple[np.ndarray, np.ndarray]:
+        """<u_k> differences (:1988): Delta H_ij = <u_j>_j - <u_i>_i in kT."""
+        u_ln, n_k = self._decorrelated_u_ln_and_n_k()
+        k = u_ln.shape[0]
+        # expectation of u_k under state k via MBAR weights
+        result = self._mbar()
+        f = np.asarray(result.free_energies)
+        log_nk = np.log(np.maximum(n_k, 1e-300))
+        d_n = _logsumexp((log_nk[:, None] + f[:, None] - u_ln), axis=0)
+        h = np.empty(k)
+        dh = np.empty(k)
+        for ki in range(k):
+            logw = f[ki] - u_ln[ki] - d_n
+            w = np.exp(logw)
+            h[ki] = np.sum(w * u_ln[ki])
+            n_eff = 1.0 / np.maximum(np.sum(w * w), 1e-300)
+            dh[ki] = np.std(u_ln[ki]) / np.sqrt(n_eff)
+        dH = h[None, :] - h[:, None]
+        ddH = np.sqrt(dh[:, None] ** 2 + dh[None, :] ** 2)
+        return dH, ddH
+
+    def get_entropy(self) -> Tuple[np.ndarray, np.ndarray]:
+        """-T Delta S = Delta f - Delta H in kT units (:2007)."""
+        df, ddf = self.get_free_energy()
+        dh, ddh = self.get_enthalpy()
+        ds = dh - df
+        dds = np.sqrt(ddf**2 + ddh**2)
+        return ds, dds
+
+    # -- mixing statistics ---------------------------------------------------
+    def generate_mixing_statistics(self, number_equilibrated: int = 0):
+        """Transition matrix + subdominant eigenvalue + Perron mixing time
+        (:1243)."""
+        u, s = self._read_energies()
+        s = s[number_equilibrated:]
+        k = self.n_states
+        t_ij = np.zeros((k, k))
+        for t in range(s.shape[0] - 1):
+            for n in range(s.shape[1]):
+                t_ij[s[t, n], s[t + 1, n]] += 1
+        row_sums = t_ij.sum(axis=1, keepdims=True)
+        t_ij = np.where(row_sums > 0, t_ij / np.maximum(row_sums, 1), 0.0)
+        # fill diagonal for empty rows
+        for i in range(k):
+            if row_sums[i] == 0:
+                t_ij[i, i] = 1.0
+        eigs = np.sort(np.abs(np.linalg.eigvals(t_ij)))[::-1]
+        mu2 = eigs[1] if eigs.size > 1 else 0.0
+        tau = np.inf if mu2 >= 1.0 else 1.0 / (1.0 - mu2)
+        return t_ij, mu2, tau
+
+    # -- convenience ---------------------------------------------------------
+    @property
+    def mbar(self) -> MBARResult:
+        return self._mbar()
+
+
+def _logsumexp(a, axis=None):
+    amax = np.max(a, axis=axis, keepdims=True)
+    out = np.log(np.sum(np.exp(a - amax), axis=axis)) + np.squeeze(amax, axis=axis)
+    return out
+
+
+class ReplicaExchangeAnalyzer(MultiStateSamplerAnalyzer):
+    """replicaexchange.py:427 parity subclass."""
+
+
+class SAMSAnalyzer(MultiStateSamplerAnalyzer):
+    """sams.py:694 parity subclass."""
+
+
+class ParallelTemperingAnalyzer(MultiStateSamplerAnalyzer):
+    """paralleltempering.py parity subclass."""
+
+
+class MultiPhaseAnalyzer:
+    """Combine phases with +/- signs (multistateanalyzer.py:2224, simplified):
+    observables sum over phases with the given signs and errors add in
+    quadrature."""
+
+    def __init__(self, phases: Dict[str, MultiStateSamplerAnalyzer],
+                 signs: Dict[str, int]):
+        self.phases = phases
+        self.signs = signs
+
+    def get_free_energy(self):
+        total, var = 0.0, 0.0
+        for name, phase in self.phases.items():
+            df, ddf = phase.get_free_energy()
+            i, j = 0, df.shape[0] - 1
+            total += self.signs[name] * df[i, j]
+            var += ddf[i, j] ** 2
+        return total, np.sqrt(var)

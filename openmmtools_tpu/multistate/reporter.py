@@ -1,0 +1,342 @@
+"""MultiStateReporter: HDF5 persistence with the reference's variable schema.
+
+Port of ``multistate/multistatereporter.py`` (1939 LoC). The reference writes
+two NetCDF files — an analysis file (per-iteration energies[iteration,
+replica, state] in kT, replica states, accepted/proposed matrices, online
+data) and a checkpoint file (full f4 positions/velocities/box vectors every
+``checkpoint_interval``), linked by UUID (multistatereporter.py:89-117,
+1597-1652). netCDF4 is not available in this environment, so the same schema
+is laid out in HDF5 (netCDF4's own container format) via h5py:
+
+* ``<storage>.h5``            — analysis file
+* ``<storage>_checkpoint.h5`` — checkpoint file (same basename convention as
+  the reference's ``_checkpoint.nc``)
+
+Variable names match the reference where applicable: ``energies``,
+``states``, ``accepted``, ``proposed``, ``positions``, ``velocities``,
+``box_vectors``, ``last_iteration``, ``online_analysis``. Thermodynamic
+states are stored with the dedup scheme of write_thermodynamic_states
+(:612): one serialized *standard system* plus per-state scalar parameters.
+Real-time YAML stats mirror :1353.
+"""
+from __future__ import annotations
+
+import json
+import os
+import uuid as uuid_module
+from typing import Any, Dict, List, Optional, Tuple
+
+import numpy as np
+
+from openmmtools_tpu.states import ThermodynamicState
+from openmmtools_tpu.utils.serialization import deserialize, serialize
+
+
+def _require_h5py():
+    try:
+        import h5py
+        return h5py
+    except ImportError as e:  # pragma: no cover
+        raise ImportError("MultiStateReporter requires h5py") from e
+
+
+class MultiStateReporter:
+    """Dual-file reporter (multistatereporter.py:69).
+
+    Parameters
+    ----------
+    storage : path of the analysis file ('.h5' appended if no extension).
+    checkpoint_interval : iterations between full checkpoints (:102).
+    checkpoint_storage : optional explicit checkpoint path (default
+        ``<storage>_checkpoint.h5``).
+    analysis_particle_indices : subset of particles whose positions are also
+        stored in the analysis file every iteration (:111).
+    """
+
+    def __init__(self, storage: str, checkpoint_interval: int = 50,
+                 checkpoint_storage: Optional[str] = None,
+                 analysis_particle_indices=()):
+        base, ext = os.path.splitext(storage)
+        if not ext:
+            storage = base + ".h5"
+        self._storage_analysis = storage
+        if checkpoint_storage is None:
+            checkpoint_storage = base + "_checkpoint.h5"
+        self._storage_checkpoint = checkpoint_storage
+        self.checkpoint_interval = checkpoint_interval
+        self.analysis_particle_indices = np.asarray(
+            analysis_particle_indices, dtype=np.int64)
+        self._analysis = None
+        self._checkpoint = None
+
+    # -- lifecycle ----------------------------------------------------------
+    @property
+    def storage_path(self) -> str:
+        return self._storage_analysis
+
+    @property
+    def is_open(self) -> bool:
+        return self._analysis is not None
+
+    def open(self, mode: str = "r"):
+        h5py = _require_h5py()
+        if self.is_open:
+            self.close()
+        os.makedirs(os.path.dirname(os.path.abspath(self._storage_analysis)),
+                    exist_ok=True)
+        self._analysis = h5py.File(self._storage_analysis, mode)
+        self._checkpoint = h5py.File(self._storage_checkpoint, mode)
+        if mode == "w":
+            shared_uuid = str(uuid_module.uuid4())
+            self._analysis.attrs["UUID"] = shared_uuid
+            self._checkpoint.attrs["UUID"] = shared_uuid
+            self._checkpoint.attrs["checkpoint_interval"] = (
+                self.checkpoint_interval)
+        elif mode in ("r", "a"):
+            if (self._analysis.attrs.get("UUID")
+                    != self._checkpoint.attrs.get("UUID")):
+                raise IOError(
+                    "Checkpoint/analysis file UUID mismatch "
+                    "(multistatereporter.py UUID pairing)")
+            self.checkpoint_interval = int(
+                self._checkpoint.attrs.get("checkpoint_interval",
+                                           self.checkpoint_interval))
+        return self
+
+    def close(self):
+        for f in (self._analysis, self._checkpoint):
+            if f is not None:
+                f.close()
+        self._analysis = None
+        self._checkpoint = None
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()
+
+    # -- static metadata ----------------------------------------------------
+    def write_thermodynamic_states(self, states: List[ThermodynamicState],
+                                   unsampled: List[ThermodynamicState] = ()):
+        """Dedup scheme of :612: the (shared, compatible) system is stored
+        once; per-state scalars (T, p, global params) per state."""
+        grp = self._analysis.require_group("thermodynamic_states")
+        grp.attrs["n_states"] = len(states)
+        grp.attrs["n_unsampled"] = len(unsampled)
+        all_states = list(states) + list(unsampled)
+        grp.attrs["system_json"] = json.dumps(serialize(all_states[0].system))
+        for i, s in enumerate(all_states):
+            sg = grp.require_group(f"state_{i}")
+            sg.attrs["temperature"] = float(s.temperature)
+            sg.attrs["pressure"] = (
+                "null" if s.pressure is None else float(s.pressure))
+            sg.attrs["global_params"] = json.dumps(
+                {k: float(v) for k, v in s.global_params.items()})
+
+    def read_thermodynamic_states(self):
+        grp = self._analysis["thermodynamic_states"]
+        n_states = int(grp.attrs["n_states"])
+        n_unsampled = int(grp.attrs.get("n_unsampled", 0))
+        system = deserialize(json.loads(grp.attrs["system_json"]))
+        import jax.numpy as jnp
+
+        def build(i):
+            sg = grp[f"state_{i}"]
+            pressure = sg.attrs["pressure"]
+            pressure = None if pressure == "null" else jnp.asarray(
+                float(pressure))
+            return ThermodynamicState(
+                system=system,
+                temperature=jnp.asarray(float(sg.attrs["temperature"])),
+                pressure=pressure,
+                global_params={k: jnp.asarray(v) for k, v in
+                               json.loads(sg.attrs["global_params"]).items()})
+
+        states = [build(i) for i in range(n_states)]
+        unsampled = [build(n_states + i) for i in range(n_unsampled)]
+        return states, unsampled
+
+    def write_options(self, options: Dict[str, Any]):
+        self._analysis.attrs["options_json"] = json.dumps(options)
+
+    def read_options(self) -> Dict[str, Any]:
+        return json.loads(self._analysis.attrs.get("options_json", "{}"))
+
+    def write_mcmc_moves(self, moves):
+        """Moves stored as YAML construction dicts (:795-824)."""
+        import yaml
+
+        def describe(move):
+            d = {"type": type(move).__name__}
+            for attr in ("n_steps", "timestep", "collision_rate", "splitting",
+                         "reassign_velocities", "n_restart_attempts",
+                         "n_inner_steps", "displacement_sigma"):
+                if hasattr(move, attr):
+                    d[attr] = getattr(move, attr)
+            return d
+
+        if isinstance(moves, (list, tuple)):
+            doc = [describe(m) for m in moves]
+        else:
+            doc = describe(moves)
+        self._analysis.attrs["mcmc_moves_yaml"] = yaml.safe_dump(doc)
+
+    def read_mcmc_moves(self):
+        import yaml
+
+        import openmmtools_tpu.mcmc as mcmc_module
+
+        doc = yaml.safe_load(self._analysis.attrs.get("mcmc_moves_yaml", "{}"))
+
+        def build(d):
+            import inspect
+
+            cls = getattr(mcmc_module, d.pop("type"))
+            accepted = set()
+            for klass in cls.__mro__:
+                init = klass.__dict__.get("__init__")
+                if init is not None:
+                    accepted |= set(inspect.signature(init).parameters)
+            accepted -= {"self", "args", "kwargs"}
+            return cls(**{k: v for k, v in d.items() if k in accepted})
+
+        if isinstance(doc, list):
+            return [build(d) for d in doc]
+        return build(doc)
+
+    # -- per-iteration data --------------------------------------------------
+    def _appendable(self, f, name, shape, dtype):
+        if name not in f:
+            f.create_dataset(name, shape=(0,) + shape,
+                             maxshape=(None,) + shape, dtype=dtype,
+                             chunks=(1,) + shape)
+        return f[name]
+
+    def _write_frame(self, f, name, iteration, array):
+        array = np.asarray(array)
+        ds = self._appendable(f, name, array.shape, array.dtype)
+        if ds.shape[0] <= iteration:
+            ds.resize(iteration + 1, axis=0)
+        ds[iteration] = array
+        return ds
+
+    def write_iteration(self, iteration: int, energies, replica_states,
+                        n_accepted, n_proposed):
+        """energies[iteration, replica, state] in kT + states + mixing
+        statistics (:865-930 schema)."""
+        self._write_frame(self._analysis, "energies", iteration,
+                          np.asarray(energies, dtype=np.float64))
+        self._write_frame(self._analysis, "states", iteration,
+                          np.asarray(replica_states, dtype=np.int32))
+        self._write_frame(self._analysis, "accepted", iteration,
+                          np.asarray(n_accepted, dtype=np.int64))
+        self._write_frame(self._analysis, "proposed", iteration,
+                          np.asarray(n_proposed, dtype=np.int64))
+        self._analysis.flush()
+
+    def read_energies(self, iterations=None):
+        ds = self._analysis["energies"]
+        data = ds[...] if iterations is None else ds[iterations]
+        states = self._analysis["states"]
+        s = states[...] if iterations is None else states[iterations]
+        return data, s
+
+    def read_replica_states(self, iteration):
+        return self._analysis["states"][iteration]
+
+    def read_mixing_statistics(self, iteration=None):
+        if "accepted" not in self._analysis:
+            return None, None
+        idx = -1 if iteration is None else iteration
+        return (self._analysis["accepted"][idx],
+                self._analysis["proposed"][idx])
+
+    # -- checkpointing -------------------------------------------------------
+    def write_checkpoint(self, iteration: int, positions, velocities,
+                         box_vectors=None):
+        """Full f4 coordinates every checkpoint_interval (:1597-1652)."""
+        ckpt_index = iteration // self.checkpoint_interval
+        self._write_frame(self._checkpoint, "positions", ckpt_index,
+                          np.asarray(positions, dtype=np.float32))
+        self._write_frame(self._checkpoint, "velocities", ckpt_index,
+                          np.asarray(velocities, dtype=np.float32))
+        if box_vectors is not None:
+            self._write_frame(self._checkpoint, "box_vectors", ckpt_index,
+                              np.asarray(box_vectors, dtype=np.float32))
+        self._write_frame(self._checkpoint, "checkpoint_iterations",
+                          ckpt_index, np.asarray(iteration, dtype=np.int64))
+        if self.analysis_particle_indices.size:
+            self._write_frame(
+                self._analysis, "analysis_positions", iteration,
+                np.asarray(positions, dtype=np.float32)[
+                    :, self.analysis_particle_indices])
+        self._checkpoint.flush()
+
+    def read_checkpoint(self, iteration: Optional[int] = None
+                        ) -> Dict[str, np.ndarray]:
+        """Data of the last checkpoint at or before ``iteration``."""
+        iters = self._checkpoint["checkpoint_iterations"][...]
+        if iteration is None:
+            idx = len(iters) - 1
+        else:
+            valid = np.where(iters <= iteration)[0]
+            if valid.size == 0:
+                raise IOError(f"no checkpoint at or before {iteration}")
+            idx = int(valid[-1])
+        out = {"iteration": int(iters[idx]),
+               "positions": self._checkpoint["positions"][idx],
+               "velocities": self._checkpoint["velocities"][idx]}
+        if "box_vectors" in self._checkpoint:
+            out["box_vectors"] = self._checkpoint["box_vectors"][idx]
+        return out
+
+    def last_checkpoint_iteration(self) -> Optional[int]:
+        if "checkpoint_iterations" not in self._checkpoint:
+            return None
+        iters = self._checkpoint["checkpoint_iterations"][...]
+        return int(iters[-1]) if iters.size else None
+
+    # -- resume bookkeeping --------------------------------------------------
+    def write_last_iteration(self, iteration: int):
+        """Resume pointer, rolled back to the last checkpoint on read
+        (:1155-1201)."""
+        self._analysis.attrs["last_iteration"] = iteration
+        self._analysis.flush()
+
+    def read_last_iteration(self, last_checkpoint: bool = True) -> int:
+        it = int(self._analysis.attrs.get("last_iteration", 0))
+        if last_checkpoint:
+            ckpt = self.last_checkpoint_iteration()
+            if ckpt is not None:
+                return min(it, ckpt)
+        return it
+
+    # -- online analysis / observability ------------------------------------
+    def write_online_analysis(self, iteration: int, f_k, err_free_energy):
+        grp = self._analysis.require_group("online_analysis")
+        sub = grp.require_group(f"iteration_{iteration}")
+        sub.attrs["f_k"] = np.asarray(f_k, dtype=np.float64)
+        sub.attrs["err_free_energy"] = float(err_free_energy)
+        grp.attrs["latest_iteration"] = iteration
+        self._analysis.flush()
+
+    def read_online_analysis(self):
+        grp = self._analysis.get("online_analysis")
+        if grp is None or "latest_iteration" not in grp.attrs:
+            return None
+        it = int(grp.attrs["latest_iteration"])
+        sub = grp[f"iteration_{it}"]
+        return {"iteration": it,
+                "f_k": np.asarray(sub.attrs["f_k"]),
+                "err_free_energy": float(sub.attrs["err_free_energy"])}
+
+    def write_timing(self, iteration: int, timing: Dict[str, float]):
+        """Real-time YAML telemetry (:1353; multistatesampler.py:1608-1620)."""
+        import yaml
+
+        doc = {"iteration": iteration, **{k: float(v)
+                                          for k, v in timing.items()}}
+        path = os.path.splitext(self._storage_analysis)[0] + "_real_time.yaml"
+        with open(path, "a") as fh:
+            yaml.safe_dump([doc], fh, explicit_start=False)

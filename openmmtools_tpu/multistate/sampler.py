@@ -1,0 +1,572 @@
+"""MultiStateSampler: N replicas × K thermodynamic states, fused per-iteration
+program.
+
+TPU-native redesign of ``multistate/multistatesampler.py`` (1845 LoC). The
+reference's per-iteration pipeline (SURVEY.md §3.1) — mix → MPI-distributed
+propagate → serial K-state energy sweep per replica → report → online
+analysis — becomes ONE jitted program per iteration batch:
+
+* replicas are a batch axis (vmap / shard_map over a ``replica`` mesh axis);
+* propagation runs each replica's move program at its assigned state's
+  (T, lambda) gathered from the stacked state arrays;
+* the N×K reduced-potential matrix is a nested vmap (states.py analog of
+  ``_compute_energies``, multistatesampler.py:1437) — no context mutation;
+* mixing (subclass hook) runs on-device from the gathered matrix.
+
+Host-side work per iteration is only reporting and online analysis, as in
+the reference's rank-0 star (multistatesampler.py:1500).
+"""
+from __future__ import annotations
+
+import logging
+import time
+from typing import Any, Dict, List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from openmmtools_tpu.constants import kB
+from openmmtools_tpu.mcmc import BaseIntegratorMove, MCMCMove, _resolve
+from openmmtools_tpu.multistate.mbar import mbar_free_energies
+from openmmtools_tpu.multistate.utils import SimulationNaNError
+from openmmtools_tpu.states import (
+    SamplerState,
+    ThermodynamicState,
+    stack_thermodynamic_states,
+)
+from openmmtools_tpu.utils.pytree import pytree_dataclass
+
+logger = logging.getLogger(__name__)
+
+
+@pytree_dataclass
+class MultiStateCarry:
+    """Device-resident sampler state for one iteration step."""
+
+    positions: jax.Array                 # (N, P, 3)
+    velocities: jax.Array                # (N, P, 3)
+    boxes: Optional[jax.Array]           # (N, 3, 3) or None
+    replica_states: jax.Array            # (N,) int32: state index per replica
+    energies: jax.Array                  # (N, K) reduced potentials
+    n_accepted: jax.Array                # (K, K) int32 swap statistics
+    n_proposed: jax.Array                # (K, K) int32
+    rng_key: jax.Array
+
+
+class MultiStateSampler:
+    """Base multistate sampler: propagation + energy matrix, no mixing
+    (subclasses add replica exchange / SAMS moves).
+
+    Parameters (mirroring multistatesampler.py:63 options):
+    mcmc_moves : a single integrator-based move applied to all replicas (a
+        per-state list is accepted; the first element defines the fused
+        kernel and all must share its configuration), online_analysis_interval
+        / _target_error / _minimum_iterations : online MBAR stop criterion
+        (:1526-1694), locality: accepted for parity (energies are computed
+        for the full state set — cheap as one fused matrix).
+    """
+
+    def __init__(self, mcmc_moves=None, number_of_iterations=1,
+                 online_analysis_interval=200,
+                 online_analysis_target_error=0.0,
+                 online_analysis_minimum_iterations=200,
+                 locality=None, rng_seed=0):
+        self._mcmc_moves = mcmc_moves
+        self.number_of_iterations = number_of_iterations
+        self.online_analysis_interval = online_analysis_interval
+        self.online_analysis_target_error = online_analysis_target_error
+        self.online_analysis_minimum_iterations = online_analysis_minimum_iterations
+        self.locality = locality
+        self._rng_seed = rng_seed
+
+        self._thermodynamic_states: List[ThermodynamicState] = []
+        self._unsampled_states: List[ThermodynamicState] = []
+        self._stacked_states: Optional[ThermodynamicState] = None
+        self._carry: Optional[MultiStateCarry] = None
+        self._iteration = 0
+        self._reporter = None
+        self._iteration_fn = None
+        self._energy_history: List[np.ndarray] = []
+        self._state_history: List[np.ndarray] = []
+        self._last_err_free_energy = None
+        self._online_data: Dict[str, Any] = {}
+        self._timing: Dict[str, float] = {}
+        self._sharding = None
+
+    # ------------------------------------------------------------------
+    # properties (reference _StoredProperty analogs)
+    # ------------------------------------------------------------------
+    @property
+    def n_replicas(self) -> int:
+        return 0 if self._carry is None else self._carry.positions.shape[0]
+
+    @property
+    def n_states(self) -> int:
+        return len(self._thermodynamic_states)
+
+    @property
+    def iteration(self) -> int:
+        return self._iteration
+
+    @property
+    def mcmc_moves(self):
+        return self._mcmc_moves
+
+    @property
+    def sampler_states(self) -> List[SamplerState]:
+        out = []
+        for n in range(self.n_replicas):
+            out.append(SamplerState(
+                positions=self._carry.positions[n],
+                velocities=self._carry.velocities[n],
+                box_vectors=None if self._carry.boxes is None
+                else self._carry.boxes[n]))
+        return out
+
+    @property
+    def replica_states(self) -> np.ndarray:
+        return np.asarray(self._carry.replica_states)
+
+    @property
+    def energies_last_iteration(self) -> np.ndarray:
+        return np.asarray(self._carry.energies)
+
+    @property
+    def is_completed(self) -> bool:
+        return self._is_completed(self.number_of_iterations)
+
+    # ------------------------------------------------------------------
+    # setup
+    # ------------------------------------------------------------------
+    def create(self, thermodynamic_states: Sequence,
+               sampler_states, storage=None,
+               initial_thermodynamic_states=None,
+               unsampled_thermodynamic_states=None,
+               mesh: Optional[jax.sharding.Mesh] = None):
+        """Bind states + reporter (multistatesampler.py:537).
+
+        ``mesh``: optional Mesh with a 'replica' axis; the device carry is
+        sharded over it and the per-iteration program runs SPMD with XLA
+        inserting the gather for mixing (SURVEY.md §5.8).
+        """
+        thermodynamic_states = [_resolve(ts) for ts in thermodynamic_states]
+        self._thermodynamic_states = list(thermodynamic_states)
+        self._unsampled_states = [
+            _resolve(ts) for ts in (unsampled_thermodynamic_states or [])]
+        self._stacked_states = stack_thermodynamic_states(
+            self._thermodynamic_states + self._unsampled_states)
+        self._stacked_sampled = stack_thermodynamic_states(
+            self._thermodynamic_states)
+
+        if isinstance(sampler_states, SamplerState):
+            sampler_states = [sampler_states]
+        sampler_states = list(sampler_states)
+        k = len(self._thermodynamic_states)
+        n = len(sampler_states)
+        if n == 1 and k > 1:
+            sampler_states = sampler_states * k
+            n = k
+
+        # initial state assignment (multistatesampler.py:537: default one
+        # replica per state)
+        if initial_thermodynamic_states is None:
+            replica_states = np.arange(n, dtype=np.int32) % k
+        else:
+            replica_states = np.asarray(initial_thermodynamic_states,
+                                        dtype=np.int32)
+
+        system = self._thermodynamic_states[0].system
+        positions = jnp.stack([jnp.asarray(s.positions) for s in sampler_states])
+        dtype = positions.dtype
+        velocities = jnp.stack([
+            jnp.zeros_like(positions[0]) if s.velocities is None
+            else jnp.asarray(s.velocities) for s in sampler_states])
+        boxes = None
+        if sampler_states[0].box_vectors is not None:
+            boxes = jnp.stack([jnp.asarray(s.box_vectors) for s in sampler_states])
+        elif system.default_box is not None:
+            boxes = jnp.broadcast_to(system.default_box, (n, 3, 3)).astype(dtype)
+
+        k_total = k + len(self._unsampled_states)
+        self._carry = MultiStateCarry(
+            positions=positions, velocities=velocities, boxes=boxes,
+            replica_states=jnp.asarray(replica_states),
+            energies=jnp.zeros((n, k_total), dtype=dtype),
+            n_accepted=jnp.zeros((k, k), dtype=jnp.int32),
+            n_proposed=jnp.zeros((k, k), dtype=jnp.int32),
+            rng_key=jax.random.PRNGKey(self._rng_seed),
+        )
+        self._iteration = 0
+        self._reporter = storage
+        self._velocities_initialized = all(
+            s.velocities is not None for s in sampler_states)
+
+        if mesh is not None:
+            self._apply_mesh(mesh)
+
+        self._iteration_fn = None  # rebuilt lazily
+        if self._reporter is not None:
+            self._reporter.open(mode="w")
+            self._reporter.write_thermodynamic_states(
+                self._thermodynamic_states, self._unsampled_states)
+            self._reporter.write_options(self._stored_options())
+            self._reporter.write_mcmc_moves(self._mcmc_moves)
+
+        # initial energies (iteration 0 bookkeeping, multistatesampler.py:738)
+        self._carry = self._carry.replace(
+            energies=self._compute_energies(self._carry))
+        self._check_nan_energy()
+        self._report_iteration()
+
+    def _apply_mesh(self, mesh: jax.sharding.Mesh):
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        replica_sharding = NamedSharding(mesh, P("replica"))
+        replicated = NamedSharding(mesh, P())
+
+        def shard_leaf(path_leaf, leaf):
+            return leaf
+
+        self._sharding = MultiStateCarry(
+            positions=replica_sharding, velocities=replica_sharding,
+            boxes=None if self._carry.boxes is None else replica_sharding,
+            replica_states=replica_sharding, energies=replica_sharding,
+            n_accepted=replicated, n_proposed=replicated,
+            rng_key=replicated)
+        self._carry = jax.tree.map(
+            lambda leaf, sh: jax.device_put(leaf, sh), self._carry,
+            self._sharding,
+            is_leaf=lambda x: x is None)
+
+    def _stored_options(self) -> Dict[str, Any]:
+        return {
+            "number_of_iterations": self.number_of_iterations,
+            "online_analysis_interval": self.online_analysis_interval,
+            "online_analysis_target_error": self.online_analysis_target_error,
+            "online_analysis_minimum_iterations":
+                self.online_analysis_minimum_iterations,
+            "locality": self.locality,
+            "rng_seed": self._rng_seed,
+        }
+
+    # ------------------------------------------------------------------
+    # resume (from_storage, multistatesampler.py:264)
+    # ------------------------------------------------------------------
+    @classmethod
+    def from_storage(cls, reporter):
+        reporter.open(mode="r")
+        options = reporter.read_options()
+        moves = reporter.read_mcmc_moves()
+        sampler = cls(mcmc_moves=moves, **{
+            k: v for k, v in options.items()
+            if k in ("number_of_iterations", "online_analysis_interval",
+                     "online_analysis_target_error",
+                     "online_analysis_minimum_iterations", "locality")})
+        sampler._rng_seed = options.get("rng_seed", 0)
+        thermo_states, unsampled = reporter.read_thermodynamic_states()
+        it = reporter.read_last_iteration()
+        state_data = reporter.read_checkpoint(it)
+        sampler_states = [
+            SamplerState(positions=jnp.asarray(state_data["positions"][i]),
+                         velocities=jnp.asarray(state_data["velocities"][i]),
+                         box_vectors=None if state_data.get("box_vectors") is None
+                         else jnp.asarray(state_data["box_vectors"][i]))
+            for i in range(state_data["positions"].shape[0])]
+        replica_states = reporter.read_replica_states(it)
+        sampler.create(thermo_states, sampler_states,
+                       initial_thermodynamic_states=replica_states,
+                       unsampled_thermodynamic_states=unsampled)
+        sampler._reporter = reporter
+        reporter.open(mode="a")
+        sampler._iteration = it
+        # restore swap statistics
+        acc, prop = reporter.read_mixing_statistics(it)
+        if acc is not None:
+            sampler._carry = sampler._carry.replace(
+                n_accepted=jnp.asarray(acc), n_proposed=jnp.asarray(prop))
+        return sampler
+
+    @staticmethod
+    def read_status(reporter):
+        """Peek at iteration/completion without reconstructing
+        (multistatesampler.py:308)."""
+        reporter.open(mode="r")
+        options = reporter.read_options()
+        it = reporter.read_last_iteration()
+        return {"iteration": it,
+                "number_of_iterations": options.get("number_of_iterations")}
+
+    # ------------------------------------------------------------------
+    # the fused iteration program
+    # ------------------------------------------------------------------
+    def _move_for_kernel(self) -> BaseIntegratorMove:
+        move = self._mcmc_moves
+        if isinstance(move, (list, tuple)):
+            move = move[0]
+        if not isinstance(move, BaseIntegratorMove):
+            raise TypeError(
+                "MultiStateSampler requires an integrator-based move for the "
+                "fused TPU path (got %r)" % type(move))
+        return move
+
+    def _state_params_at(self, stacked, s):
+        """(temperature, pressure, global_params) gathered at state index s."""
+        temperature = stacked.temperature[s]
+        pressure = None if stacked.pressure is None else stacked.pressure[s]
+        params = {k: v[s] for k, v in stacked.global_params.items()}
+        return temperature, pressure, params
+
+    def _build_iteration_fn(self):
+        move = self._move_for_kernel()
+        stacked_all = self._stacked_states    # sampled + unsampled (energies)
+        stacked = self._stacked_sampled       # sampled (propagation)
+        system = self._thermodynamic_states[0].system
+        integrator = move._get_integrator(self._thermodynamic_states[0])
+        bound = integrator.bind(system)
+        n_steps = move.n_steps
+        reassign = move.reassign_velocities or not self._velocities_initialized
+
+        def propagate_one(x, v, box, key, s):
+            temperature, _, params = self._state_params_at(stacked, s)
+            ss = SamplerState(positions=x,
+                              velocities=None if reassign else v,
+                              box_vectors=box)
+            state = bound.initial_state(ss, key, temperature=temperature,
+                                        global_params=params)
+            def body(c, _):
+                return bound.step_fn(c), None
+            state, _ = jax.lax.scan(body, state, None, length=n_steps)
+            return state.positions, state.velocities
+
+        def energies_one(x, box):
+            """u_k for one configuration at all states (incl. unsampled)."""
+            def u_at(temperature, pressure, params):
+                ts = ThermodynamicState(
+                    system=system, temperature=temperature, pressure=pressure,
+                    global_params=params)
+                return ts.reduced_potential(
+                    SamplerState(positions=x, box_vectors=box))
+
+            in_axes = (0, None if stacked_all.pressure is None else 0,
+                       {k: 0 for k in stacked_all.global_params})
+            return jax.vmap(u_at, in_axes=in_axes)(
+                stacked_all.temperature, stacked_all.pressure,
+                stacked_all.global_params)
+
+        mix_kernel = self._mix_kernel  # subclass hook (may be None)
+
+        def iteration_fn(carry: MultiStateCarry,
+                         mix_params) -> MultiStateCarry:
+            key, mix_key, prop_key = jax.random.split(carry.rng_key, 3)
+            states = carry.replica_states
+            n_acc, n_prop = carry.n_accepted, carry.n_proposed
+            if mix_kernel is not None:
+                states, n_acc, n_prop = mix_kernel(
+                    mix_key, states, carry.energies, n_acc, n_prop,
+                    mix_params)
+            n = carry.positions.shape[0]
+            keys = jax.random.split(prop_key, n)
+            box_axis = None if carry.boxes is None else 0
+            xs, vs = jax.vmap(propagate_one, in_axes=(0, 0, box_axis, 0, 0))(
+                carry.positions, carry.velocities, carry.boxes, keys, states)
+            u = jax.vmap(energies_one, in_axes=(0, box_axis))(xs, carry.boxes)
+            return carry.replace(
+                positions=xs, velocities=vs, replica_states=states,
+                energies=u, n_accepted=n_acc, n_proposed=n_prop, rng_key=key)
+
+        if self._sharding is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            replicated = NamedSharding(self._sharding.rng_key.mesh, P())
+            mix_shardings = jax.tree.map(lambda _: replicated,
+                                         self._mix_params())
+            return jax.jit(iteration_fn,
+                           in_shardings=(self._sharding, mix_shardings),
+                           out_shardings=self._sharding)
+        return jax.jit(iteration_fn)
+
+    # subclass hooks: the mix kernel is traced with ``mix_params`` (host-side
+    # adaptation state like SAMS log weights) passed as a *traced* argument —
+    # never close over host state that changes between iterations, jit would
+    # freeze it
+    _mix_kernel = None
+
+    def _mix_params(self):
+        return {}
+
+    def _compute_energies(self, carry) -> jax.Array:
+        move = self._move_for_kernel()
+        system = self._thermodynamic_states[0].system
+        stacked_all = self._stacked_states
+
+        def energies_one(x, box):
+            def u_at(temperature, pressure, params):
+                ts = ThermodynamicState(
+                    system=system, temperature=temperature, pressure=pressure,
+                    global_params=params)
+                return ts.reduced_potential(
+                    SamplerState(positions=x, box_vectors=box))
+            in_axes = (0, None if stacked_all.pressure is None else 0,
+                       {k: 0 for k in stacked_all.global_params})
+            return jax.vmap(u_at, in_axes=in_axes)(
+                stacked_all.temperature, stacked_all.pressure,
+                stacked_all.global_params)
+
+        box_axis = None if carry.boxes is None else 0
+        return jax.jit(jax.vmap(energies_one, in_axes=(0, box_axis)))(
+            carry.positions, carry.boxes)
+
+    # ------------------------------------------------------------------
+    # run loop
+    # ------------------------------------------------------------------
+    def run(self, n_iterations: Optional[int] = None):
+        """Advance the sampler (multistatesampler.py:724)."""
+        iteration_limit = self.number_of_iterations
+        if n_iterations is not None:
+            iteration_limit = min(self._iteration + n_iterations,
+                                  self.number_of_iterations)
+        if self._iteration_fn is None:
+            self._iteration_fn = self._build_iteration_fn()
+
+        while not self._is_completed(iteration_limit):
+            t0 = time.perf_counter()
+            self._iteration += 1
+            self._carry = self._iteration_fn(self._carry, self._mix_params())
+            # host-side phases of the reference loop
+            self._check_nan_energy()
+            self._report_iteration()
+            self._update_analysis()
+            self._update_timing(time.perf_counter() - t0)
+            self._velocities_initialized = True
+
+    def extend(self, n_iterations: int):
+        """Extend past number_of_iterations (multistatesampler.py analog)."""
+        if self._iteration >= self.number_of_iterations:
+            self.number_of_iterations += n_iterations
+        self.run(n_iterations)
+
+    def minimize(self, tolerance=1.0, max_iterations=500):
+        """FIRE-minimize every replica (multistatesampler.py:1351)."""
+        from openmmtools_tpu.integrators.minimize import fire_minimize
+
+        system = self._thermodynamic_states[0].system
+
+        def minimize_one(x, box, s):
+            _, _, params = self._state_params_at(self._stacked_sampled, s)
+            x_min, _ = fire_minimize(system, x, box, params,
+                                     max_steps=max_iterations)
+            return x_min
+
+        box_axis = None if self._carry.boxes is None else 0
+        xs = jax.jit(jax.vmap(minimize_one, in_axes=(0, box_axis, 0)))(
+            self._carry.positions, self._carry.boxes,
+            self._carry.replica_states)
+        good = jnp.all(jnp.isfinite(xs))
+        if not bool(good):
+            logger.warning("minimization produced non-finite positions; "
+                           "keeping original replicas")
+            return
+        self._carry = self._carry.replace(positions=xs)
+        self._carry = self._carry.replace(
+            energies=self._compute_energies(self._carry))
+
+    # ------------------------------------------------------------------
+    # bookkeeping phases
+    # ------------------------------------------------------------------
+    def _check_nan_energy(self):
+        """Fail fast on NaN energy rows (multistatesampler.py:1049)."""
+        u = self.energies_last_iteration
+        s = self.replica_states
+        sampled = u[np.arange(u.shape[0]), s]
+        nan_replicas = np.where(~np.isfinite(sampled))[0]
+        if nan_replicas.size:
+            raise SimulationNaNError(
+                f"NaN energy for replicas {nan_replicas.tolist()} at "
+                f"iteration {self._iteration}")
+
+    def _report_iteration(self):
+        u = self.energies_last_iteration
+        s = self.replica_states
+        self._energy_history.append(u.copy())
+        self._state_history.append(s.copy())
+        if self._reporter is not None:
+            self._reporter.write_iteration(
+                iteration=self._iteration, energies=u, replica_states=s,
+                n_accepted=np.asarray(self._carry.n_accepted),
+                n_proposed=np.asarray(self._carry.n_proposed))
+            if self._iteration % self._checkpoint_interval() == 0:
+                self._reporter.write_checkpoint(
+                    iteration=self._iteration,
+                    positions=np.asarray(self._carry.positions),
+                    velocities=np.asarray(self._carry.velocities),
+                    box_vectors=None if self._carry.boxes is None
+                    else np.asarray(self._carry.boxes))
+            self._reporter.write_last_iteration(self._iteration)
+
+    def _checkpoint_interval(self) -> int:
+        if self._reporter is not None:
+            return getattr(self._reporter, "checkpoint_interval", 50)
+        return 50
+
+    def _update_analysis(self):
+        """Online free-energy estimate + convergence check
+        (multistatesampler.py:1526-1694)."""
+        interval = self.online_analysis_interval
+        if interval is None or self._iteration % interval != 0:
+            return
+        if self._iteration < self.online_analysis_minimum_iterations:
+            return
+        try:
+            f, df = self._online_free_energy()
+        except Exception as e:  # analysis failures are banked, not fatal
+            logger.warning("online analysis failed: %s", e)
+            return
+        self._last_err_free_energy = df
+        self._online_data = {"iteration": self._iteration,
+                             "f_k": f, "err_free_energy": df}
+        if self._reporter is not None:
+            self._reporter.write_online_analysis(self._iteration, f, df)
+
+    def _online_free_energy(self) -> Tuple[np.ndarray, float]:
+        """MBAR over all accumulated (non-equilibration-corrected) energies."""
+        k = self.n_states
+        k_total = k + len(self._unsampled_states)
+        u_all = np.concatenate(self._energy_history, axis=0)  # (T*N, Ktot)
+        s_all = np.concatenate(self._state_history, axis=0)   # (T*N,)
+        n_k = np.bincount(s_all, minlength=k).astype(np.float64)
+        result = mbar_free_energies(u_all.T, np.maximum(n_k, 0.0)
+                                    if k_total == k else
+                                    np.concatenate([n_k, np.zeros(k_total - k)]))
+        f = np.asarray(result.free_energies)
+        df = float(result.delta_f(0, k - 1)[1])
+        return f, df
+
+    def _is_completed(self, iteration_limit) -> bool:
+        if self._iteration >= iteration_limit:
+            return True
+        if (self.online_analysis_target_error > 0
+                and self._last_err_free_energy is not None
+                and self._last_err_free_energy
+                <= self.online_analysis_target_error):
+            logger.info("online error target reached at iteration %d",
+                        self._iteration)
+            return True
+        return False
+
+    def _update_timing(self, iteration_seconds: float):
+        """seconds/iteration + ns/day estimate (multistatesampler.py:1766)."""
+        self._timing["iteration_seconds"] = iteration_seconds
+        try:
+            move = self._move_for_kernel()
+            integ = move._get_integrator(self._thermodynamic_states[0])
+            ps_per_iter = move.n_steps * integ.timestep
+            self._timing["ns_per_day"] = (
+                ps_per_iter / 1000.0) / iteration_seconds * 86400.0
+        except Exception:
+            pass
+        remaining = self.number_of_iterations - self._iteration
+        self._timing["estimated_time_remaining_seconds"] = (
+            remaining * iteration_seconds)
+        if self._reporter is not None:
+            self._reporter.write_timing(self._iteration, dict(self._timing))

@@ -9,7 +9,13 @@ Must configure the environment BEFORE jax initializes a backend.
 """
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# force CPU: the ambient environment sets JAX_PLATFORMS=axon (the TPU relay),
+# and must be overridden, not defaulted, for the test suite
+os.environ["JAX_PLATFORMS"] = "cpu"
+# keep the axon PJRT plugin's remote-compile hooks out of CPU test processes
+# (they stall for minutes reconnecting to the relay)
+os.environ.pop("PALLAS_AXON_POOL_IPS", None)
+os.environ.pop("PALLAS_AXON_REMOTE_COMPILE", None)
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (

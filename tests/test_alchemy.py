@@ -1,0 +1,215 @@
+"""Alchemical factory tests (analog of reference tests/test_alchemy.py):
+lambda=1 energy parity, decoupling limits, softcore finiteness, regions."""
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from openmmtools_tpu.alchemy import (
+    AbsoluteAlchemicalFactory,
+    AlchemicalFunction,
+    AlchemicalRegion,
+    AlchemicalState,
+    AlchemyError,
+)
+from openmmtools_tpu.models import Diatom, LennardJonesFluid, LennardJonesPair
+from openmmtools_tpu.states import (
+    CompoundThermodynamicState,
+    SamplerState,
+    ThermodynamicState,
+    create_thermodynamic_state_protocol,
+    reduced_potential_at_states,
+    stack_thermodynamic_states,
+)
+
+TEMP = 300.0
+
+
+@pytest.fixture(scope="module")
+def lj_fluid():
+    return LennardJonesFluid(nparticles=48, reduced_density=0.30)
+
+
+def _alchemical(system, atoms, **region_kwargs):
+    factory = AbsoluteAlchemicalFactory()
+    region = AlchemicalRegion(alchemical_atoms=atoms, **region_kwargs)
+    return factory.create_alchemical_system(system, region)
+
+
+def test_lambda_one_parity(lj_fluid):
+    """At lambda=1 the alchemical system's energy equals the reference's
+    (tests/test_alchemy.py:616 compare_system_energies analog)."""
+    alch = _alchemical(lj_fluid.system, [0, 1, 2])
+    ss = lj_fluid.sampler_state()
+    u_ref = float(ThermodynamicState(lj_fluid.system, jnp.asarray(TEMP))
+                  .potential_energy(ss))
+    u_alch = float(ThermodynamicState(alch, jnp.asarray(TEMP))
+                   .potential_energy(ss))
+    assert np.isclose(u_ref, u_alch, rtol=1e-5), (u_ref, u_alch)
+
+
+def test_lambda_zero_decouples():
+    """LJ pair with one alchemical particle: at lambda=0 the interaction is
+    fully off."""
+    pair = LennardJonesPair()
+    alch = _alchemical(pair.system, [0])
+    state = ThermodynamicState(
+        alch, jnp.asarray(TEMP),
+        global_params={"lambda_sterics": 0.0, "lambda_electrostatics": 0.0})
+    u = float(state.potential_energy(pair.sampler_state()))
+    assert np.isclose(u, 0.0, atol=1e-10)
+
+
+def test_softcore_finite_at_overlap():
+    """At intermediate lambda, an alchemical particle sitting on top of
+    another has finite energy (the whole point of softcore)."""
+    pair = LennardJonesPair()
+    alch = _alchemical(pair.system, [0])
+    ss = SamplerState(positions=jnp.zeros((2, 3)))
+    for lam in (0.0, 0.25, 0.5, 0.75):
+        state = ThermodynamicState(
+            alch, jnp.asarray(TEMP),
+            global_params={"lambda_sterics": lam, "lambda_electrostatics": lam})
+        u = float(state.potential_energy(ss))
+        assert np.isfinite(u), f"energy not finite at lambda={lam}"
+    # monotonic decoupling at overlap: smaller lambda -> smaller repulsion
+    us = [float(ThermodynamicState(
+        alch, jnp.asarray(TEMP),
+        global_params={"lambda_sterics": lam,
+                       "lambda_electrostatics": lam}).potential_energy(ss))
+        for lam in (0.1, 0.5, 0.9)]
+    assert us[0] < us[1] < us[2]
+
+
+def test_lambda_ladder_vmap(lj_fluid):
+    """u(x; lambda) over a ladder via vmap matches per-state loop."""
+    alch = _alchemical(lj_fluid.system, [0])
+    ref = ThermodynamicState(
+        alch, jnp.asarray(TEMP),
+        global_params={"lambda_sterics": 1.0, "lambda_electrostatics": 1.0})
+    lambdas = [0.0, 0.25, 0.5, 0.75, 1.0]
+    states = create_thermodynamic_state_protocol(
+        ref, protocol={"lambda_sterics": lambdas,
+                       "lambda_electrostatics": lambdas})
+    stacked = stack_thermodynamic_states(states)
+    ss = lj_fluid.sampler_state()
+    u_vmap = np.asarray(reduced_potential_at_states(ss, stacked))
+    u_loop = np.asarray([float(s.reduced_potential(ss)) for s in states])
+    assert np.allclose(u_vmap, u_loop, rtol=1e-6)
+
+
+def test_alchemical_state_basics():
+    s = AlchemicalState(lambda_sterics=0.5, lambda_electrostatics=0.5)
+    assert s.lambda_sterics == 0.5
+    with pytest.raises(ValueError):
+        s.lambda_sterics = 2.0
+    s.set_alchemical_parameters(0.25)
+    assert s.lambda_sterics == 0.25 and s.lambda_electrostatics == 0.25
+    assert s.lambda_bonds is None  # undefined stays undefined
+
+
+def test_alchemical_state_from_system(lj_fluid):
+    alch = _alchemical(lj_fluid.system, [0])
+    s = AlchemicalState.from_system(alch)
+    assert s.lambda_sterics == 1.0
+    assert s.lambda_electrostatics == 1.0
+
+
+def test_alchemical_function():
+    s = AlchemicalState(lambda_sterics=1.0)
+    s.lambda_sterics = AlchemicalFunction("min(1.0, 2.0*lam)")
+    s.set_function_variable("lam", 0.25)
+    assert np.isclose(float(s.lambda_sterics), 0.5)
+
+
+def test_compound_state_integration(lj_fluid):
+    alch = _alchemical(lj_fluid.system, [0])
+    base = ThermodynamicState(alch, jnp.asarray(TEMP))
+    alch_state = AlchemicalState.from_system(alch)
+    alch_state.set_alchemical_parameters(0.5)
+    compound = CompoundThermodynamicState(base, (alch_state,))
+    assert compound.lambda_sterics == 0.5
+    u = float(compound.potential_energy(lj_fluid.sampler_state()))
+    assert np.isfinite(u)
+
+
+def test_multi_region_no_interaction_by_default():
+    """Two single-particle regions: the cross pair does not interact unless
+    region interactions are declared (alchemy.py:637-694 semantics)."""
+    pair = LennardJonesPair()
+    factory = AbsoluteAlchemicalFactory()
+    regions = [AlchemicalRegion(alchemical_atoms=[0], name="zero"),
+               AlchemicalRegion(alchemical_atoms=[1], name="one")]
+    alch = factory.create_alchemical_system(pair.system, regions)
+    params = {"lambda_sterics_zero": 1.0, "lambda_electrostatics_zero": 1.0,
+              "lambda_sterics_one": 1.0, "lambda_electrostatics_one": 1.0}
+    u = float(ThermodynamicState(alch, jnp.asarray(TEMP), global_params=params)
+              .potential_energy(pair.sampler_state()))
+    assert np.isclose(u, 0.0, atol=1e-10)
+
+    alch2 = factory.create_alchemical_system(
+        pair.system, regions, alchemical_region_interactions={("zero", "one")})
+    u2 = float(ThermodynamicState(alch2, jnp.asarray(TEMP), global_params=params)
+               .potential_energy(pair.sampler_state()))
+    assert np.isclose(u2, -pair.epsilon, rtol=1e-5)  # full LJ at the minimum
+
+
+def test_region_overlap_raises():
+    pair = LennardJonesPair()
+    factory = AbsoluteAlchemicalFactory()
+    with pytest.raises(AlchemyError):
+        factory.create_alchemical_system(
+            pair.system,
+            [AlchemicalRegion(alchemical_atoms=[0], name="a"),
+             AlchemicalRegion(alchemical_atoms=[0], name="b")])
+
+
+def test_alchemical_bonds_softening():
+    d = Diatom()
+    factory = AbsoluteAlchemicalFactory()
+    region = AlchemicalRegion(alchemical_atoms=[0, 1], alchemical_bonds=True)
+    alch = factory.create_alchemical_system(d.system, region)
+    x = np.array(d.positions)
+    x[1, 0] += 0.01
+    ss = SamplerState(positions=jnp.asarray(x))
+    u_full = float(ThermodynamicState(alch, jnp.asarray(TEMP),
+                                      global_params={"lambda_bonds": 1.0})
+                   .potential_energy(ss))
+    u_half = float(ThermodynamicState(alch, jnp.asarray(TEMP),
+                                      global_params={"lambda_bonds": 0.5})
+                   .potential_energy(ss))
+    assert np.isclose(u_half, 0.5 * u_full, rtol=1e-6)
+
+
+def test_annihilate_vs_decouple():
+    """Two alchemical particles in one region: with annihilate_sterics=False
+    (default) their mutual sterics stay on at lambda=0; with True they're off.
+    """
+    pair = LennardJonesPair()
+    ss = pair.sampler_state()
+    # both particles alchemical, decouple (default): aa pair keeps full LJ
+    alch_dec = _alchemical(pair.system, [0, 1])
+    u_dec = float(ThermodynamicState(
+        alch_dec, jnp.asarray(TEMP),
+        global_params={"lambda_sterics": 0.0}).potential_energy(ss))
+    assert np.isclose(u_dec, -pair.epsilon, rtol=1e-5)
+    # annihilate: aa pair turned off with lambda
+    alch_ann = _alchemical(pair.system, [0, 1], annihilate_sterics=True)
+    u_ann = float(ThermodynamicState(
+        alch_ann, jnp.asarray(TEMP),
+        global_params={"lambda_sterics": 0.0}).potential_energy(ss))
+    assert np.isclose(u_ann, 0.0, atol=1e-10)
+
+
+def test_dispersion_correction_lambda_scaling():
+    """Tail correction scales down as the alchemical particles decouple."""
+    fluid = LennardJonesFluid(nparticles=48, reduced_density=0.30,
+                              switch_width=None, dispersion_correction=True)
+    alch = _alchemical(fluid.system, list(range(24)))
+    ss = fluid.sampler_state()
+    u1 = float(ThermodynamicState(
+        alch, jnp.asarray(TEMP),
+        global_params={"lambda_sterics": 1.0}).potential_energy(ss))
+    u0 = float(ThermodynamicState(
+        alch, jnp.asarray(TEMP),
+        global_params={"lambda_sterics": 0.0}).potential_energy(ss))
+    assert np.isfinite(u1) and np.isfinite(u0)

@@ -1,0 +1,155 @@
+"""MCMC move framework tests (analog of reference mcmc tests in
+tests/test_mcmc.py): move application, statistics, NaN recovery, barostat."""
+import math
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from openmmtools_tpu.constants import BAR_TO_KJ_PER_MOL_NM3, kB
+from openmmtools_tpu.mcmc import (
+    GHMCMove,
+    HMCMove,
+    IntegratorMoveError,
+    LangevinDynamicsMove,
+    LangevinSplittingDynamicsMove,
+    MCDisplacementMove,
+    MCMCSampler,
+    MCRotationMove,
+    MonteCarloBarostatMove,
+    SequenceMove,
+    WeightedMove,
+)
+from openmmtools_tpu.models import HarmonicOscillator, IdealGas
+from openmmtools_tpu.states import SamplerState
+
+TEMP = 300.0
+
+
+@pytest.fixture(scope="module")
+def ho():
+    return HarmonicOscillator()
+
+
+def test_langevin_move_samples(ho):
+    move = LangevinDynamicsMove(timestep=0.002, collision_rate=20.0,
+                                n_steps=200)
+    state = ho.thermodynamic_state(TEMP)
+    ss = SamplerState(positions=ho.positions)
+    us = []
+    for _ in range(40):
+        ss = move.apply(state, ss)
+        us.append(float(state.potential_energy(ss)))
+    mean_u = np.mean(us[10:])
+    assert abs(mean_u - 1.5 * kB * TEMP) < 0.3 * 1.5 * kB * TEMP
+
+
+def test_ghmc_move_statistics(ho):
+    move = GHMCMove(timestep=0.004, n_steps=100)
+    state = ho.thermodynamic_state(TEMP)
+    ss = SamplerState(positions=ho.positions)
+    for _ in range(3):
+        ss = move.apply(state, ss)
+    assert move.n_proposed == 300
+    assert 0 < move.n_accepted <= 300
+    stats = move.statistics
+    move.statistics = {"n_accepted": 0, "n_proposed": 0}
+    assert move.n_proposed == 0
+    move.statistics = stats
+    assert move.n_proposed == 300
+
+
+def test_hmc_move_runs(ho):
+    move = HMCMove(timestep=0.002, n_inner_steps=5, n_steps=2)
+    state = ho.thermodynamic_state(TEMP)
+    ss = move.apply(state, SamplerState(positions=ho.positions))
+    assert not bool(ss.has_nan())
+    assert move.n_proposed == 2  # one application x n_steps=2 (1 block/step)
+
+
+def test_sequence_and_weighted_moves(ho):
+    state = ho.thermodynamic_state(TEMP)
+    seq = SequenceMove([LangevinDynamicsMove(n_steps=10, timestep=0.002),
+                        GHMCMove(n_steps=10, timestep=0.002)])
+    ss = seq.apply(state, SamplerState(positions=ho.positions))
+    assert not bool(ss.has_nan())
+    assert isinstance(seq.statistics, list)
+
+    wm = WeightedMove([(LangevinDynamicsMove(n_steps=10, timestep=0.002), 0.5),
+                       (GHMCMove(n_steps=10, timestep=0.002), 0.5)])
+    ss = wm.apply(state, ss)
+    assert not bool(ss.has_nan())
+
+
+def test_displacement_move_free_particle():
+    """On an ideal gas the displacement move always accepts."""
+    gas = IdealGas(nparticles=8)
+    move = MCDisplacementMove(displacement_sigma=0.5, atom_subset=[0])
+    state = gas.thermodynamic_state(TEMP)
+    ss = gas.sampler_state()
+    x0 = np.asarray(ss.positions[0])
+    for _ in range(5):
+        ss = move.apply(state, ss)
+    assert move.n_accepted == 5
+    assert not np.allclose(np.asarray(ss.positions[0]), x0)
+    # other particles untouched
+    assert np.allclose(np.asarray(ss.positions[1:]), np.asarray(gas.positions[1:]))
+
+
+def test_rotation_move_preserves_shape(ho):
+    """Rotation about the centroid preserves pairwise distances."""
+    from openmmtools_tpu.models import Diatom
+
+    d = Diatom()
+    move = MCRotationMove()
+    state = d.thermodynamic_state(TEMP)
+    ss = d.sampler_state()
+    r0 = float(jnp.linalg.norm(ss.positions[0] - ss.positions[1]))
+    for _ in range(5):
+        ss = move.apply(state, ss)
+    r1 = float(jnp.linalg.norm(ss.positions[0] - ss.positions[1]))
+    assert np.isclose(r0, r1, rtol=1e-5)
+    assert move.n_accepted >= 1
+
+
+def test_barostat_move_ideal_gas_volume():
+    """NPT ideal gas: <V> = (N+1) kT / p sampled by the native barostat."""
+    n = 32
+    gas = IdealGas(nparticles=n)
+    state = gas.thermodynamic_state(gas.temperature0, pressure=gas.pressure0)
+    move = MonteCarloBarostatMove(volume_scale=0.15, seed=3)
+    ss = gas.sampler_state()
+    vols = []
+    for i in range(400):
+        ss = move.apply(state, ss)
+        if i >= 100:
+            vols.append(float(ss.volume))
+    v_mean = np.mean(vols)
+    v_expected = (n + 1) * kB * gas.temperature0 / (
+        gas.pressure0 * BAR_TO_KJ_PER_MOL_NM3)
+    stderr = np.std(vols) / math.sqrt(len(vols) / 20)  # crude decorrelation
+    assert abs(v_mean - v_expected) < max(6 * stderr, 0.1 * v_expected), (
+        f"<V>={v_mean:.1f} expected {v_expected:.1f}")
+    assert 0.2 < move.n_accepted / move.n_proposed <= 1.0
+
+
+def test_nan_restart_and_error(ho, tmp_path, monkeypatch):
+    monkeypatch.chdir(tmp_path)
+    move = LangevinDynamicsMove(timestep=1000.0, n_steps=60,
+                                n_restart_attempts=1)
+    state = ho.thermodynamic_state(TEMP)
+    ss = SamplerState(positions=jnp.asarray([[100.0, 0.0, 0.0]]))
+    with pytest.raises(IntegratorMoveError):
+        move.apply(state, ss)
+    assert (tmp_path / "nan-error-logs").exists()
+
+
+def test_mcmc_sampler(ho):
+    sampler = MCMCSampler(ho.thermodynamic_state(TEMP),
+                          SamplerState(positions=jnp.asarray([[0.5, 0.0, 0.0]])),
+                          move=LangevinDynamicsMove(n_steps=50, timestep=0.002))
+    sampler.minimize(max_iterations=100)
+    u_min = float(sampler.thermodynamic_state.potential_energy(sampler.sampler_state))
+    assert u_min < 1.0
+    sampler.run(3)
+    assert not bool(sampler.sampler_state.has_nan())

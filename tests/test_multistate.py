@@ -1,0 +1,226 @@
+"""Multistate sampler validation (analog of reference tests/test_sampling.py):
+analytic harmonic-oscillator free energies via MBAR, checkpoint/resume,
+mixing, sharding."""
+import math
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from openmmtools_tpu.constants import kB
+from openmmtools_tpu.mcmc import LangevinDynamicsMove
+from openmmtools_tpu.models import HarmonicOscillator
+from openmmtools_tpu.multistate import (
+    MultiStateReporter,
+    MultiStateSampler,
+    MultiStateSamplerAnalyzer,
+    ParallelTemperingSampler,
+    ReplicaExchangeSampler,
+    SAMSSampler,
+    mbar_free_energies,
+)
+from openmmtools_tpu.multistate.mbar import bar_free_energy, exp_free_energy
+from openmmtools_tpu.states import SamplerState, create_thermodynamic_state_protocol
+
+TEMP = 300.0
+KT = kB * TEMP
+
+# soft oscillator ladder: K_k in kJ/mol/nm^2 (reference test_sampling.py:93
+# uses a spring-constant ladder with analytically-known f_k)
+K_LADDER = [100.0, 200.0, 400.0, 800.0]
+
+
+def _analytic_f(K):
+    """Dimensionless configurational free energy of a 3D harmonic well."""
+    return -1.5 * math.log(2.0 * math.pi * KT / K)
+
+
+def _make_states():
+    ho = HarmonicOscillator(K=K_LADDER[0])
+    ref = ho.thermodynamic_state(TEMP)
+    states = create_thermodynamic_state_protocol(
+        ref, protocol={"testsystems_HarmonicOscillator_K": K_LADDER})
+    return ho, states
+
+
+def _move(n_steps=20):
+    return LangevinDynamicsMove(timestep=0.01, collision_rate=5.0,
+                                n_steps=n_steps)
+
+
+def test_mbar_analytic_gaussian():
+    """MBAR on synthetic gaussian data reproduces analytic Delta f."""
+    rng = np.random.default_rng(0)
+    n = 2000
+    k_vals = np.asarray([1.0, 4.0])
+    # samples from 1D gaussians with variance kT/K (beta=1, kT=1 units)
+    x0 = rng.normal(0, 1.0 / math.sqrt(k_vals[0]), n)
+    x1 = rng.normal(0, 1.0 / math.sqrt(k_vals[1]), n)
+    x = np.concatenate([x0, x1])
+    u_kn = np.stack([0.5 * k * x**2 for k in k_vals])
+    res = mbar_free_energies(u_kn, np.asarray([n, n]))
+    df, ddf = res.delta_f(0, 1)
+    analytic = -0.5 * math.log(k_vals[0] / k_vals[1])
+    assert abs(float(df) - analytic) < 6 * max(float(ddf), 1e-3), (
+        float(df), analytic, float(ddf))
+
+
+def test_bar_and_exp_estimators():
+    """BAR/EXP on gaussian work distributions: w ~ N(df + s^2/2, s^2)
+    (Crooks) gives back df."""
+    rng = np.random.default_rng(1)
+    df_true, s = 2.0, 1.0
+    w_f = rng.normal(df_true + s**2 / 2, s, 4000)
+    w_r = rng.normal(-df_true + s**2 / 2, s, 4000)
+    df, ddf = bar_free_energy(jnp.asarray(w_f), jnp.asarray(w_r))
+    assert abs(float(df) - df_true) < 6 * max(float(ddf), 0.02)
+    df_exp, _ = exp_free_energy(jnp.asarray(w_f))
+    assert abs(float(df_exp) - df_true) < 0.3  # EXP is biased but close here
+
+
+@pytest.mark.parametrize("scheme", ["swap-all", "swap-neighbors"])
+def test_replica_exchange_harmonic_ladder(tmp_path, scheme):
+    """REMD over a K-ladder reproduces analytic free energies (reference
+    TestHarmonicOscillatorsMultiStateSampler, test_sampling.py:93-330)."""
+    ho, states = _make_states()
+    sampler = ReplicaExchangeSampler(
+        mcmc_moves=_move(), number_of_iterations=300,
+        replica_mixing_scheme=scheme, online_analysis_interval=None,
+        rng_seed=42)
+    reporter = MultiStateReporter(str(tmp_path / f"remd_{scheme}.h5"),
+                                  checkpoint_interval=100)
+    sampler.create(states, SamplerState(positions=ho.positions),
+                   storage=reporter)
+    sampler.run()
+    assert sampler.iteration == 300
+
+    # swaps actually happened
+    assert int(np.asarray(sampler._carry.n_proposed).sum()) > 0
+    assert int(np.asarray(sampler._carry.n_accepted).sum()) > 0
+
+    analyzer = MultiStateSamplerAnalyzer(reporter)
+    df, ddf = analyzer.get_free_energy()
+    for k in range(1, len(K_LADDER)):
+        analytic = _analytic_f(K_LADDER[k]) - _analytic_f(K_LADDER[0])
+        err = max(6 * ddf[0, k], 0.15)
+        assert abs(df[0, k] - analytic) < err, (
+            f"state {k}: df={df[0, k]:.3f} analytic={analytic:.3f} "
+            f"+- {ddf[0, k]:.3f}")
+    reporter.close()
+
+
+def test_checkpoint_resume(tmp_path):
+    ho, states = _make_states()
+    path = str(tmp_path / "resume.h5")
+    sampler = ReplicaExchangeSampler(
+        mcmc_moves=_move(), number_of_iterations=60,
+        online_analysis_interval=None, rng_seed=1)
+    reporter = MultiStateReporter(path, checkpoint_interval=10)
+    sampler.create(states, SamplerState(positions=ho.positions),
+                   storage=reporter)
+    sampler.run(40)
+    energies_40 = sampler.energies_last_iteration
+    reporter.close()
+
+    reporter2 = MultiStateReporter(path, checkpoint_interval=10)
+    resumed = ReplicaExchangeSampler.from_storage(reporter2)
+    assert resumed.iteration == 40
+    assert resumed.n_states == 4
+    assert resumed.n_replicas == 4
+    resumed.run(20)
+    assert resumed.iteration == 60
+    assert np.all(np.isfinite(resumed.energies_last_iteration))
+    reporter2.close()
+
+
+def test_reporter_uuid_mismatch(tmp_path):
+    p1 = str(tmp_path / "a.h5")
+    p2 = str(tmp_path / "b.h5")
+    r1 = MultiStateReporter(p1).open("w")
+    r2 = MultiStateReporter(p2).open("w")
+    r1.close()
+    r2.close()
+    # cross-wire the checkpoint file
+    bad = MultiStateReporter(p1, checkpoint_storage=str(
+        tmp_path / "b_checkpoint.h5"))
+    with pytest.raises(IOError):
+        bad.open("r")
+
+
+def test_sams_logZ_converges():
+    """SAMS on the ladder: logZ estimates drift toward -f_k."""
+    ho, states = _make_states()
+    sampler = SAMSSampler(
+        mcmc_moves=_move(), number_of_iterations=600,
+        state_update_scheme="global-jump", flatness_criteria="minimum-visits",
+        minimum_visits=20, weight_update_method="rao-blackwellized",
+        gamma0=0.25, online_analysis_interval=None, rng_seed=3)
+    sampler.create(states, SamplerState(positions=ho.positions))
+    sampler.run()
+    logZ = sampler.logZ
+    assert np.all(np.isfinite(logZ))
+    # logZ_k converges to -(f_k - f_0)
+    f_expected = np.asarray([_analytic_f(K) - _analytic_f(K_LADDER[0])
+                             for K in K_LADDER])
+    assert np.all(np.diff(logZ) < 0), logZ  # tighter wells: lower logZ
+    assert np.allclose(logZ, -f_expected, atol=0.5), (logZ, -f_expected)
+    # adaptation should have produced a roughly flat histogram
+    hist = sampler._histogram
+    assert hist.min() > 0.5 * hist.mean()
+
+
+def test_parallel_tempering_energy_path():
+    """PT's O(N) beta-rescaled energies match the generic path."""
+    ho = HarmonicOscillator(K=200.0)
+    ref = ho.thermodynamic_state(TEMP)
+    sampler = ParallelTemperingSampler(
+        mcmc_moves=_move(), number_of_iterations=10,
+        online_analysis_interval=None, rng_seed=4)
+    sampler.create(ref, SamplerState(positions=ho.positions),
+                   min_temperature=250.0, max_temperature=400.0,
+                   n_temperatures=4)
+    assert sampler.n_states == 4
+    sampler.run()
+    u = sampler.energies_last_iteration
+    # cross-check: u[n, k] = beta_k * U_n
+    temps = np.asarray(sampler._stacked_sampled.temperature)
+    betas = 1.0 / (kB * temps)
+    for n in range(sampler.n_replicas):
+        U_n = u[n, 0] / betas[0]
+        assert np.allclose(u[n], betas * U_n, rtol=1e-5)
+
+
+def test_sharded_replica_mesh():
+    """8 replicas sharded over an 8-device CPU mesh run identically shaped
+    programs (the dryrun_multichip pattern)."""
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    ho, states = _make_states()
+    # 8 replicas over 4 states
+    mesh = jax.sharding.Mesh(np.array(jax.devices()[:8]), ("replica",))
+    sampler = ReplicaExchangeSampler(
+        mcmc_moves=_move(n_steps=5), number_of_iterations=3,
+        online_analysis_interval=None, rng_seed=5)
+    sampler.create(states, [SamplerState(positions=ho.positions)
+                            for _ in range(8)],
+                   initial_thermodynamic_states=[0, 1, 2, 3, 0, 1, 2, 3],
+                   mesh=mesh)
+    sampler.run()
+    assert sampler.iteration == 3
+    assert np.all(np.isfinite(sampler.energies_last_iteration))
+
+
+def test_online_analysis_and_stop(tmp_path):
+    ho, states = _make_states()
+    sampler = ReplicaExchangeSampler(
+        mcmc_moves=_move(), number_of_iterations=100,
+        online_analysis_interval=20, online_analysis_minimum_iterations=20,
+        online_analysis_target_error=50.0,  # absurdly loose -> early stop
+        rng_seed=6)
+    sampler.create(states, SamplerState(positions=ho.positions))
+    sampler.run()
+    # stopped early once online error (always < 50 kT) was evaluated
+    assert sampler.iteration <= 40
+    assert sampler._last_err_free_energy is not None
