@@ -131,6 +131,10 @@ class IntegratorState:
     lambda_: jax.Array = 0.0
     lambda_step: jax.Array = 0
     step_count: jax.Array = 0
+    # neighbor-list state (None when the dense path is active)
+    nbr_idx: Optional[jax.Array] = None      # (N, K_max) int32
+    nbr_mask: Optional[jax.Array] = None     # (N, K_max) bool
+    nbr_overflow: Optional[jax.Array] = None  # () bool, sticky
 
     @property
     def temperature(self):
@@ -170,6 +174,7 @@ class _Env:
         self.lambda_step = None
         self.step_count = None
         self.box = None
+        self.nbr = None
         self.stash = None
 
 
@@ -216,18 +221,101 @@ class BoundIntegrator:
         self.ou_a = math.exp(-gamma * self.h_O)
         self.ou_b = math.sqrt(1.0 - math.exp(-2.0 * gamma * self.h_O))
 
+        self._neighbor_setup()
         self._step_fn = self._build_step()
         self._run_cache: Dict[int, Any] = {}
 
+    # -- neighbor-list production path --------------------------------------
+    def _neighbor_setup(self):
+        """Enable the fixed-capacity neighbor-list force path when the
+        system is a large single-group cutoff system (the production MD
+        case). The dense O(N^2) path remains the correctness fallback."""
+        from openmmtools_tpu.system import NonbondedTerm
+
+        self.neighbor_mode = False
+        integ = self.integrator
+        if getattr(integ, "neighborlist", "auto") is None:
+            return
+        system = self.system
+        if len(self.groups) != 1 or self.groups[0] is not None:
+            return
+        nb_terms = [t for t in system.terms
+                    if isinstance(t, NonbondedTerm)
+                    and t.cutoff is not None and t.method != "no_cutoff"
+                    and t.periodic]
+        # TPU XLA lowers (N, K) index gathers to serialized dynamic slices,
+        # making the list path slower than the dense path until the fused
+        # Pallas kernel takes over — keep the dense path there by default
+        min_particles = 128 if jax.default_backend() == "cpu" else 100_000
+        if len(nb_terms) != 1 or system.n_particles < min_particles:
+            return
+        if system.default_box is None:
+            return
+        term = nb_terms[0]
+        cutoff = term.cutoff
+        skin = getattr(integ, "neighbor_skin", None)
+        if skin is None:
+            skin = 0.35 * cutoff
+        r_list = cutoff + skin
+        vol = float(jnp.prod(jnp.diagonal(system.default_box)))
+        density = system.n_particles / vol
+        avg = density * 4.0 / 3.0 * math.pi * r_list**3
+        k_max = int(math.ceil(2.5 * avg + 8))
+        k_max = min(k_max, system.n_particles - 1)
+        interval = getattr(integ, "neighbor_rebuild_interval", None)
+        if interval is None:
+            # conservative bound: 4x thermal drift per step must not exceed
+            # skin/2 over the interval
+            kT = kB * float(getattr(integ, "temperature", 300.0))
+            masses = system.masses
+            v_th = float(jnp.max(jnp.sqrt(
+                kT / jnp.maximum(jnp.where(masses > 0, masses, jnp.inf),
+                                 1e-30))))
+            drift = 4.0 * max(v_th, 1e-6) * integ.timestep
+            interval = max(1, int((0.5 * skin) / max(drift, 1e-12)))
+            interval = min(interval, 200)
+        self.neighbor_mode = True
+        self._nb_term = term
+        self.neighbor_k_max = k_max
+        self.neighbor_r_list = r_list
+        self.neighbor_rebuild_interval = interval
+        other_terms = tuple(t for t in system.terms if t is not term)
+
+        def u_total(x, box, params, nbr):
+            total = term.energy_neighbors(x, box, params, nbr)
+            for t in other_terms:
+                total = total + t.energy(x, box, params)
+            return total
+
+        self._vg_nbr = jax.value_and_grad(u_total)
+
+    def _build_nbr(self, x, box):
+        from openmmtools_tpu.ops.neighborlist import build_neighbor_list
+
+        return build_neighbor_list(x, box, self.neighbor_r_list,
+                                   self.neighbor_k_max, periodic=True)
+
+    def _rebuild_neighbors(self, state: IntegratorState) -> IntegratorState:
+        nbr = self._build_nbr(state.positions, state.box)
+        overflow = nbr.overflow
+        if state.nbr_overflow is not None:
+            overflow = overflow | state.nbr_overflow
+        return state.replace(nbr_idx=nbr.idx, nbr_mask=nbr.mask,
+                             nbr_overflow=overflow)
+
     # -- energy plumbing ----------------------------------------------------
-    def _eval_group(self, g, x, box, params):
+    def _eval_group(self, g, x, box, params, nbr=None):
+        if self.neighbor_mode and nbr is not None:
+            u, grad = self._vg_nbr(x, box, params, nbr)
+            return u, -grad
         u, grad = self._vg_fns[g](x, box, params)
         return u, -grad
 
     def _ensure_forces(self, env: _Env, groups=None):
         for g in (self.groups if groups is None else groups):
             if env.F[g] is None:
-                u, f = self._eval_group(g, env.x, env.box, env.params)
+                u, f = self._eval_group(g, env.x, env.box, env.params,
+                                        nbr=env.nbr)
                 env.U[g] = u
                 env.F[g] = f
 
@@ -343,6 +431,12 @@ class BoundIntegrator:
             env.lambda_ = state.lambda_
             env.lambda_step = state.lambda_step
             env.step_count = state.step_count
+            if self.neighbor_mode and state.nbr_idx is not None:
+                from openmmtools_tpu.ops.neighborlist import NeighborList
+
+                env.nbr = NeighborList(idx=state.nbr_idx, mask=state.nbr_mask,
+                                       overflow=state.nbr_overflow,
+                                       r_list=self.neighbor_r_list)
 
             self._pre_step(env)
             for tok in self.tokens:
@@ -406,9 +500,12 @@ class BoundIntegrator:
             v = thermalize_velocities(self.masses, kT, sub, dtype=x.dtype)
         zero = jnp.zeros((), dtype=x.dtype)
         izero = jnp.zeros((), dtype=jnp.int32)
+        nbr = None
+        if self.neighbor_mode:
+            nbr = self._build_nbr(x, box)
         forces, potentials = [], []
         for g in self.groups:
-            u, f = self._eval_group(g, x, box, params)
+            u, f = self._eval_group(g, x, box, params, nbr=nbr)
             potentials.append(u)
             forces.append(f)
         return IntegratorState(
@@ -419,23 +516,51 @@ class BoundIntegrator:
             heat=zero, shadow_work=zero, protocol_work=zero,
             n_accepted=izero, n_proposed=izero,
             lambda_=zero, lambda_step=izero, step_count=izero,
+            nbr_idx=None if nbr is None else nbr.idx,
+            nbr_mask=None if nbr is None else nbr.mask,
+            nbr_overflow=None if nbr is None else nbr.overflow,
         )
 
+    def run_program(self, n_steps: int):
+        """Pure function state -> state advancing n_steps, with periodic
+        neighbor-list rebuilds folded in (the production MD loop shape:
+        rebuild every ``neighbor_rebuild_interval`` steps, scan in between).
+        Usable inside outer jit/vmap (e.g. multistate propagation)."""
+        step = self._step_fn
+
+        def scan_steps(s, length):
+            def body(carry, _):
+                return step(carry), None
+
+            out, _ = jax.lax.scan(body, s, None, length=length)
+            return out
+
+        if not self.neighbor_mode:
+            return lambda s: scan_steps(s, n_steps)
+
+        interval = self.neighbor_rebuild_interval
+        n_chunks, remainder = divmod(n_steps, interval)
+
+        def run_fn(s):
+            if n_chunks > 0:
+                def outer(carry, _):
+                    carry = self._rebuild_neighbors(carry)
+                    return scan_steps(carry, interval), None
+
+                s, _ = jax.lax.scan(outer, s, None, length=n_chunks)
+            if remainder:
+                s = self._rebuild_neighbors(s)
+                s = scan_steps(s, remainder)
+            return s
+
+        return run_fn
+
     def run(self, state: IntegratorState, n_steps: int) -> IntegratorState:
-        """Advance n_steps under one jitted ``lax.scan`` program."""
+        """Advance n_steps under one jitted program (with neighbor-list
+        rebuild chunking when the neighbor path is active)."""
         fn = self._run_cache.get(n_steps)
         if fn is None:
-            step = self._step_fn
-
-            @jax.jit
-            def run_fn(s):
-                def body(carry, _):
-                    return step(carry), None
-
-                out, _ = jax.lax.scan(body, s, None, length=n_steps)
-                return out
-
-            self._run_cache[n_steps] = fn = run_fn
+            self._run_cache[n_steps] = fn = jax.jit(self.run_program(n_steps))
         return fn(state)
 
     def sampler_state_from(self, state: IntegratorState) -> SamplerState:
@@ -477,7 +602,9 @@ class LangevinIntegrator:
 
     def __init__(self, temperature=298.0, collision_rate=1.0, timestep=0.001,
                  splitting: Optional[str] = None, constraint_tolerance=1e-8,
-                 measure_shadow_work=False, measure_heat=False):
+                 measure_shadow_work=False, measure_heat=False,
+                 neighborlist="auto", neighbor_skin=None,
+                 neighbor_rebuild_interval=None):
         self.temperature = temperature
         self.collision_rate = collision_rate
         self.timestep = timestep
@@ -485,6 +612,11 @@ class LangevinIntegrator:
         self.constraint_tolerance = constraint_tolerance
         self.measure_shadow_work = measure_shadow_work
         self.measure_heat = measure_heat
+        # neighbor-list policy: 'auto' enables the fixed-capacity list path
+        # for large periodic cutoff systems; None forces the dense path
+        self.neighborlist = neighborlist
+        self.neighbor_skin = neighbor_skin
+        self.neighbor_rebuild_interval = neighbor_rebuild_interval
         parse_splitting(self.splitting)  # fail fast
         self._bound: Dict[int, BoundIntegrator] = {}
 

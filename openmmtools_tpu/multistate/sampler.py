@@ -334,9 +334,7 @@ class MultiStateSampler:
                               box_vectors=box)
             state = bound.initial_state(ss, key, temperature=temperature,
                                         global_params=params)
-            def body(c, _):
-                return bound.step_fn(c), None
-            state, _ = jax.lax.scan(body, state, None, length=n_steps)
+            state = bound.run_program(n_steps)(state)
             return state.positions, state.velocities
 
         def energies_one(x, box):

@@ -1,0 +1,391 @@
+"""Fused Pallas MD kernel: BAOAB + cell-grid LJ forces entirely on-chip.
+
+This is the production speed path for the flagship benchmark (BASELINE.md:
+BAOAB steps/s on the 2k-particle LJ fluid). The XLA paths evaluate forces
+through gathers/scatters that TPUs execute as serialized dynamic slices;
+this kernel eliminates *all* gathers with a cell-grid data layout designed
+for the VPU:
+
+* particles live in a ``(3, M, G)`` slot array — component x/y/z, slot
+  within cell (sublanes), *cell on the lane axis* (G = (n+2)^3 padded flat
+  grid, n cells per side, cell edge >= cutoff + skin);
+* every neighbor cell is a **uniform lane roll** of the slot array (flat
+  offsets a + (n+2) b + (n+2)^2 c, a,b,c in {-1,0,1});
+* periodic boundary conditions are realized by **ghost cell layers** filled
+  by three stages of masked uniform rolls with ±L coordinate shifts — the
+  hot loop computes plain differences, no minimum-image;
+* empty slots hold far-away sentinel coordinates, so the cutoff mask
+  removes them with no extra bookkeeping;
+* the whole ``n_steps`` BAOAB loop runs inside one kernel: positions,
+  velocities and forces never leave VMEM between steps, and the per-step
+  noise comes from the on-core PRNG (bits -> Box–Muller).
+
+Re-binning (every ``rebuild_interval`` steps, amortized to ~nothing) happens
+outside the kernel in XLA: wrap positions, sort by cell, scatter into slots.
+
+Scope (v1): monodisperse uncharged LJ (the benchmark fluid), orthorhombic
+cubic box, BAOAB ('V R O R V') splitting, f32. The general-system path stays
+on the XLA dense/neighbor implementations.
+"""
+from __future__ import annotations
+
+import functools
+import math
+from typing import NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+class LJGridSpec(NamedTuple):
+    """Static configuration of the fused kernel (compile-time constants)."""
+
+    n_side: int          # interior cells per side
+    capacity: int        # M: slots per cell (sublane dim)
+    box_edge: float      # L (cubic)
+    cell_edge: float     # L / n_side (>= cutoff + skin)
+    cutoff: float
+    switch_width: Optional[float]
+    sigma: float
+    epsilon: float
+    mass: float
+    timestep: float
+    collision_rate: float
+
+    @property
+    def g_side(self) -> int:
+        return self.n_side + 2
+
+    @property
+    def n_cells(self) -> int:
+        return self.n_side ** 3
+
+    @property
+    def g_cells(self) -> int:
+        return self.g_side ** 3
+
+
+def make_grid_spec(n_particles, box_edge, cutoff, switch_width, sigma,
+                   epsilon, mass, timestep, collision_rate,
+                   skin_fraction=0.35, capacity=None) -> LJGridSpec:
+    r_list = cutoff * (1.0 + skin_fraction)
+    n_side = max(3, int(math.floor(box_edge / r_list)))
+    cell_edge = box_edge / n_side
+    if capacity is None:
+        lam = n_particles / n_side**3
+        # generous Poisson-tail headroom; rebuild bumps capacity on overflow
+        capacity = int(math.ceil(lam + 4.0 * math.sqrt(lam) + 4))
+        capacity = max(8, ((capacity + 7) // 8) * 8)  # sublane multiple
+    return LJGridSpec(
+        n_side=n_side, capacity=capacity, box_edge=float(box_edge),
+        cell_edge=float(cell_edge), cutoff=float(cutoff),
+        switch_width=None if switch_width is None else float(switch_width),
+        sigma=float(sigma), epsilon=float(epsilon), mass=float(mass),
+        timestep=float(timestep), collision_rate=float(collision_rate))
+
+
+# ---------------------------------------------------------------------------
+# binning (XLA, runs every rebuild_interval steps)
+# ---------------------------------------------------------------------------
+
+
+@functools.partial(jax.jit, static_argnums=(2,))
+def bin_particles(x, v, spec: LJGridSpec):
+    """Sort particles into the padded cell grid.
+
+    Returns (x_slots, v_slots, valid, slot_particle, max_occupancy):
+    x_slots/v_slots (3, M, G) f32; valid (M, G) f32 mask; slot_particle
+    (M, G) int32 particle index (-1 for empty); max_occupancy for overflow
+    detection on the host.
+    """
+    n = x.shape[0]
+    ns = spec.n_side
+    gs = spec.g_side
+    m = spec.capacity
+    g = spec.g_cells
+    L = spec.box_edge
+
+    x_wrapped = x - L * jnp.floor(x / L)
+    cell = jnp.clip((x_wrapped / spec.cell_edge).astype(jnp.int32), 0, ns - 1)
+    # padded flat id: interior coords shifted by +1
+    gflat = ((cell[:, 0] + 1)
+             + gs * (cell[:, 1] + 1)
+             + gs * gs * (cell[:, 2] + 1))
+    order = jnp.argsort(gflat)
+    sorted_gflat = gflat[order]
+    # rank within cell = position - first occurrence of this cell id
+    first = jnp.searchsorted(sorted_gflat, sorted_gflat, side="left")
+    rank = jnp.arange(n, dtype=jnp.int32) - first.astype(jnp.int32)
+    max_occ = jnp.max(rank) + 1
+
+    rank_c = jnp.minimum(rank, m - 1)  # overflow particles clobber last slot
+    # sentinel positions: far away and distinct per slot so padded slots
+    # never alias each other within the cutoff
+    slot_ids = jnp.arange(m * g, dtype=jnp.float32).reshape(m, g)
+    sentinel = 1.0e5 + 7.0 * slot_ids
+    x_slots = jnp.stack([sentinel, sentinel + 3.0, sentinel + 5.0])
+    v_slots = jnp.zeros((3, m, g), dtype=jnp.float32)
+    valid = jnp.zeros((m, g), dtype=jnp.float32)
+    slot_particle = jnp.full((m, g), -1, dtype=jnp.int32)
+
+    xs = x_wrapped[order].astype(jnp.float32)
+    vs = v[order].astype(jnp.float32)
+    x_slots = x_slots.at[:, rank_c, sorted_gflat].set(xs.T)
+    v_slots = v_slots.at[:, rank_c, sorted_gflat].set(vs.T)
+    valid = valid.at[rank_c, sorted_gflat].set(1.0)
+    slot_particle = slot_particle.at[rank_c, sorted_gflat].set(
+        order.astype(jnp.int32))
+    return x_slots, v_slots, valid, slot_particle, max_occ
+
+
+@functools.partial(jax.jit, static_argnums=(3,))
+def unbin_particles(x_slots, v_slots, slot_particle, n_particles):
+    """Scatter slot arrays back to flat (N, 3) order."""
+    flat_p = slot_particle.reshape(-1)
+    xf = x_slots.reshape(3, -1).T  # (M*G, 3)
+    vf = v_slots.reshape(3, -1).T
+    ok = flat_p >= 0
+    # invalid slots scatter to an out-of-bounds index and are dropped —
+    # never to index 0, which would clobber particle 0
+    idx = jnp.where(ok, flat_p, n_particles)
+    x = jnp.zeros((n_particles, 3), dtype=x_slots.dtype)
+    v = jnp.zeros((n_particles, 3), dtype=v_slots.dtype)
+    x = x.at[idx].set(xf, mode="drop")
+    v = v.at[idx].set(vf, mode="drop")
+    return x, v
+
+
+# ---------------------------------------------------------------------------
+# the kernel
+# ---------------------------------------------------------------------------
+
+
+def _roll(x, shift, axis, size):
+    """pltpu.roll with negative shifts normalized (it requires shift >= 0)."""
+    return pltpu.roll(x, int(shift) % size, axis=axis)
+
+
+def _neighbor_offsets(gs: int):
+    """All 26 neighbor-cell flat offsets on the padded grid."""
+    out = []
+    for dz in (-1, 0, 1):
+        for dy in (-1, 0, 1):
+            for dx in (-1, 0, 1):
+                if dx == dy == dz == 0:
+                    continue
+                out.append(dx + gs * dy + gs * gs * dz)
+    return out
+
+
+def _ghost_stages(spec: LJGridSpec):
+    """(axis, mask_low_fn, mask_high_fn, shift_lanes) per axis; fill order
+    z, y, x so edge/corner ghosts compose."""
+    gs = spec.g_side
+    ns = spec.n_side
+    return [
+        ("z", gs * gs),
+        ("y", gs),
+        ("x", 1),
+    ]
+
+
+def _make_kernel(spec: LJGridSpec, n_steps: int):
+    m = spec.capacity
+    g = spec.g_cells
+    gs = spec.g_side
+    ns = spec.n_side
+    L = spec.box_edge
+    rc2 = spec.cutoff * spec.cutoff
+    sig2 = spec.sigma * spec.sigma
+    eps = spec.epsilon
+    dt = spec.timestep
+    half_dt = 0.5 * dt
+    inv_m = 1.0 / spec.mass
+    ou_a = math.exp(-spec.collision_rate * dt)
+    ou_b = math.sqrt(max(0.0, 1.0 - ou_a * ou_a))
+    use_switch = spec.switch_width is not None
+    if use_switch:
+        r_on = spec.cutoff - spec.switch_width
+        inv_sw = 1.0 / (spec.cutoff - r_on)
+    offsets = _neighbor_offsets(gs)
+
+    def kernel(seed_ref, kt_ref, x_ref, v_ref, valid_ref, xo_ref, vo_ref):
+        pltpu.prng_seed(seed_ref[0])
+        kT = kt_ref[0]
+        valid = valid_ref[:]                      # (M, G)
+        sigma_v = jnp.sqrt(kT * inv_m)
+
+        # lane coordinate masks for ghost handling (computed once)
+        lane = jax.lax.broadcasted_iota(jnp.int32, (m, g), 1)
+        cx = lane % gs
+        cy = (lane // gs) % gs
+        cz = lane // (gs * gs)
+        coords = (cx, cy, cz)
+
+        def fill_ghosts(x):
+            # stage order z, y, x; each stage fills the two ghost planes of
+            # its axis from the opposite interior planes (already-filled
+            # ghosts of previous stages propagate into edges/corners)
+            for comp_shift_axis, (axis_idx, stride) in zip(
+                    (2, 1, 0), ((2, gs * gs), (1, gs), (0, 1))):
+                c = coords[axis_idx]
+                low = c == 0
+                high = c == gs - 1
+                x_lo = _roll(x, -ns * stride, 2, g)
+                x_hi = _roll(x, ns * stride, 2, g)
+                new_comps = []
+                for comp in range(3):
+                    xc = x[comp]
+                    lo_val = x_lo[comp] - (L if comp == axis_idx else 0.0)
+                    hi_val = x_hi[comp] + (L if comp == axis_idx else 0.0)
+                    xc = jnp.where(low, lo_val, xc)
+                    xc = jnp.where(high, hi_val, xc)
+                    new_comps.append(xc)
+                x = jnp.stack(new_comps)
+            return x
+
+        def pair_force(dx, dy, dz, fx, fy, fz):
+            r2 = dx * dx + dy * dy + dz * dz
+            inside = r2 < rc2
+            r2s = jnp.where(inside, jnp.maximum(r2, 1e-8), 1.0)
+            inv_r2 = 1.0 / r2s
+            s2 = sig2 * inv_r2
+            s6 = s2 * s2 * s2
+            # dU/dr^2 for 4 eps (s12 - s6)
+            g_lj = -12.0 * eps * inv_r2 * s6 * (2.0 * s6 - 1.0)
+            if use_switch:
+                r = jnp.sqrt(r2s)
+                t = jnp.clip((r - r_on) * inv_sw, 0.0, 1.0)
+                s = 1.0 + t * t * t * (-10.0 + t * (15.0 - 6.0 * t))
+                ds_dr = -30.0 * t * t * (1.0 - t) * (1.0 - t) * inv_sw
+                u_lj = 4.0 * eps * (s6 * s6 - s6)
+                g_tot = g_lj * s + u_lj * ds_dr * (0.5 / r)
+            else:
+                g_tot = g_lj
+            g_tot = jnp.where(inside, g_tot, 0.0)
+            scale = -2.0 * g_tot
+            return fx + scale * dx, fy + scale * dy, fz + scale * dz
+
+        def forces(x):
+            xg = fill_ghosts(x)
+            fx = jnp.zeros((m, g), dtype=jnp.float32)
+            fy = jnp.zeros_like(fx)
+            fz = jnp.zeros_like(fx)
+            x0, x1, x2 = xg[0], xg[1], xg[2]
+            # intra-cell pairs: sublane rolls (each ordered pair once)
+            for s in range(1, m):
+                xs = _roll(xg, s, 1, m)
+                fx, fy, fz = pair_force(x0 - xs[0], x1 - xs[1], x2 - xs[2],
+                                        fx, fy, fz)
+            # neighbor cells: lane rolls + per-slot sublane broadcast
+            for off in offsets:
+                xr = _roll(xg, -off, 2, g)
+                for k in range(m):
+                    cx_ = xr[0, k, :][None, :]
+                    cy_ = xr[1, k, :][None, :]
+                    cz_ = xr[2, k, :][None, :]
+                    fx, fy, fz = pair_force(x0 - cx_, x1 - cy_, x2 - cz_,
+                                            fx, fy, fz)
+            return fx * valid, fy * valid, fz * valid
+
+        def gauss(shape):
+            b1 = pltpu.prng_random_bits(shape)
+            b2 = pltpu.prng_random_bits(shape)
+            u1 = (b1 >> 8).astype(jnp.float32) * (1.0 / 16777216.0)
+            u2 = (b2 >> 8).astype(jnp.float32) * (1.0 / 16777216.0)
+            u1 = jnp.maximum(u1, 1e-7)
+            rad = jnp.sqrt(-2.0 * jnp.log(u1))
+            return rad * jnp.cos((2.0 * math.pi) * u2)
+
+        def step(carry, _):
+            # V R O R V with the force carried across steps: the trailing
+            # V's force F(x_new) is exactly the next step's leading force,
+            # so each step costs ONE grid sweep
+            x, v, f = carry
+            v = v + (half_dt * inv_m) * f          # V (dt/2)
+            x = x + half_dt * v                    # R (dt/2)
+            noise = gauss((3, m, g))
+            v = (ou_a * v + (ou_b * sigma_v) * noise) * valid[None]  # O
+            x = x + half_dt * v                    # R (dt/2)
+            fx, fy, fz = forces(x)
+            f = jnp.stack([fx, fy, fz])
+            v = v + (half_dt * inv_m) * f          # V (dt/2)
+            return (x, v, f), None
+
+        x = x_ref[:]
+        v = v_ref[:]
+        fx, fy, fz = forces(x)
+        f0 = jnp.stack([fx, fy, fz])
+        # fori_loop (scan is unsupported in Pallas TPU kernels)
+        x, v, _ = jax.lax.fori_loop(
+            0, n_steps, lambda _, c: step(c, None)[0], (x, v, f0))
+        xo_ref[:] = x
+        vo_ref[:] = v
+
+    return kernel
+
+
+class FusedLJBAOAB:
+    """Host-side driver for the fused kernel: rebinning loop + pallas calls."""
+
+    def __init__(self, spec: LJGridSpec, n_particles: int,
+                 rebuild_interval: Optional[int] = None, temperature=None):
+        self.spec = spec
+        self.n_particles = n_particles
+        if rebuild_interval is None:
+            kT_guess = 0.008314 * float(temperature or 300.0)
+            v_th = math.sqrt(kT_guess / spec.mass)
+            skin = spec.cell_edge - spec.cutoff
+            drift = 4.0 * v_th * spec.timestep
+            rebuild_interval = max(1, min(200, int(0.5 * skin / max(drift, 1e-12))))
+        self.rebuild_interval = rebuild_interval
+        self._compiled = {}
+
+    def _kernel_call(self, chunk_steps: int):
+        key = (self.spec, chunk_steps)
+        fn = self._compiled.get(key)
+        if fn is None:
+            spec = self.spec
+            m, g = spec.capacity, spec.g_cells
+            kernel = _make_kernel(spec, chunk_steps)
+            fn = pl.pallas_call(
+                kernel,
+                grid=(),
+                in_specs=[
+                    pl.BlockSpec(memory_space=pltpu.SMEM),   # seed
+                    pl.BlockSpec(memory_space=pltpu.SMEM),   # kT
+                    pl.BlockSpec(memory_space=pltpu.VMEM),   # x
+                    pl.BlockSpec(memory_space=pltpu.VMEM),   # v
+                    pl.BlockSpec(memory_space=pltpu.VMEM),   # valid
+                ],
+                out_specs=(pl.BlockSpec(memory_space=pltpu.VMEM),
+                           pl.BlockSpec(memory_space=pltpu.VMEM)),
+                out_shape=(jax.ShapeDtypeStruct((3, m, g), jnp.float32),
+                           jax.ShapeDtypeStruct((3, m, g), jnp.float32)),
+                input_output_aliases={2: 0, 3: 1},
+            )
+            self._compiled[key] = fn = jax.jit(fn)
+        return fn
+
+    def run(self, x, v, kT, key, n_steps: int) -> Tuple[jax.Array, jax.Array]:
+        """Advance (x, v) by n_steps; host loop over rebuild chunks."""
+        spec = self.spec
+        remaining = n_steps
+        while remaining > 0:
+            chunk = min(remaining, self.rebuild_interval)
+            x_s, v_s, valid, slot_p, max_occ = bin_particles(x, v, spec)
+            if int(max_occ) > spec.capacity:
+                # recompile with bigger capacity (rare)
+                new_cap = ((int(max_occ) + 8) // 8) * 8
+                self.spec = spec = spec._replace(capacity=new_cap)
+                x_s, v_s, valid, slot_p, max_occ = bin_particles(x, v, spec)
+            key, sub = jax.random.split(key)
+            seed = jax.random.randint(sub, (1,), 0, 2**31 - 1, dtype=jnp.int32)
+            kt_arr = jnp.asarray([kT], dtype=jnp.float32)
+            x_s, v_s = self._kernel_call(chunk)(seed, kt_arr, x_s, v_s, valid)
+            x, v = unbin_particles(x_s, v_s, slot_p, self.n_particles)
+            remaining -= chunk
+        return x, v, key

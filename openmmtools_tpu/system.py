@@ -163,6 +163,57 @@ class NonbondedTerm:
             )
         return e
 
+    def energy_neighbors(self, x, box, params, nbr):
+        """Energy via a fixed-capacity neighbor list (production MD path).
+
+        ``nbr``: :class:`openmmtools_tpu.ops.neighborlist.NeighborList` built
+        with ``r_list >= cutoff``. Exceptions are handled exactly as in
+        :meth:`energy` (subtract standard pair, add exception pair).
+        """
+        from openmmtools_tpu.ops.neighborlist import neighbor_energy
+
+        charge_scale = _param(params, self.charge_scale_param, None)
+        lj_scale = _param(params, self.lj_scale_param, None)
+        q = self.charge if charge_scale is None else self.charge * charge_scale
+        eps = self.epsilon if lj_scale is None else self.epsilon * lj_scale
+
+        def pair_fn(r2, i, j):
+            sig_ij = 0.5 * (self.sigma[i] + self.sigma[j])
+            eps_ij = jnp.sqrt(eps[i] * eps[j])
+            qq_ij = q[i] * q[j]
+            r = jnp.sqrt(r2)
+            e_lj = nonbonded.lj_pair(r2, sig_ij, eps_ij)
+            if self.switch_width is not None and self.cutoff is not None:
+                e_lj = e_lj * nonbonded.switch_factor(
+                    r, self.cutoff - self.switch_width, self.cutoff)
+            e_c = nonbonded.coulomb_pair(
+                r, qq_ij, self.method, cutoff=self.cutoff,
+                dielectric=self.dielectric, alpha=self.ewald_alpha)
+            e = e_lj + e_c
+            if self.cutoff is not None and self.method != "no_cutoff":
+                e = jnp.where(r2 < self.cutoff * self.cutoff, e, 0.0)
+            return e
+
+        e = neighbor_energy(x, box, nbr, pair_fn, periodic=self.periodic)
+        if self.exception_index.shape[0] > 0:
+            i = self.exception_index[:, 0]
+            j = self.exception_index[:, 1]
+            e = e - nonbonded.pair_list_energy(
+                x, box, self.exception_index, q[i] * q[j],
+                0.5 * (self.sigma[i] + self.sigma[j]),
+                jnp.sqrt(eps[i] * eps[j]),
+                method=self.method, cutoff=self.cutoff,
+                switch_width=self.switch_width, dielectric=self.dielectric,
+                alpha=self.ewald_alpha, periodic=self.periodic)
+            e = e + nonbonded.pair_list_energy(
+                x, box, self.exception_index, self.exception_chargeprod,
+                self.exception_sigma, self.exception_epsilon,
+                method="no_cutoff", periodic=self.periodic)
+        if self.use_dispersion_correction and self.periodic:
+            e = e + nonbonded.dispersion_correction_energy(
+                box, self.sigma, self.epsilon, self.cutoff, lj_scale=lj_scale)
+        return e
+
 
 @pytree_dataclass
 class CustomExternalTerm:

@@ -1,0 +1,95 @@
+"""Amber loader + alanine dipeptide tests (BASELINE config 3 system)."""
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from openmmtools_tpu.constants import kB
+
+pytestmark = pytest.mark.skipif(
+    not os.path.exists("/root/reference/openmmtools/data/alanine-dipeptide-gbsa"),
+    reason="reference data files not available")
+
+
+@pytest.fixture(scope="module")
+def ala():
+    from openmmtools_tpu.models import AlanineDipeptideVacuum
+
+    return AlanineDipeptideVacuum()
+
+
+def test_load(ala):
+    assert ala.system.n_particles == 22
+    assert ala.system.constraints.n_constraints == 12  # H bonds
+    u = float(ala.thermodynamic_state(300.0).potential_energy(
+        ala.sampler_state()))
+    assert np.isfinite(u)
+    assert -200.0 < u < 100.0
+
+
+def test_topology_selection(ala):
+    assert len(ala.topology.atom_names) == 22
+    ca = ala.topology.select(name="CA")
+    assert len(ca) == 1
+
+
+def test_unconstrained_variant():
+    from openmmtools_tpu.models import AlanineDipeptideVacuum
+
+    ala = AlanineDipeptideVacuum(constraints=None)
+    assert ala.system.constraints.n_constraints == 0
+    # bond term now includes the H bonds
+    assert ala.system.terms[0].index.shape[0] == 21  # 22 atoms, acyclic
+
+
+def test_exception_scaling(ala):
+    """1-4 exceptions exist with scaled parameters; 1-2/1-3 are excluded."""
+    nb = ala.system.terms[3]
+    assert nb.exception_index.shape[0] > 30
+    # excluded pairs have zero chargeprod & epsilon; 1-4 pairs nonzero
+    qq = np.asarray(nb.exception_chargeprod)
+    assert np.any(qq == 0.0) and np.any(qq != 0.0)
+
+
+def test_ghmc_on_alanine(ala):
+    """BASELINE config 3: GHMC moves on AlanineDipeptideVacuum run stably
+    with constrained H bonds."""
+    from openmmtools_tpu.mcmc import GHMCMove
+
+    move = GHMCMove(timestep=0.001, n_steps=20)
+    state = ala.thermodynamic_state(300.0)
+    ss = ala.sampler_state()
+    for _ in range(3):
+        ss = move.apply(state, ss)
+    assert not bool(ss.has_nan())
+    assert move.n_proposed == 60
+    assert move.n_accepted > 0
+    # constraints maintained
+    c = ala.system.constraints
+    d = np.linalg.norm(np.asarray(ss.positions)[np.asarray(c.index[:, 0])]
+                       - np.asarray(ss.positions)[np.asarray(c.index[:, 1])],
+                       axis=1)
+    assert np.allclose(d, np.asarray(c.distance), rtol=1e-4)
+
+
+def test_langevin_temperature_alanine(ala):
+    """BAOAB on constrained alanine: kinetic temperature near target."""
+    from openmmtools_tpu.integrators import BAOABIntegrator
+    from openmmtools_tpu.system import instantaneous_temperature
+
+    integ = BAOABIntegrator(temperature=300.0, collision_rate=10.0,
+                            timestep=0.001)
+    bound = integ.bind(ala.system)
+    s = bound.initial_state(ala.sampler_state(), jax.random.PRNGKey(0),
+                            temperature=300.0)
+    s = bound.run(s, 2000)
+    temps = []
+    for _ in range(20):
+        s = bound.run(s, 100)
+        temps.append(float(instantaneous_temperature(
+            ala.system.masses, s.velocities,
+            n_constraints=ala.system.constraints.n_constraints)))
+    t_mean = np.mean(temps)
+    assert abs(t_mean - 300.0) < 45.0, t_mean  # ~6 sigma for 54 DOF avg of 20

@@ -1,0 +1,110 @@
+"""Restraint force tests (analog of reference tests/test_forces.py)."""
+import math
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from openmmtools_tpu.constants import STANDARD_STATE_VOLUME, kB
+from openmmtools_tpu.forces import (
+    FlatBottomRestraintBondForce,
+    FlatBottomRestraintForce,
+    HarmonicRestraintBondForce,
+    HarmonicRestraintForce,
+    MultipleForcesError,
+    NoForceFoundError,
+    PositionalRestraintTerm,
+    find_forces,
+    restrain_atoms,
+)
+from openmmtools_tpu.models import LennardJonesPair
+from openmmtools_tpu.states import SamplerState, ThermodynamicState
+from openmmtools_tpu.system import NonbondedTerm
+
+
+def test_harmonic_restraint_energy_and_control():
+    f = HarmonicRestraintForce(
+        spring_constant=jnp.asarray(100.0),
+        group1=jnp.asarray([0], dtype=jnp.int32),
+        group2=jnp.asarray([1], dtype=jnp.int32))
+    x = jnp.asarray([[0.0, 0.0, 0.0], [0.3, 0.0, 0.0]])
+    u = float(f.energy(x, None, None))
+    assert np.isclose(u, 0.5 * 100.0 * 0.09, rtol=1e-5)
+    u_half = float(f.energy(x, None, {"lambda_restraints": 0.5}))
+    assert np.isclose(u_half, 0.5 * u, rtol=1e-6)
+    r = float(f.distance_at_energy(jnp.asarray(u)))
+    assert np.isclose(r, 0.3, rtol=1e-5)
+
+
+def test_harmonic_ssc_analytic():
+    """Standard-state correction matches the analytic harmonic volume."""
+    K, T = 400.0, 300.0
+    f = HarmonicRestraintBondForce(spring_constant=jnp.asarray(K))
+    ssc = f.compute_standard_state_correction(T)
+    v_restraint = (2.0 * math.pi * kB * T / K) ** 1.5
+    assert np.isclose(ssc, -math.log(STANDARD_STATE_VOLUME / v_restraint),
+                      rtol=1e-6)
+
+
+def test_flat_bottom_energy():
+    f = FlatBottomRestraintBondForce(
+        spring_constant=jnp.asarray(100.0), well_radius=jnp.asarray(0.2))
+    x_in = jnp.asarray([[0.0, 0.0, 0.0], [0.1, 0.0, 0.0]])
+    x_out = jnp.asarray([[0.0, 0.0, 0.0], [0.5, 0.0, 0.0]])
+    assert float(f.energy(x_in, None, None)) == 0.0
+    assert np.isclose(float(f.energy(x_out, None, None)),
+                      0.5 * 100.0 * 0.3**2, rtol=1e-5)
+
+
+def test_flat_bottom_ssc_converges_to_well_volume():
+    """Stiff spring: V_restraint -> well volume."""
+    f = FlatBottomRestraintBondForce(
+        spring_constant=jnp.asarray(1e6), well_radius=jnp.asarray(0.5))
+    ssc = f.compute_standard_state_correction(300.0)
+    v_well = 4.0 / 3.0 * math.pi * 0.5**3
+    assert np.isclose(ssc, -math.log(STANDARD_STATE_VOLUME / v_well),
+                      atol=0.02)
+
+
+def test_find_forces():
+    pair = LennardJonesPair()
+    matches = find_forces(pair.system, NonbondedTerm)
+    assert len(matches) == 1
+    i, term = find_forces(pair.system, NonbondedTerm, only_one=True)
+    assert isinstance(term, NonbondedTerm)
+    with pytest.raises(NoForceFoundError):
+        find_forces(pair.system, HarmonicRestraintForce, only_one=True)
+    # regex mode
+    assert len(find_forces(pair.system, "Nonbonded.*")) == 1
+
+
+def test_restrain_atoms():
+    pair = LennardJonesPair()
+    system = restrain_atoms(pair.system, pair.positions, [0, 1], sigma=0.2)
+    assert len(system.terms) == len(pair.system.terms) + 1
+    state = ThermodynamicState(system, jnp.asarray(300.0))
+    # at the reference positions the restraint energy contribution is 0
+    u0 = float(state.potential_energy(pair.sampler_state()))
+    u_ref = float(ThermodynamicState(pair.system, jnp.asarray(300.0))
+                  .potential_energy(pair.sampler_state()))
+    assert np.isclose(u0, u_ref, rtol=1e-6)
+    # displaced -> restraint kicks in
+    x2 = pair.positions + 0.1
+    # uniform translation: restraint penalizes (it's positional), LJ doesn't
+    u2 = float(state.potential_energy(SamplerState(positions=x2)))
+    assert u2 > u0
+
+
+def test_restraint_with_alchemical_control_in_state():
+    """Restraint controlled through ThermodynamicState.global_params."""
+    pair = LennardJonesPair()
+    f = HarmonicRestraintBondForce(spring_constant=jnp.asarray(50.0))
+    system = pair.system.replace(terms=pair.system.terms + (f,))
+    x = jnp.asarray([[0.0, 0.0, 0.0], [0.4, 0.0, 0.0]])
+    ss = SamplerState(positions=x)
+    on = ThermodynamicState(system, jnp.asarray(300.0),
+                            global_params={"lambda_restraints": 1.0})
+    off = ThermodynamicState(system, jnp.asarray(300.0),
+                             global_params={"lambda_restraints": 0.0})
+    du = float(on.potential_energy(ss)) - float(off.potential_energy(ss))
+    assert np.isclose(du, 0.5 * 50.0 * 0.16, rtol=1e-5)
