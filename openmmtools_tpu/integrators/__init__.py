@@ -30,3 +30,9 @@ from openmmtools_tpu.integrators.minimize import (  # noqa: F401
     gradient_descent_minimize,
     minimize,
 )
+from openmmtools_tpu.integrators.extras import (  # noqa: F401
+    AndersenVelocityVerletIntegrator,
+    MetropolisMonteCarloIntegrator,
+    MTSIntegrator,
+    NoseHooverChainVelocityVerletIntegrator,
+)

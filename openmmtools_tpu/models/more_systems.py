@@ -1,0 +1,297 @@
+"""Test systems, batch 2: crystals, diatomic fluids, mixtures, WCA dimers.
+
+Continues the port of ``/root/reference/openmmtools/testsystems.py``
+(SodiumChlorideCrystal :1561, DiatomicFluid :1137 + variants :1273-1341,
+ConstraintCoupledHarmonicOscillator :1386, LennardJonesGrid :2083,
+CustomLennardJonesFluidMixture :2169, DoubleWellDimer/Chain_WCAFluid
+:2393-2630). Same parameters, built as System pytrees.
+"""
+from __future__ import annotations
+
+import math
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from openmmtools_tpu.constants import kB
+from openmmtools_tpu.models.testsystems import (
+    KCAL,
+    A,
+    TestSystem,
+    WCAFluid,
+    WCATerm,
+    LennardJonesFluid,
+    _f32,
+    subrandom_particle_positions,
+)
+from openmmtools_tpu.ops.geometry import safe_norm
+from openmmtools_tpu.ops.pme import make_ewald_reciprocal_term
+from openmmtools_tpu.system import (
+    Constraints,
+    CustomExternalTerm,
+    HarmonicBondTerm,
+    NonbondedTerm,
+    System,
+    no_constraints,
+)
+from openmmtools_tpu.utils.pytree import pytree_dataclass, static_field
+
+
+class SodiumChlorideCrystal(TestSystem):
+    """One NaCl pair in a periodic Ewald lattice (testsystems.py:1561).
+
+    Parameters: sigma_Na = 3.330445 A, sigma_Cl = 4.41724 A, eps_Na =
+    0.002772, eps_Cl = 0.118 kcal/mol, box 5.628 A, Cl at (a/2, a/2, a/2).
+    """
+
+    def __init__(self, switch_width=0.2 * A, dispersion_correction=True):
+        super().__init__()
+        box_edge = 5.628 * A
+        cutoff = box_edge / 2.0 * 0.99
+        charges = np.asarray([1.0, -1.0])
+        sigmas = np.asarray([3.330445 * A, 4.41724 * A])
+        epsilons = np.asarray([0.002772 * KCAL, 0.118 * KCAL])
+        masses = np.asarray([22.990, 35.453])
+        from openmmtools_tpu.ops.pme import ewald_alpha
+
+        alpha = ewald_alpha(cutoff)
+        nb = NonbondedTerm(
+            charge=_f32(charges), sigma=_f32(sigmas), epsilon=_f32(epsilons),
+            exception_index=jnp.zeros((0, 2), jnp.int32),
+            exception_chargeprod=_f32([]), exception_sigma=_f32([]),
+            exception_epsilon=_f32([]),
+            method="ewald", cutoff=cutoff, switch_width=switch_width,
+            use_dispersion_correction=dispersion_correction,
+            ewald_alpha=float(alpha))
+        rec = make_ewald_reciprocal_term(charges, box_edge, cutoff,
+                                         np.zeros((0, 2), np.int64))
+        self.system = System(
+            masses=_f32(masses), terms=(nb, rec),
+            constraints=no_constraints(),
+            default_box=jnp.diag(_f32([box_edge] * 3)), periodic=True)
+        positions = np.zeros((2, 3), dtype=np.float32)
+        positions[1] = 2.814 * A
+        self.positions = jnp.asarray(positions)
+
+
+class DiatomicFluid(TestSystem):
+    """Periodic fluid of diatomic molecules (testsystems.py:1137).
+
+    Defaults: 250 molecules, K = 424 kcal/mol/A^2, r0 = 1.383 A,
+    eps = 0.17 kcal/mol, sigma = 1.824 A, charge 0 (DipolarFluid sets +-q);
+    ``constraint=True`` replaces the bond with a distance constraint.
+    """
+
+    def __init__(self, nmolecules=250, K=424.0 * KCAL / A**2, r0=1.383 * A,
+                 mass=14.0, epsilon=0.1700 * KCAL, sigma=1.8240 * A,
+                 charge=0.0, cutoff=None, constraint=False,
+                 dispersion_correction=True):
+        super().__init__()
+        n = 2 * nmolecules
+        number_density = 0.25 / (sigma**3)
+        volume = n / number_density
+        length = volume ** (1.0 / 3.0)
+        if cutoff is None:
+            cutoff = min(3.0 * sigma, 0.49 * length)
+        box = jnp.diag(_f32([length] * 3))
+
+        charges = np.tile([charge, -charge], nmolecules)
+        mol = np.arange(nmolecules)[:, None] * 2
+        pair_idx = mol + np.array([0, 1])
+        exc_qq = np.full(nmolecules, -charge * charge)
+        nb = NonbondedTerm(
+            charge=_f32(charges), sigma=_f32(np.full(n, sigma)),
+            epsilon=_f32(np.full(n, epsilon)),
+            exception_index=jnp.asarray(pair_idx, jnp.int32),
+            exception_chargeprod=_f32(np.zeros(nmolecules)),
+            exception_sigma=_f32(np.full(nmolecules, sigma)),
+            exception_epsilon=_f32(np.zeros(nmolecules)),
+            method="cutoff_periodic", cutoff=cutoff,
+            use_dispersion_correction=dispersion_correction)
+        terms = [nb]
+        if constraint:
+            constraints = Constraints(index=jnp.asarray(pair_idx, jnp.int32),
+                                      distance=_f32(np.full(nmolecules, r0)))
+        else:
+            constraints = no_constraints()
+            terms.append(HarmonicBondTerm(
+                index=jnp.asarray(pair_idx, jnp.int32),
+                length=_f32(np.full(nmolecules, r0)),
+                k=_f32(np.full(nmolecules, K))))
+
+        # place molecule centers subrandomly, orientations random
+        centers = subrandom_particle_positions(nmolecules, np.asarray(box))
+        rng = np.random.default_rng(0)
+        axes = rng.normal(size=(nmolecules, 3))
+        axes /= np.linalg.norm(axes, axis=1, keepdims=True)
+        positions = np.zeros((n, 3))
+        positions[0::2] = centers + 0.5 * r0 * axes
+        positions[1::2] = centers - 0.5 * r0 * axes
+        self.system = System(masses=_f32(np.full(n, mass)),
+                             terms=tuple(terms), constraints=constraints,
+                             default_box=box, periodic=True)
+        self.positions = jnp.asarray(positions, dtype=jnp.float32)
+        self.nmolecules = nmolecules
+
+
+class UnconstrainedDiatomicFluid(DiatomicFluid):
+    """testsystems.py:1273."""
+
+    def __init__(self, *args, **kwargs):
+        kwargs["constraint"] = False
+        super().__init__(*args, **kwargs)
+
+
+class ConstrainedDiatomicFluid(DiatomicFluid):
+    """testsystems.py:1290."""
+
+    def __init__(self, *args, **kwargs):
+        kwargs["constraint"] = True
+        super().__init__(*args, **kwargs)
+
+
+class DipolarFluid(DiatomicFluid):
+    """Diatomic fluid with +-q partial charges (testsystems.py:1307)."""
+
+    def __init__(self, charge=0.25, **kwargs):
+        super().__init__(charge=charge, **kwargs)
+
+
+class UnconstrainedDipolarFluid(DipolarFluid):
+    def __init__(self, *args, **kwargs):
+        kwargs["constraint"] = False
+        super().__init__(*args, **kwargs)
+
+
+class ConstrainedDipolarFluid(DipolarFluid):
+    def __init__(self, *args, **kwargs):
+        kwargs["constraint"] = True
+        super().__init__(*args, **kwargs)
+
+
+class ConstraintCoupledHarmonicOscillator(TestSystem):
+    """Two particles in harmonic wells, rigidly constrained together
+    (testsystems.py:1386). Defaults K = 1 kJ/mol/nm^2, d = 1 nm,
+    mass = 39.948 amu."""
+
+    def __init__(self, K=1.0, d=1.0, mass=39.948):
+        super().__init__()
+        self.K, self.d, self.mass = K, d, mass
+        well = CustomExternalTerm(
+            particles=jnp.asarray([0], jnp.int32),
+            global_defaults={"K_ccho": _f32(K)},
+            expression="(K_ccho/2.0)*(x**2+y**2+z**2)")
+        well2 = CustomExternalTerm(
+            particles=jnp.asarray([1], jnp.int32),
+            global_defaults={"K_ccho2": _f32(K), "d_ccho": _f32(d)},
+            expression="(K_ccho2/2.0)*((x-d_ccho)**2+y**2+z**2)")
+        constraints = Constraints(index=jnp.asarray([[0, 1]], jnp.int32),
+                                  distance=_f32([d]))
+        self.system = System(masses=_f32([mass, mass]),
+                             terms=(well, well2), constraints=constraints,
+                             default_box=None, periodic=False)
+        positions = np.zeros((2, 3), dtype=np.float32)
+        positions[1, 0] = d
+        self.positions = jnp.asarray(positions)
+        self.ndof = 6 - 1
+
+
+class LennardJonesGrid(LennardJonesFluid):
+    """LJ fluid initialized on an (nx, ny, nz) grid at reduced density 0.86
+    (testsystems.py:2083)."""
+
+    def __init__(self, nx=8, ny=8, nz=8, reduced_density=0.86, **kwargs):
+        nparticles = nx * ny * nz
+        super().__init__(nparticles=nparticles,
+                         reduced_density=reduced_density, **kwargs)
+        # overwrite positions with the (possibly anisotropic) grid
+        grid = np.stack(np.meshgrid(np.arange(nx), np.arange(ny),
+                                    np.arange(nz), indexing="ij"),
+                        axis=-1).reshape(-1, 3).astype(np.float64)
+        scale = self.box_edge / np.array([nx, ny, nz])
+        self.positions = jnp.asarray((grid + 0.5) * scale, dtype=jnp.float32)
+
+
+class CustomLennardJonesFluidMixture(LennardJonesFluid):
+    """Two-component LJ fluid: a fraction of particles with scaled epsilon
+    (the reference uses this to cross-validate CustomNonbondedForce vs
+    NonbondedForce, testsystems.py:2169; here the 'custom' component is a
+    second particle type)."""
+
+    def __init__(self, nparticles=1000, fraction=0.5, epsilon_scale=1.0,
+                 **kwargs):
+        super().__init__(nparticles=nparticles, **kwargs)
+        n_b = int(nparticles * fraction)
+        nb = self.system.terms[0]
+        eps = np.array(nb.epsilon)
+        eps[:n_b] *= epsilon_scale
+        self.system = self.system.replace_term(
+            0, nb.replace(epsilon=_f32(eps)))
+
+
+@pytree_dataclass
+class DoubleWellBondTerm:
+    """U = h (1 - ((r - r0 - w)/w)^2)^2 per bond (testsystems.py:2478)."""
+
+    index: jax.Array       # (B, 2)
+    h: jax.Array
+    r0: jax.Array
+    w: jax.Array
+    force_group: int = static_field(default=0)
+
+    def energy(self, x, box, params=None):
+        if self.index.shape[0] == 0:
+            return jnp.zeros((), dtype=x.dtype)
+        r = safe_norm(x[self.index[:, 0]] - x[self.index[:, 1]])
+        t = (r - self.r0 - self.w) / self.w
+        return jnp.sum(self.h * (1.0 - t * t) ** 2)
+
+
+class DoubleWellDimer_WCAFluid(WCAFluid):
+    """ndimers double-well bonded pairs in a WCA bath (testsystems.py:2393).
+    Defaults: h = 6 * 0.824 * 120 K * kB, r0 = 2^(1/6) sigma, w = 0.3 sigma.
+    """
+
+    def __init__(self, ndimers=1, nparticles=216, density=0.96, mass=39.9,
+                 epsilon=120.0 * kB, sigma=3.4 * A, h=None, r0=None, w=None):
+        super().__init__(nparticles=nparticles, density=density, mass=mass,
+                         epsilon=epsilon, sigma=sigma)
+        if not 0 <= ndimers <= nparticles // 2:
+            raise ValueError(f"cannot create {ndimers} dimers with "
+                             f"{nparticles} particles")
+        h = 6.0 * 0.824 * 120.0 * kB if h is None else h
+        r0 = 2.0 ** (1.0 / 6.0) * sigma if r0 is None else r0
+        w = 0.3 * sigma if w is None else w
+        self.ndimers = ndimers
+        idx = self._bond_indices(ndimers)
+        if ndimers:
+            term = DoubleWellBondTerm(
+                index=jnp.asarray(idx, jnp.int32),
+                h=_f32(np.full(len(idx), h)), r0=_f32(np.full(len(idx), r0)),
+                w=_f32(np.full(len(idx), w)))
+            self.system = self.system.replace(
+                terms=self.system.terms + (term,))
+            # move bonded partners next to each other
+            x = np.array(self.positions)
+            for a, b in idx:
+                x[b] = x[a] + np.array([r0, 0.0, 0.0])
+            self.positions = jnp.asarray(x)
+
+    @staticmethod
+    def _bond_indices(ndimers):
+        return [(2 * i, 2 * i + 1) for i in range(ndimers)]
+
+
+class DoubleWellChain_WCAFluid(DoubleWellDimer_WCAFluid):
+    """Polymer chain of double-well bonds (testsystems.py:2541):
+    nchained particles bonded consecutively."""
+
+    def __init__(self, nchained=3, nparticles=216, **kwargs):
+        self.nchained = nchained
+        super().__init__(ndimers=max(0, nchained - 1),
+                         nparticles=nparticles, **kwargs)
+
+    @staticmethod
+    def _bond_indices(nbonds):
+        return [(i, i + 1) for i in range(nbonds)]

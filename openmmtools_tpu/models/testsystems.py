@@ -640,3 +640,26 @@ class LennardJonesPair(TestSystem):
         u = 4.0 * self.epsilon * (s6 * s6 - s6)
         v_bound = 4.0 * math.pi * np.trapezoid(np.exp(-beta * u) * r**2, r)
         return -kB * float(temperature) * math.log(v_bound / STANDARD_STATE_VOLUME)
+
+
+# batch-2 systems live in more_systems.py; import so the auto-discovery in
+# get_available_testsystems (and the platform-parity script) sees them
+from openmmtools_tpu.models.more_systems import (  # noqa: E402,F401
+    ConstraintCoupledHarmonicOscillator,
+    ConstrainedDiatomicFluid,
+    ConstrainedDipolarFluid,
+    CustomLennardJonesFluidMixture,
+    DiatomicFluid,
+    DipolarFluid,
+    DoubleWellChain_WCAFluid,
+    DoubleWellDimer_WCAFluid,
+    LennardJonesGrid,
+    SodiumChlorideCrystal,
+    UnconstrainedDiatomicFluid,
+    UnconstrainedDipolarFluid,
+)
+from openmmtools_tpu.models.water import (  # noqa: E402,F401
+    FlexibleWaterBox,
+    WaterBox,
+    WaterCluster,
+)

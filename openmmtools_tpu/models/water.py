@@ -1,0 +1,249 @@
+"""Water box test systems (TIP3P/SPC-E; rigid or flexible; PME/Ewald/RF).
+
+Port of the reference WaterBox family (testsystems.py:2828-3350). The
+reference fills the box through openmm.app.Modeller + force-field XMLs; here
+the box is built directly: water molecules on a cubic lattice at liquid
+density with random orientations, parameters hard-coded from the standard
+(public) TIP3P / SPC/E models:
+
+  TIP3P: qO = -0.834 e, qH = +0.417 e, sigma_O = 0.31507 nm,
+         eps_O = 0.635968 kJ/mol, rOH = 0.09572 nm, HOH = 104.52 deg
+  SPC/E: qO = -0.8476, qH = +0.4238, sigma_O = 0.316557, eps_O = 0.650194,
+         rOH = 0.1, HOH = 109.47 deg
+
+Rigid water = 3 distance constraints per molecule (OH, OH, HH), the SHAKE
+analog of OpenMM's SETTLE. Intramolecular nonbonded pairs are excluded.
+"""
+from __future__ import annotations
+
+import math
+from typing import Optional
+
+import jax.numpy as jnp
+import numpy as np
+
+from openmmtools_tpu.models.testsystems import TestSystem, _f32
+from openmmtools_tpu.ops.pme import (
+    DEFAULT_EWALD_ERROR_TOLERANCE,
+    ewald_alpha,
+    make_ewald_reciprocal_term,
+)
+from openmmtools_tpu.system import (
+    Constraints,
+    HarmonicAngleTerm,
+    HarmonicBondTerm,
+    NonbondedTerm,
+    System,
+    no_constraints,
+)
+
+DEFAULT_CUTOFF_DISTANCE = 1.0     # nm (reference testsystems.py default)
+DEFAULT_SWITCH_WIDTH = 0.15       # nm
+
+_MODELS = {
+    "tip3p": dict(qO=-0.834, qH=0.417, sigma=0.31507, epsilon=0.635968,
+                  rOH=0.09572, aHOH=math.radians(104.52)),
+    "spce": dict(qO=-0.8476, qH=0.4238, sigma=0.316557, epsilon=0.650194,
+                 rOH=0.1, aHOH=math.radians(109.47)),
+}
+
+WATER_NUMBER_DENSITY = 33.0  # molecules / nm^3 (~0.987 g/cm^3)
+
+
+def _water_geometry(rOH, aHOH):
+    """O at origin; H positions in the xz plane."""
+    h1 = np.array([rOH * math.sin(aHOH / 2), 0.0, rOH * math.cos(aHOH / 2)])
+    h2 = np.array([-rOH * math.sin(aHOH / 2), 0.0, rOH * math.cos(aHOH / 2)])
+    return np.stack([np.zeros(3), h1, h2])
+
+
+def _random_rotation(rng):
+    q = rng.normal(size=4)
+    q /= np.linalg.norm(q)
+    x, y, z, w = q
+    return np.array([
+        [1 - 2 * (y * y + z * z), 2 * (x * y - z * w), 2 * (x * z + y * w)],
+        [2 * (x * y + z * w), 1 - 2 * (x * x + z * z), 2 * (y * z - x * w)],
+        [2 * (x * z - y * w), 2 * (y * z + x * w), 1 - 2 * (x * x + y * y)],
+    ])
+
+
+class WaterBox(TestSystem):
+    """Cubic box of rigid (or flexible) water (testsystems.py:2854).
+
+    Parameters mirror the reference: box_edge (nm), cutoff, model
+    ('tip3p'|'spce'), switch_width, constrained, dispersion_correction,
+    nonbonded_method ('pme' | 'ewald' | 'cutoff_periodic'),
+    ewald_error_tolerance.
+    """
+
+    def __init__(self, box_edge=2.5, cutoff=DEFAULT_CUTOFF_DISTANCE,
+                 model="tip3p", switch_width=DEFAULT_SWITCH_WIDTH,
+                 constrained=True, dispersion_correction=True,
+                 nonbonded_method="pme",
+                 ewald_error_tolerance=DEFAULT_EWALD_ERROR_TOLERANCE,
+                 seed=0):
+        super().__init__()
+        if model not in _MODELS:
+            raise ValueError(f"unsupported water model {model!r}; "
+                             f"available: {sorted(_MODELS)}")
+        if box_edge <= 2 * cutoff:
+            raise ValueError("box_edge should exceed 2*cutoff")
+        p = _MODELS[model]
+        self.model = model
+        self.constrained = constrained
+
+        # --- lattice placement at liquid density ---------------------------
+        n_target = int(WATER_NUMBER_DENSITY * box_edge**3)
+        n_side = int(round(n_target ** (1.0 / 3.0)))
+        n_waters = n_side**3
+        spacing = box_edge / n_side
+        rng = np.random.default_rng(seed)
+        geom = _water_geometry(p["rOH"], p["aHOH"])
+        positions = np.zeros((n_waters * 3, 3))
+        w = 0
+        for ix in range(n_side):
+            for iy in range(n_side):
+                for iz in range(n_side):
+                    center = (np.array([ix, iy, iz]) + 0.5) * spacing
+                    R = _random_rotation(rng)
+                    positions[3 * w: 3 * w + 3] = geom @ R.T + center
+                    w += 1
+        self.n_waters = n_waters
+        n_atoms = 3 * n_waters
+
+        # --- parameters ------------------------------------------------------
+        charges = np.tile([p["qO"], p["qH"], p["qH"]], n_waters)
+        sigmas = np.tile([p["sigma"], 0.1, 0.1], n_waters)  # H: no LJ
+        epsilons = np.tile([p["epsilon"], 0.0, 0.0], n_waters)
+        masses = np.tile([15.99943, 1.007947, 1.007947], n_waters)
+
+        # intramolecular exclusions: (O,H1), (O,H2), (H1,H2) per water
+        base = np.arange(n_waters)[:, None] * 3
+        excl = np.concatenate([
+            base + np.array([0, 1]),
+            base + np.array([0, 2]),
+            base + np.array([1, 2]),
+        ], axis=0)
+        e_count = excl.shape[0]
+
+        alpha = None
+        if nonbonded_method in ("pme", "ewald"):
+            alpha = ewald_alpha(cutoff, ewald_error_tolerance)
+        nb = NonbondedTerm(
+            charge=_f32(charges), sigma=_f32(sigmas), epsilon=_f32(epsilons),
+            exception_index=jnp.asarray(excl, dtype=jnp.int32),
+            exception_chargeprod=_f32(np.zeros(e_count)),
+            exception_sigma=_f32(np.full(e_count, 0.1)),
+            exception_epsilon=_f32(np.zeros(e_count)),
+            method=nonbonded_method, cutoff=cutoff,
+            switch_width=switch_width,
+            use_dispersion_correction=dispersion_correction,
+            ewald_alpha=alpha)
+        terms = [nb]
+        if nonbonded_method in ("pme", "ewald"):
+            terms.append(make_ewald_reciprocal_term(
+                charges, box_edge, cutoff, excl,
+                tol=ewald_error_tolerance))
+
+        # --- geometry terms ---------------------------------------------------
+        rHH = 2.0 * p["rOH"] * math.sin(p["aHOH"] / 2)
+        if constrained:
+            c_idx = np.concatenate([
+                base + np.array([0, 1]),
+                base + np.array([0, 2]),
+                base + np.array([1, 2]),
+            ], axis=0)
+            c_dist = np.concatenate([
+                np.full(n_waters, p["rOH"]),
+                np.full(n_waters, p["rOH"]),
+                np.full(n_waters, rHH),
+            ])
+            constraints = Constraints(
+                index=jnp.asarray(c_idx, dtype=jnp.int32),
+                distance=_f32(c_dist))
+        else:
+            constraints = no_constraints()
+            bond_idx = np.concatenate(
+                [base + np.array([0, 1]), base + np.array([0, 2])], axis=0)
+            terms.append(HarmonicBondTerm(
+                index=jnp.asarray(bond_idx, dtype=jnp.int32),
+                length=_f32(np.full(2 * n_waters, p["rOH"])),
+                k=_f32(np.full(2 * n_waters, 462750.4))))
+            ang_idx = base + np.array([1, 0, 2])
+            terms.append(HarmonicAngleTerm(
+                index=jnp.asarray(ang_idx, dtype=jnp.int32),
+                angle=_f32(np.full(n_waters, p["aHOH"])),
+                k=_f32(np.full(n_waters, 836.8))))
+
+        box = jnp.diag(_f32([box_edge, box_edge, box_edge]))
+        self.system = System(
+            masses=_f32(masses), terms=tuple(terms), constraints=constraints,
+            default_box=box, periodic=True)
+        self.positions = jnp.asarray(positions, dtype=jnp.float32)
+        self.ndof = 3 * n_atoms - constraints.n_constraints if constrained \
+            else 3 * n_atoms
+
+
+class FlexibleWaterBox(WaterBox):
+    """Flexible (unconstrained) variant (testsystems.py:2986)."""
+
+    def __init__(self, *args, **kwargs):
+        kwargs["constrained"] = False
+        super().__init__(*args, **kwargs)
+
+
+class WaterCluster(TestSystem):
+    """Non-periodic cluster of N rigid waters (testsystems.py WaterCluster).
+    """
+
+    def __init__(self, n_waters=20, model="tip3p", constrained=True, seed=0):
+        super().__init__()
+        p = _MODELS[model]
+        rng = np.random.default_rng(seed)
+        geom = _water_geometry(p["rOH"], p["aHOH"])
+        # place on a compact spherical-ish grid
+        spacing = 0.31
+        n_side = int(math.ceil(n_waters ** (1 / 3)))
+        centers = []
+        for ix in range(n_side):
+            for iy in range(n_side):
+                for iz in range(n_side):
+                    centers.append(np.array([ix, iy, iz]) * spacing)
+        centers = np.asarray(centers[:n_waters])
+        positions = np.zeros((n_waters * 3, 3))
+        for w in range(n_waters):
+            R = _random_rotation(rng)
+            positions[3 * w: 3 * w + 3] = geom @ R.T + centers[w]
+
+        charges = np.tile([p["qO"], p["qH"], p["qH"]], n_waters)
+        sigmas = np.tile([p["sigma"], 0.1, 0.1], n_waters)
+        epsilons = np.tile([p["epsilon"], 0.0, 0.0], n_waters)
+        masses = np.tile([15.99943, 1.007947, 1.007947], n_waters)
+        base = np.arange(n_waters)[:, None] * 3
+        excl = np.concatenate([base + np.array([0, 1]),
+                               base + np.array([0, 2]),
+                               base + np.array([1, 2])], axis=0)
+        nb = NonbondedTerm(
+            charge=_f32(charges), sigma=_f32(sigmas), epsilon=_f32(epsilons),
+            exception_index=jnp.asarray(excl, dtype=jnp.int32),
+            exception_chargeprod=_f32(np.zeros(excl.shape[0])),
+            exception_sigma=_f32(np.full(excl.shape[0], 0.1)),
+            exception_epsilon=_f32(np.zeros(excl.shape[0])),
+            method="no_cutoff")
+        rHH = 2.0 * p["rOH"] * math.sin(p["aHOH"] / 2)
+        if constrained:
+            c_idx = np.concatenate([base + np.array([0, 1]),
+                                    base + np.array([0, 2]),
+                                    base + np.array([1, 2])], axis=0)
+            c_dist = np.concatenate([np.full(n_waters, p["rOH"]),
+                                     np.full(n_waters, p["rOH"]),
+                                     np.full(n_waters, rHH)])
+            constraints = Constraints(index=jnp.asarray(c_idx, jnp.int32),
+                                      distance=_f32(c_dist))
+        else:
+            constraints = no_constraints()
+        self.system = System(masses=_f32(masses), terms=(nb,),
+                             constraints=constraints, default_box=None,
+                             periodic=False)
+        self.positions = jnp.asarray(positions, dtype=jnp.float32)

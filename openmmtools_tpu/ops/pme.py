@@ -1,0 +1,125 @@
+"""Ewald / PME electrostatics: reciprocal space as MXU matmuls.
+
+TPU-native replacement for OpenMM's PME kernels (SURVEY.md §2.2). The
+classic PME pipeline (B-spline charge spreading -> FFT -> influence
+function) is scatter/gather-bound — exactly what TPUs do worst. For the
+system sizes this framework targets (10^2-10^5 particles), the *direct
+k-space Ewald sum* is the better hardware fit: the structure factor
+S(k) = sum_j q_j exp(i k . r_j) is two (n_k x N) matrix products
+(cos/sin against the phase matrix k . r), which run on the MXU at
+hundreds of TFLOP/s, and the energy is a weighted reduction over k.
+
+    E_rec = k_e * (2 pi / V) sum_{k != 0} exp(-k^2/(4 alpha^2))/k^2 |S(k)|^2
+    E_self = -k_e * alpha/sqrt(pi) sum_j q_j^2
+    E_excl = -k_e * sum_{excluded pairs} q_i q_j erf(alpha r_ij)/r_ij
+
+combined with the erfc direct-space term evaluated by the nonbonded pair
+paths (method='pme'/'ewald'). Alpha and k-space extent follow OpenMM's
+error-tolerance heuristics: alpha = sqrt(-ln(2 tol))/cutoff,
+n_max = ceil(alpha L sqrt(-ln(2 tol)) / pi).
+"""
+from __future__ import annotations
+
+import math
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from openmmtools_tpu.constants import ONE_4PI_EPS0
+from openmmtools_tpu.utils.pytree import pytree_dataclass, static_field
+
+DEFAULT_EWALD_ERROR_TOLERANCE = 5e-4  # reference testsystems.py default
+
+
+def ewald_alpha(cutoff: float, tol: float = DEFAULT_EWALD_ERROR_TOLERANCE
+                ) -> float:
+    """OpenMM's alpha heuristic: sqrt(-ln(2 tol)) / cutoff."""
+    return math.sqrt(-math.log(2.0 * tol)) / cutoff
+
+
+def ewald_kmax(alpha: float, box_edge: float,
+               tol: float = DEFAULT_EWALD_ERROR_TOLERANCE) -> int:
+    """Number of reciprocal lattice shells per axis."""
+    return max(1, int(math.ceil(alpha * box_edge
+                                * math.sqrt(-math.log(2.0 * tol)) / math.pi)))
+
+
+def _half_space_kvectors(n_max: Tuple[int, int, int]) -> np.ndarray:
+    """Integer k-vectors covering half of reciprocal space (k and -k give
+    identical |S|^2; the weight 2 is applied in the energy)."""
+    nx, ny, nz = n_max
+    ks = []
+    for kx in range(0, nx + 1):
+        ky_lo = -ny if kx > 0 else 0
+        for ky in range(ky_lo, ny + 1):
+            kz_lo = -nz if (kx > 0 or ky > 0) else 1
+            for kz in range(kz_lo, nz + 1):
+                ks.append((kx, ky, kz))
+    return np.asarray(ks, dtype=np.float64)
+
+
+@pytree_dataclass
+class EwaldReciprocalTerm:
+    """Reciprocal-space + self + exclusion-correction energy term.
+
+    Built by system factories alongside a NonbondedTerm with method
+    'pme'/'ewald' (which supplies the erfc direct space). ``charge_scale_
+    param`` mirrors the NonbondedTerm hook so 'exact-PME'-style alchemical
+    charge scaling (alchemy.py:1664-1683) affects reciprocal space too.
+    """
+
+    charge: jax.Array               # (N,)
+    kvecs: jax.Array                # (n_k, 3) integer reciprocal indices
+    exclusion_index: jax.Array      # (E, 2) pairs excluded from direct space
+    alpha: float = static_field(default=3.0)
+    force_group: int = static_field(default=0)
+    charge_scale_param: Optional[str] = static_field(default=None)
+
+    def energy(self, x, box, params=None):
+        q = self.charge
+        if (self.charge_scale_param is not None and params is not None
+                and self.charge_scale_param in params):
+            q = q * params[self.charge_scale_param]
+        lengths = jnp.diagonal(box)
+        volume = jnp.prod(lengths)
+        two_pi = 2.0 * jnp.pi
+        # k vectors in physical units (orthorhombic)
+        k_phys = two_pi * self.kvecs / lengths[None, :]
+        k2 = jnp.sum(k_phys * k_phys, axis=1)
+        # phases: (n_k, N) = k . r  — MXU matmul
+        phase = jnp.dot(k_phys, x.T, preferred_element_type=jnp.float32)
+        c = jnp.dot(jnp.cos(phase), q, preferred_element_type=jnp.float32)
+        s = jnp.dot(jnp.sin(phase), q, preferred_element_type=jnp.float32)
+        s2 = c * c + s * s
+        weight = jnp.exp(-k2 / (4.0 * self.alpha * self.alpha)) / k2
+        e_rec = (ONE_4PI_EPS0 * (two_pi / volume)
+                 * 2.0 * jnp.sum(weight * s2))
+        # self energy
+        e_self = -ONE_4PI_EPS0 * self.alpha / jnp.sqrt(jnp.pi) * jnp.sum(q * q)
+        # exclusion corrections: remove erf(alpha r)/r for excluded pairs
+        e_excl = jnp.zeros((), dtype=x.dtype)
+        if self.exclusion_index.shape[0] > 0:
+            i = self.exclusion_index[:, 0]
+            j = self.exclusion_index[:, 1]
+            d = x[i] - x[j]
+            d = d - lengths * jnp.round(d / lengths)
+            r = jnp.sqrt(jnp.maximum(jnp.sum(d * d, axis=1), 1e-12))
+            e_excl = -ONE_4PI_EPS0 * jnp.sum(
+                q[i] * q[j] * jax.scipy.special.erf(self.alpha * r) / r)
+        return e_rec + e_self + e_excl
+
+
+def make_ewald_reciprocal_term(charges, box_edge, cutoff,
+                               exclusion_index,
+                               tol: float = DEFAULT_EWALD_ERROR_TOLERANCE,
+                               charge_scale_param=None) -> EwaldReciprocalTerm:
+    alpha = ewald_alpha(cutoff, tol)
+    n_max = ewald_kmax(alpha, box_edge, tol)
+    kvecs = _half_space_kvectors((n_max, n_max, n_max))
+    return EwaldReciprocalTerm(
+        charge=jnp.asarray(charges, dtype=jnp.float32),
+        kvecs=jnp.asarray(kvecs, dtype=jnp.float32),
+        exclusion_index=jnp.asarray(exclusion_index, dtype=jnp.int32),
+        alpha=float(alpha), charge_scale_param=charge_scale_param)

@@ -1,0 +1,173 @@
+"""Typed storage IO drivers (HDF5 implementation).
+
+Port of ``storage/iodrivers.py`` (reference :100-1100): an abstract
+:class:`StorageIODriver` and a concrete HDF5 driver with per-type codecs for
+int / float / str / bool / list / tuple / dict / np.ndarray, supporting both
+fixed ``write`` variables and ``append``-able variables with an unlimited
+leading (iteration) dimension. Type metadata is stored in attributes so
+reads reconstruct the original Python type.
+"""
+from __future__ import annotations
+
+import json
+import os
+from typing import Any, Optional
+
+import numpy as np
+
+
+class StorageIODriver:
+    """Abstract driver (reference iodrivers.py:100)."""
+
+    def __init__(self, file_name: str, access_mode: Optional[str] = None):
+        self._file_name = file_name
+        self._access_mode = access_mode
+
+    @property
+    def file_name(self):
+        return self._file_name
+
+    def check_scalar_units(self):  # unit layer is plain floats here
+        return None
+
+    # interface
+    def create_storage_variable(self, path, type_key):
+        raise NotImplementedError
+
+    def get_directory(self, path):
+        raise NotImplementedError
+
+    def close(self):
+        raise NotImplementedError
+
+
+def _encode(value):
+    """(payload ndarray, type_string, json_meta) for a python value."""
+    if isinstance(value, bool):
+        return np.asarray([int(value)]), "bool", None
+    if isinstance(value, (int, np.integer)):
+        return np.asarray([int(value)], dtype=np.int64), "int", None
+    if isinstance(value, (float, np.floating)):
+        return np.asarray([float(value)], dtype=np.float64), "float", None
+    if isinstance(value, str):
+        return np.frombuffer(value.encode(), dtype=np.uint8), "str", None
+    if isinstance(value, (list, tuple)):
+        arr = np.asarray(value)
+        kind = "list" if isinstance(value, list) else "tuple"
+        if arr.dtype.kind in "ifb":
+            return arr, kind, None
+        # heterogeneous: JSON
+        payload = json.dumps(list(value)).encode()
+        return np.frombuffer(payload, dtype=np.uint8), kind + "_json", None
+    if isinstance(value, dict):
+        payload = json.dumps(value).encode()
+        return np.frombuffer(payload, dtype=np.uint8), "dict", None
+    if isinstance(value, np.ndarray):
+        return value, "ndarray", None
+    try:  # jax arrays
+        import jax
+
+        if isinstance(value, jax.Array):
+            return np.asarray(value), "ndarray", None
+    except ImportError:
+        pass
+    raise TypeError(f"unsupported storage type {type(value)!r}")
+
+
+def _decode(arr: np.ndarray, type_string: str):
+    if type_string == "bool":
+        return bool(arr[0])
+    if type_string == "int":
+        return int(arr[0])
+    if type_string == "float":
+        return float(arr[0])
+    if type_string == "str":
+        return arr.tobytes().decode()
+    if type_string == "list":
+        return list(arr.tolist()) if arr.ndim == 1 else list(arr)
+    if type_string == "tuple":
+        return tuple(arr.tolist()) if arr.ndim == 1 else tuple(arr)
+    if type_string == "list_json":
+        return list(json.loads(arr.tobytes().decode()))
+    if type_string == "tuple_json":
+        return tuple(json.loads(arr.tobytes().decode()))
+    if type_string == "dict":
+        return json.loads(arr.tobytes().decode())
+    return arr  # ndarray
+
+
+class HDF5IODriver(StorageIODriver):
+    """HDF5-backed typed driver (NetCDFIODriver analog, iodrivers.py:245)."""
+
+    def __init__(self, file_name: str, access_mode: Optional[str] = None):
+        super().__init__(file_name, access_mode)
+        import h5py
+
+        if access_mode is None:
+            access_mode = "a" if os.path.exists(file_name) else "w"
+        os.makedirs(os.path.dirname(os.path.abspath(file_name)), exist_ok=True)
+        self._h5 = h5py.File(file_name, access_mode)
+
+    @property
+    def ncfile(self):  # parity name
+        return self._h5
+
+    # -- static write/read ---------------------------------------------------
+    def write(self, path: str, value: Any):
+        arr, ts, _ = _encode(value)
+        if path in self._h5:
+            del self._h5[path]
+        ds = self._h5.create_dataset(path, data=arr)
+        ds.attrs["type"] = ts
+        self._h5.flush()
+
+    def read(self, path: str) -> Any:
+        ds = self._h5[path]
+        return _decode(ds[...], ds.attrs.get("type", "ndarray"))
+
+    # -- appendable (iteration-dimension) variables ---------------------------
+    def append(self, path: str, value: Any):
+        arr, ts, _ = _encode(value)
+        if path not in self._h5:
+            ds = self._h5.create_dataset(
+                path, shape=(0,) + arr.shape, maxshape=(None,) + arr.shape,
+                dtype=arr.dtype, chunks=(1,) + arr.shape)
+            ds.attrs["type"] = ts
+            ds.attrs["appendable"] = True
+        ds = self._h5[path]
+        n = ds.shape[0]
+        ds.resize(n + 1, axis=0)
+        ds[n] = arr
+        self._h5.flush()
+
+    def read_appended(self, path: str, index: Optional[int] = None):
+        ds = self._h5[path]
+        ts = ds.attrs.get("type", "ndarray")
+        if index is None:
+            return [_decode(ds[i], ts) for i in range(ds.shape[0])]
+        return _decode(ds[index], ts)
+
+    def length(self, path: str) -> int:
+        ds = self._h5.get(path)
+        return 0 if ds is None else ds.shape[0]
+
+    def groups(self, path: str = "/"):
+        import h5py
+
+        node = self._h5[path]
+        return [k for k in node if isinstance(node[k], h5py.Group)]
+
+    def variables(self, path: str = "/"):
+        import h5py
+
+        node = self._h5[path]
+        return [k for k in node if isinstance(node[k], h5py.Dataset)]
+
+    def __contains__(self, path: str):
+        return path in self._h5
+
+    def sync(self):
+        self._h5.flush()
+
+    def close(self):
+        self._h5.close()

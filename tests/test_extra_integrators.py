@@ -1,0 +1,109 @@
+"""Nose-Hoover / Andersen / Metropolis-MC / MTS integrator tests."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from openmmtools_tpu.constants import kB
+from openmmtools_tpu.integrators import (
+    AndersenVelocityVerletIntegrator,
+    MetropolisMonteCarloIntegrator,
+    MTSIntegrator,
+    NoseHooverChainVelocityVerletIntegrator,
+)
+from openmmtools_tpu.models import HarmonicOscillator, HarmonicOscillatorArray
+from openmmtools_tpu.states import SamplerState
+
+TEMP = 300.0
+
+
+def _mean_u(bound, ho, n_burn=2000, n_samples=80, chunk=100, seed=0):
+    s = bound.initial_state(SamplerState(positions=ho.positions),
+                            jax.random.PRNGKey(seed), temperature=TEMP)
+    s = bound.run(s, n_burn)
+    us = []
+    for _ in range(n_samples):
+        s = bound.run(s, chunk)
+        us.append(float(sum(s.potentials)))
+    stderr = np.std(us) / np.sqrt(len(us) / 4.0)  # crude correlation factor
+    return np.mean(us), stderr, s
+
+
+def test_andersen_thermostat():
+    ho = HarmonicOscillator()
+    integ = AndersenVelocityVerletIntegrator(temperature=TEMP,
+                                             timestep=0.001)
+    mean_u, stderr, s = _mean_u(integ.bind(ho.system), ho)
+    expected = 1.5 * kB * TEMP
+    assert abs(mean_u - expected) < max(6 * stderr, 0.1 * expected), (
+        mean_u, expected, stderr)
+
+
+def test_metropolis_mc_integrator():
+    ho = HarmonicOscillator()
+    integ = MetropolisMonteCarloIntegrator(temperature=TEMP,
+                                           displacement_sigma=0.01)
+    mean_u, stderr, s = _mean_u(integ.bind(ho.system), ho)
+    expected = 1.5 * kB * TEMP
+    assert abs(mean_u - expected) < max(6 * stderr, 0.1 * expected)
+    rate = float(s.n_accepted) / float(s.n_proposed)
+    assert 0.05 < rate < 1.0
+
+
+def test_nose_hoover_bath_conservation():
+    """NHC conserved quantity (system + bath energy) drifts slowly."""
+    # multi-oscillator system is more ergodic than a single particle
+    arr = HarmonicOscillatorArray(N=5)
+    integ = NoseHooverChainVelocityVerletIntegrator(
+        temperature=TEMP, timestep=0.001, collision_frequency=50.0)
+    bound = integ.bind(arr.system)
+    s = bound.initial_state(SamplerState(positions=arr.positions),
+                            jax.random.PRNGKey(1), temperature=TEMP)
+
+    def conserved(s):
+        ke_b, pe_b = bound.bath_energy(s)
+        ke = 0.5 * float(jnp.sum(arr.system.masses[:, None]
+                                 * s.velocities**2))
+        return float(sum(s.potentials)) + ke + float(ke_b) + float(pe_b)
+
+    s = bound.run(s, 100)
+    e0 = conserved(s)
+    s = bound.run(s, 2000)
+    e1 = conserved(s)
+    scale = max(abs(e0), 5 * kB * TEMP)
+    assert abs(e1 - e0) < 0.05 * scale, (e0, e1)
+
+
+def test_nose_hoover_temperature():
+    arr = HarmonicOscillatorArray(N=5)
+    integ = NoseHooverChainVelocityVerletIntegrator(
+        temperature=TEMP, timestep=0.001, collision_frequency=100.0)
+    bound = integ.bind(arr.system)
+    s = bound.initial_state(SamplerState(positions=arr.positions),
+                            jax.random.PRNGKey(2), temperature=TEMP)
+    s = bound.run(s, 2000)
+    kes = []
+    for _ in range(30):
+        s = bound.run(s, 100)
+        kes.append(0.5 * float(jnp.sum(arr.system.masses[:, None]
+                                       * s.velocities**2)))
+    t_mean = 2 * np.mean(kes) / (arr.ndof * kB)
+    assert abs(t_mean - TEMP) < 0.2 * TEMP, t_mean
+
+
+def test_mts_integrator():
+    from openmmtools_tpu.models.testsystems import CustomExternalForcesTestSystem
+
+    ts = CustomExternalForcesTestSystem(
+        energy_expressions=("0.75*(x**2+y**2+z**2)",
+                            "0.25*(x**2+y**2+z**2)"),
+        n_particles=8)
+    integ = MTSIntegrator(timestep=0.002, groups=[(0, 1), (1, 4)],
+                          temperature=TEMP)
+    bound = integ.bind(ts.system)
+    # splitting must contain both groups with group 1 nested more often
+    assert "V0" in integ.splitting and "V1" in integ.splitting
+    s = bound.initial_state(ts.sampler_state(), jax.random.PRNGKey(3),
+                            temperature=TEMP)
+    s = bound.run(s, 200)
+    assert bool(jnp.all(jnp.isfinite(s.positions)))

@@ -1,0 +1,71 @@
+"""Storage layer tests (analog of tests/test_storage_iodrivers.py and
+tests/test_storage_interface.py)."""
+import numpy as np
+import pytest
+
+from openmmtools_tpu.storage import HDF5IODriver, StorageInterface
+
+
+@pytest.mark.parametrize("value", [
+    42, 3.14, True, "hello world", [1, 2, 3], (4.0, 5.0),
+    ["a", "b"], {"key": 1, "other": [1, 2]},
+    np.arange(12, dtype=np.float32).reshape(3, 4),
+])
+def test_roundtrip_types(tmp_path, value):
+    d = HDF5IODriver(str(tmp_path / "t.h5"))
+    d.write("x", value)
+    out = d.read("x")
+    if isinstance(value, np.ndarray):
+        assert np.allclose(out, value)
+    else:
+        assert out == value
+    d.close()
+
+
+def test_appendable(tmp_path):
+    d = HDF5IODriver(str(tmp_path / "a.h5"))
+    for i in range(5):
+        d.append("traj/energy", float(i) * 1.5)
+    assert d.length("traj/energy") == 5
+    assert d.read_appended("traj/energy", 3) == 4.5
+    assert d.read_appended("traj/energy") == [0.0, 1.5, 3.0, 4.5, 6.0]
+    # ndarray frames
+    for i in range(3):
+        d.append("traj/x", np.full((4, 3), i, dtype=np.float32))
+    assert np.allclose(d.read_appended("traj/x", 2), 2.0)
+    d.close()
+
+
+def test_overwrite(tmp_path):
+    d = HDF5IODriver(str(tmp_path / "o.h5"))
+    d.write("v", 1)
+    d.write("v", "now a string")
+    assert d.read("v") == "now a string"
+    d.close()
+
+
+def test_storage_interface_dotted_paths(tmp_path):
+    si = StorageInterface(str(tmp_path / "si.h5"))
+    si.mydir.myvar.write(4)
+    assert si.mydir.myvar.read() == 4
+    si.stats.energies.append(1.0)
+    si.stats.energies.append(2.0)
+    assert si.stats.energies.read_appended() == [1.0, 2.0]
+    assert si.deep.nested.directory.value.path == "deep/nested/directory/value"
+    si.close()
+
+    # reopen and read back
+    si2 = StorageInterface(str(tmp_path / "si.h5"))
+    assert si2.mydir.myvar.read() == 4
+    si2.close()
+
+
+def test_driver_introspection(tmp_path):
+    d = HDF5IODriver(str(tmp_path / "i.h5"))
+    d.write("grp/a", 1)
+    d.write("grp/b", 2.0)
+    d.write("top", "x")
+    assert "grp" in d.groups("/")
+    assert sorted(d.variables("grp")) == ["a", "b"]
+    assert "grp/a" in d
+    d.close()

@@ -1,0 +1,137 @@
+"""Water box + Ewald/PME validation."""
+import math
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from openmmtools_tpu.constants import ONE_4PI_EPS0, kB
+from openmmtools_tpu.models.water import FlexibleWaterBox, WaterBox, WaterCluster
+from openmmtools_tpu.ops.pme import (
+    ewald_alpha,
+    make_ewald_reciprocal_term,
+)
+from openmmtools_tpu.system import NonbondedTerm
+
+
+def test_madelung_constant():
+    """Rock-salt lattice: Ewald energy per ion = k_e M / (2 a) with
+    M = -1.7475645946 — an absolute correctness check of the full
+    direct+reciprocal+self decomposition."""
+    a = 0.5
+    m = 6
+    L = m * a
+    pos, q = [], []
+    for i in range(m):
+        for j in range(m):
+            for k in range(m):
+                pos.append((i * a, j * a, k * a))
+                q.append(1.0 if (i + j + k) % 2 == 0 else -1.0)
+    pos = np.asarray(pos)
+    q = np.asarray(q)
+    cutoff = 1.4
+    alpha = ewald_alpha(cutoff, 1e-7)
+    nb = NonbondedTerm(
+        charge=jnp.asarray(q), sigma=jnp.full(len(q), 0.1),
+        epsilon=jnp.zeros(len(q)),
+        exception_index=jnp.zeros((0, 2), jnp.int32),
+        exception_chargeprod=jnp.zeros(0), exception_sigma=jnp.zeros(0),
+        exception_epsilon=jnp.zeros(0),
+        method="pme", cutoff=cutoff, ewald_alpha=float(alpha))
+    rec = make_ewald_reciprocal_term(q, L, cutoff, np.zeros((0, 2), np.int64),
+                                     tol=1e-7)
+    box = jnp.diag(jnp.asarray([L, L, L]))
+    x = jnp.asarray(pos)
+    u = float(nb.energy(x, box, None)) + float(rec.energy(x, box, None))
+    per_ion = u / len(q)
+    expected = ONE_4PI_EPS0 * (-1.7475645946) / (2.0 * a)
+    assert np.isclose(per_ion, expected, rtol=1e-4), (per_ion, expected)
+
+
+def test_ewald_cutoff_invariance():
+    """Total Ewald energy must be independent of the direct/reciprocal
+    split (the cutoff/alpha choice)."""
+    rng = np.random.default_rng(0)
+    n = 32
+    L = 2.0
+    x = rng.uniform(0, L, (n, 3))
+    q = rng.normal(size=n)
+    q -= q.mean()  # neutral
+    box = jnp.diag(jnp.asarray([L, L, L]))
+    energies = []
+    for cutoff in (0.7, 0.9):
+        alpha = ewald_alpha(cutoff, 1e-6)
+        nb = NonbondedTerm(
+            charge=jnp.asarray(q), sigma=jnp.full(n, 0.1),
+            epsilon=jnp.zeros(n),
+            exception_index=jnp.zeros((0, 2), jnp.int32),
+            exception_chargeprod=jnp.zeros(0), exception_sigma=jnp.zeros(0),
+            exception_epsilon=jnp.zeros(0),
+            method="pme", cutoff=cutoff, ewald_alpha=float(alpha))
+        rec = make_ewald_reciprocal_term(q, L, cutoff,
+                                         np.zeros((0, 2), np.int64), tol=1e-6)
+        u = float(nb.energy(jnp.asarray(x), box, None)) \
+            + float(rec.energy(jnp.asarray(x), box, None))
+        energies.append(u)
+    assert np.isclose(energies[0], energies[1],
+                      rtol=1e-3, atol=0.05), energies
+
+
+@pytest.fixture(scope="module")
+def waterbox():
+    return WaterBox(box_edge=2.2, cutoff=0.9)
+
+
+def test_waterbox_build(waterbox):
+    assert waterbox.system.n_particles == 3 * waterbox.n_waters
+    assert waterbox.system.constraints.n_constraints == 3 * waterbox.n_waters
+    u = float(waterbox.thermodynamic_state(300.0)
+              .potential_energy(waterbox.sampler_state()))
+    assert np.isfinite(u)
+
+
+def test_waterbox_md_stability(waterbox):
+    """Rigid TIP3P box integrates stably with SHAKE/RATTLE + Ewald."""
+    from openmmtools_tpu.integrators import BAOABIntegrator
+
+    integ = BAOABIntegrator(temperature=300.0, collision_rate=5.0,
+                            timestep=0.001, neighborlist=None)
+    bound = integ.bind(waterbox.system)
+    s = bound.initial_state(waterbox.sampler_state(), jax.random.PRNGKey(0),
+                            temperature=300.0)
+    s = bound.run(s, 50)
+    assert bool(jnp.all(jnp.isfinite(s.positions)))
+    # constraints hold
+    c = waterbox.system.constraints
+    xi = np.asarray(s.positions)
+    d = np.linalg.norm(xi[np.asarray(c.index[:, 0])]
+                       - xi[np.asarray(c.index[:, 1])], axis=1)
+    assert np.allclose(d, np.asarray(c.distance), rtol=1e-4)
+
+
+def test_flexible_waterbox():
+    wb = FlexibleWaterBox(box_edge=2.2, cutoff=0.9)
+    assert wb.system.constraints.n_constraints == 0
+    u = float(wb.thermodynamic_state(300.0).potential_energy(
+        wb.sampler_state()))
+    assert np.isfinite(u)
+
+
+def test_water_cluster():
+    wc = WaterCluster(n_waters=8)
+    u = float(wc.thermodynamic_state(300.0).potential_energy(
+        wc.sampler_state()))
+    assert np.isfinite(u)
+
+
+def test_spce_model():
+    wb = WaterBox(box_edge=2.2, cutoff=0.9, model="spce")
+    u = float(wb.thermodynamic_state(300.0).potential_energy(
+        wb.sampler_state()))
+    assert np.isfinite(u)
+
+
+def test_unsupported_model():
+    with pytest.raises(ValueError):
+        WaterBox(model="tip42")
