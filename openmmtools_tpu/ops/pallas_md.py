@@ -370,22 +370,59 @@ class FusedLJBAOAB:
             self._compiled[key] = fn = jax.jit(fn)
         return fn
 
-    def run(self, x, v, kT, key, n_steps: int) -> Tuple[jax.Array, jax.Array]:
-        """Advance (x, v) by n_steps; host loop over rebuild chunks."""
+    def _full_program(self, n_steps: int):
+        """ONE jitted program: scan over (rebuild -> fused kernel chunk).
+
+        The TPU here sits behind a network relay, so every host dispatch /
+        sync costs ~0.1 s — the entire n_steps trajectory must be a single
+        XLA program. Overflow is carried as a flag and checked once at the
+        end (the host bumps capacity and recompiles in the rare case)."""
+        key_fn = (self.spec, n_steps, self.rebuild_interval)
+        fn = self._compiled.get(key_fn)
+        if fn is not None:
+            return fn
         spec = self.spec
-        remaining = n_steps
-        while remaining > 0:
-            chunk = min(remaining, self.rebuild_interval)
-            x_s, v_s, valid, slot_p, max_occ = bin_particles(x, v, spec)
-            if int(max_occ) > spec.capacity:
-                # recompile with bigger capacity (rare)
-                new_cap = ((int(max_occ) + 8) // 8) * 8
-                self.spec = spec = spec._replace(capacity=new_cap)
+        interval = self.rebuild_interval
+        n_chunks, remainder = divmod(n_steps, interval)
+        kernel_main = self._kernel_call(interval) if n_chunks else None
+        kernel_rem = self._kernel_call(remainder) if remainder else None
+        n_particles = self.n_particles
+
+        def chunk_body(kernel_call):
+            def body(carry, _):
+                x, v, kT, key, overflow = carry
                 x_s, v_s, valid, slot_p, max_occ = bin_particles(x, v, spec)
-            key, sub = jax.random.split(key)
-            seed = jax.random.randint(sub, (1,), 0, 2**31 - 1, dtype=jnp.int32)
-            kt_arr = jnp.asarray([kT], dtype=jnp.float32)
-            x_s, v_s = self._kernel_call(chunk)(seed, kt_arr, x_s, v_s, valid)
-            x, v = unbin_particles(x_s, v_s, slot_p, self.n_particles)
-            remaining -= chunk
-        return x, v, key
+                overflow = overflow | (max_occ > spec.capacity)
+                key, sub = jax.random.split(key)
+                seed = jax.random.randint(sub, (1,), 0, 2**31 - 1,
+                                          dtype=jnp.int32)
+                kt_arr = kT.reshape(1).astype(jnp.float32)
+                x_s, v_s = kernel_call(seed, kt_arr, x_s, v_s, valid)
+                x, v = unbin_particles(x_s, v_s, slot_p, n_particles)
+                return (x, v, kT, key, overflow), None
+            return body
+
+        @jax.jit
+        def run_fn(x, v, kT, key):
+            overflow = jnp.zeros((), dtype=bool)
+            carry = (x, v, jnp.asarray(kT, jnp.float32), key, overflow)
+            if n_chunks:
+                carry, _ = jax.lax.scan(chunk_body(kernel_main), carry, None,
+                                        length=n_chunks)
+            if remainder:
+                carry, _ = chunk_body(kernel_rem)(carry, None)
+            x, v, _, key, overflow = carry
+            return x, v, key, overflow
+
+        self._compiled[key_fn] = run_fn
+        return run_fn
+
+    def run(self, x, v, kT, key, n_steps: int) -> Tuple[jax.Array, jax.Array]:
+        """Advance (x, v) by n_steps in one device program; bump capacity
+        and retry on neighbor-grid overflow (rare)."""
+        while True:
+            x2, v2, key2, overflow = self._full_program(n_steps)(x, v, kT, key)
+            if not bool(overflow):
+                return x2, v2, key2
+            new_cap = self.spec.capacity + 8
+            self.spec = self.spec._replace(capacity=new_cap)

@@ -1,0 +1,121 @@
+"""ContextCache/LRUCache, parallel helpers, utils (Timer, math_eval,
+serialization) tests."""
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from openmmtools_tpu.cache import (
+    ContextCache,
+    DummyContextCache,
+    LRUCache,
+    global_context_cache,
+)
+from openmmtools_tpu.integrators import BAOABIntegrator
+from openmmtools_tpu.models import HarmonicOscillator
+from openmmtools_tpu.parallel import distribute, on_single_device, replica_mesh
+from openmmtools_tpu.utils import Timer, deserialize, math_eval, serialize
+from openmmtools_tpu.utils.equilibration import (
+    EquilibrationStage,
+    run_gentle_equilibration,
+)
+from openmmtools_tpu.states import SamplerState
+
+
+def test_lru_capacity():
+    c = LRUCache(capacity=2)
+    c["a"] = 1
+    c["b"] = 2
+    c["c"] = 3
+    assert "a" not in c and "b" in c and "c" in c
+    _ = c["b"]  # touch b
+    c["d"] = 4  # evicts c (b was refreshed)
+    assert "c" not in c and "b" in c
+
+
+def test_lru_ttl():
+    c = LRUCache(time_to_live=3)
+    c["a"] = 1
+    _ = c["a"]
+    c["b"] = 2
+    c["d"] = 3
+    c["e"] = 4  # 'a' expired after 3 accesses without touch
+    assert "a" not in c
+
+
+def test_context_cache_reuse():
+    ho = HarmonicOscillator()
+    cache = ContextCache()
+    s1 = ho.thermodynamic_state(300.0)
+    s2 = ho.thermodynamic_state(400.0)  # compatible
+    integ = BAOABIntegrator(temperature=300.0)
+    b1, _ = cache.get_context(s1, integ)
+    b2, _ = cache.get_context(s2, integ)
+    assert b1 is b2  # compatible states share the compiled binding
+    assert len(cache) == 1
+    dummy = DummyContextCache()
+    d1, _ = dummy.get_context(s1, BAOABIntegrator(temperature=300.0))
+    assert d1 is not b1
+
+
+def test_timer():
+    t = Timer()
+    t.start("x")
+    time.sleep(0.01)
+    dt = t.stop("x")
+    assert dt > 0.005
+    totals = t.report_timing()
+    assert "x" in totals
+
+
+def test_math_eval():
+    assert math_eval("2*x + step(y)", {"x": 3.0, "y": -1.0}) == 6.0
+    assert math_eval("min(1.0, 2.0*lam)", {"lam": 0.3}) == 0.6
+    with pytest.raises(ValueError):
+        math_eval("__import__('os')", {})
+    # traced values stay traced
+    out = jax.jit(lambda v: math_eval("sqrt(x)*2", {"x": v}))(jnp.asarray(4.0))
+    assert float(out) == 4.0
+
+
+def test_serialization_roundtrip():
+    ho = HarmonicOscillator()
+    blob = serialize(ho.system)
+    system2 = deserialize(blob)
+    x = jnp.asarray([[0.1, 0.0, 0.0]])
+    u1 = float(ho.system.energy(x))
+    u2 = float(system2.energy(x))
+    assert np.isclose(u1, u2, rtol=1e-6)
+
+
+def test_distribute_and_single_device():
+    mesh = replica_mesh(min(8, len(jax.devices())))
+    xs = jnp.arange(8.0).reshape(8, 1)
+    out = distribute(lambda x: x * 2, xs, mesh=mesh)
+    assert np.allclose(np.asarray(out), np.asarray(xs) * 2)
+
+    @on_single_device
+    def analyze(arr):
+        assert isinstance(arr, np.ndarray)
+        return arr.sum()
+
+    assert analyze(xs) == float(np.asarray(xs).sum())
+
+
+def test_gentle_equilibration():
+    ho = HarmonicOscillator(K=400.0)
+    stages = [
+        EquilibrationStage(stage_type="minimize", n_steps=50),
+        EquilibrationStage(stage_type="nvt", temperature=200.0, n_steps=50,
+                           timestep=0.005),
+        EquilibrationStage(stage_type="nvt", temperature=300.0, n_steps=50,
+                           timestep=0.005),
+    ]
+    state = ho.thermodynamic_state(300.0)
+    ss = SamplerState(positions=jnp.asarray([[0.5, 0.5, 0.5]]))
+    out = run_gentle_equilibration(state, ss, stages)
+    assert not bool(out.has_nan())
+    assert float(state.potential_energy(out)) < float(
+        state.potential_energy(ss))
