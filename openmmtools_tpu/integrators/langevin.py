@@ -493,7 +493,10 @@ class BoundIntegrator:
         box = sampler_state.box_vectors
         if box is None:
             box = self.system.default_box
-        params = dict(global_params or {})
+        # global params enter the scanned carry: cast to concrete arrays of
+        # the position dtype so in-step updates (H steps) keep the carry type
+        params = {k: jnp.asarray(v, dtype=x.dtype)
+                  for k, v in (global_params or {}).items()}
         v = sampler_state.velocities
         if v is None:
             key, sub = jax.random.split(key)

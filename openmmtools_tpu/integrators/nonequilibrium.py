@@ -47,23 +47,24 @@ class BoundNonequilibriumIntegrator(BoundIntegrator):
         env.shadow_work = jnp.where(reset, zero, env.shadow_work)
         env.heat = jnp.where(reset, zero, env.heat)
         env.lambda_step = jnp.where(reset, 0, env.lambda_step)
-        env.lambda_ = self._lambda_schedule(env.lambda_step)
+        env.lambda_ = self._lambda_schedule(env.lambda_step).astype(env.x.dtype)
 
     def _emit_H(self, env):
         functions = self.integrator.alchemical_functions
         u_old = self._total_potential(env)
         env.lambda_step = env.lambda_step + 1
-        lam = self._lambda_schedule(env.lambda_step)
+        lam = self._lambda_schedule(env.lambda_step).astype(env.x.dtype)
         new_params = dict(env.params)
         for name, expr in functions.items():
-            new_params[name] = math_eval(expr, {"lambda": lam})
+            new_params[name] = jnp.asarray(math_eval(expr, {"lambda": lam}),
+                                           dtype=env.x.dtype)
         env.params = new_params
         for g in self.groups:
             env.U[g] = None
             env.F[g] = None
         u_new = self._total_potential(env)
         env.protocol_work = env.protocol_work + (u_new - u_old)
-        env.lambda_ = lam
+        env.lambda_ = lam.astype(env.x.dtype)
 
     # -- external perturbation work (ExternalPerturbationLangevinIntegrator)
     def perturb(self, state: IntegratorState, new_params: Dict) -> IntegratorState:
