@@ -7,6 +7,7 @@ correctness oracle for integrators, samplers, and alchemy.
 
 from openmmtools_tpu.models.testsystems import (  # noqa: F401
     TestSystem,
+    AlanineDipeptideImplicit,
     AlanineDipeptideVacuum,
     HarmonicOscillator,
     PowerOscillator,

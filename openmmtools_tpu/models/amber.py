@@ -280,9 +280,19 @@ def create_system_from_prmtop(prmtop_path: str, constraints: Optional[str] = "h-
         exception_epsilon=_f32(exc_eps),
         method="no_cutoff")
 
+    terms = [bond_terms, angle_terms, torsion_terms, nonbonded]
+    if implicit_solvent:
+        from openmmtools_tpu.ops.gbsa import GBSAOBCTerm
+
+        if "RADII" not in data or "SCREEN" not in data:
+            raise ValueError("prmtop lacks RADII/SCREEN for implicit solvent")
+        terms.append(GBSAOBCTerm(
+            charge=_f32(charges),
+            radius=_f32(data["RADII"][:natom] * A2NM),
+            scale=_f32(data["SCREEN"][:natom])))
     return System(
         masses=_f32(masses),
-        terms=(bond_terms, angle_terms, torsion_terms, nonbonded),
+        terms=tuple(terms),
         constraints=constraints_obj,
         default_box=None,
         periodic=False)

@@ -596,6 +596,38 @@ class AlanineDipeptideVacuum(TestSystem):
             self.system.constraints.n_constraints
 
 
+class AlanineDipeptideImplicit(TestSystem):
+    """Alanine dipeptide with GBSA-OBC implicit solvent (reference
+    testsystems.py:3413 AlanineDipeptideImplicit; OBC parameters from the
+    prmtop's RADII/SCREEN sections)."""
+
+    def __init__(self, constraints="h-bonds", data_dir=None):
+        super().__init__()
+        import os
+
+        from openmmtools_tpu.models.amber import (
+            DEFAULT_DATA_DIR,
+            AmberTopology,
+            create_system_from_prmtop,
+            parse_inpcrd,
+            parse_prmtop,
+        )
+
+        base = os.path.join(data_dir or DEFAULT_DATA_DIR,
+                            "alanine-dipeptide-gbsa")
+        prmtop = os.path.join(base, "alanine-dipeptide.prmtop")
+        crd = os.path.join(base, "alanine-dipeptide.crd")
+        if not os.path.exists(prmtop):
+            raise FileNotFoundError(
+                f"alanine dipeptide data not found under {base}")
+        self.system = create_system_from_prmtop(
+            prmtop, constraints=constraints, implicit_solvent=True)
+        self.positions = jnp.asarray(parse_inpcrd(crd), dtype=jnp.float32)
+        self.topology = AmberTopology(parse_prmtop(prmtop))
+        self.ndof = 3 * self.system.n_particles - \
+            self.system.constraints.n_constraints
+
+
 class LennardJonesPair(TestSystem):
     """Two LJ particles at the potential minimum separation; analytic B2
     virial coefficient and binding free energy by quadrature

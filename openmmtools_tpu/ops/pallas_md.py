@@ -141,6 +141,64 @@ def bin_particles(x, v, spec: LJGridSpec):
     return x_slots, v_slots, valid, slot_particle, max_occ
 
 
+@functools.partial(jax.jit, static_argnums=(2,))
+def bin_particles_matmul(x, v, spec: LJGridSpec):
+    """Scatter-free binning: slot assignment via a one-hot matrix product.
+
+    TPU scatters serialize; instead the (N, M*G) one-hot placement matrix E
+    is built with broadcasted compares (VPU) and applied with matmuls (MXU):
+    slots = E^T @ values. Rank-within-cell comes from an (N, N) same-cell &
+    lower-index count instead of a sort. Returns
+    (x_slots, v_slots, valid, E, max_occ) — E is reused by
+    :func:`unbin_particles_matmul` (x = E @ slots).
+    """
+    n = x.shape[0]
+    ns = spec.n_side
+    gs = spec.g_side
+    m = spec.capacity
+    g = spec.g_cells
+    L = spec.box_edge
+
+    x_wrapped = x - L * jnp.floor(x / L)
+    cell = jnp.clip((x_wrapped / spec.cell_edge).astype(jnp.int32), 0, ns - 1)
+    gflat = ((cell[:, 0] + 1) + gs * (cell[:, 1] + 1)
+             + gs * gs * (cell[:, 2] + 1))
+    same = gflat[:, None] == gflat[None, :]
+    row = jax.lax.broadcasted_iota(jnp.int32, (n, n), 0)
+    col = jax.lax.broadcasted_iota(jnp.int32, (n, n), 1)
+    rank = jnp.sum(same & (col < row), axis=1).astype(jnp.int32)
+    max_occ = jnp.max(rank) + 1
+
+    slot = rank * g + gflat  # flat index into (M, G); >= M*G when overflowing
+    slot_ids = jax.lax.broadcasted_iota(jnp.int32, (n, m * g), 1)
+    e = (slot[:, None] == slot_ids).astype(x_wrapped.dtype)  # (N, M*G)
+
+    xs = jnp.einsum("nm,nc->mc", e, x_wrapped,
+                    preferred_element_type=jnp.float32)      # (M*G, 3)
+    vs = jnp.einsum("nm,nc->mc", e, v.astype(x_wrapped.dtype),
+                    preferred_element_type=jnp.float32)
+    valid_flat = jnp.sum(e, axis=0)                          # (M*G,)
+
+    slot_idx = jnp.arange(m * g, dtype=jnp.float32).reshape(m, g)
+    sentinel = 1.0e5 + 7.0 * slot_idx
+    valid = valid_flat.reshape(m, g)
+    x_slots = jnp.where(valid[None] > 0,
+                        xs.T.reshape(3, m, g),
+                        jnp.stack([sentinel, sentinel + 3.0, sentinel + 5.0]))
+    v_slots = (vs.T.reshape(3, m, g)) * valid[None]
+    return (x_slots.astype(jnp.float32), v_slots.astype(jnp.float32),
+            valid.astype(jnp.float32), e, max_occ)
+
+
+def unbin_particles_matmul(x_slots, v_slots, e):
+    """Inverse of matmul binning: gather-free unload x = E @ slots."""
+    xs = x_slots.reshape(3, -1).T
+    vs = v_slots.reshape(3, -1).T
+    x = jnp.einsum("nm,mc->nc", e, xs, preferred_element_type=jnp.float32)
+    v = jnp.einsum("nm,mc->nc", e, vs, preferred_element_type=jnp.float32)
+    return x, v
+
+
 @functools.partial(jax.jit, static_argnums=(3,))
 def unbin_particles(x_slots, v_slots, slot_particle, n_particles):
     """Scatter slot arrays back to flat (N, 3) order."""
@@ -391,14 +449,14 @@ class FusedLJBAOAB:
         def chunk_body(kernel_call):
             def body(carry, _):
                 x, v, kT, key, overflow = carry
-                x_s, v_s, valid, slot_p, max_occ = bin_particles(x, v, spec)
+                x_s, v_s, valid, e, max_occ = bin_particles_matmul(x, v, spec)
                 overflow = overflow | (max_occ > spec.capacity)
                 key, sub = jax.random.split(key)
                 seed = jax.random.randint(sub, (1,), 0, 2**31 - 1,
                                           dtype=jnp.int32)
                 kt_arr = kT.reshape(1).astype(jnp.float32)
                 x_s, v_s = kernel_call(seed, kt_arr, x_s, v_s, valid)
-                x, v = unbin_particles(x_s, v_s, slot_p, n_particles)
+                x, v = unbin_particles_matmul(x_s, v_s, e)
                 return (x, v, kT, key, overflow), None
             return body
 

@@ -93,3 +93,28 @@ def test_langevin_temperature_alanine(ala):
             n_constraints=ala.system.constraints.n_constraints)))
     t_mean = np.mean(temps)
     assert abs(t_mean - 300.0) < 45.0, t_mean  # ~6 sigma for 54 DOF avg of 20
+
+
+def test_implicit_solvent():
+    """GBSA-OBC term adds a negative solvation free energy of the right
+    magnitude (~ -10 kcal/mol for alanine dipeptide)."""
+    from openmmtools_tpu.models import AlanineDipeptideImplicit, AlanineDipeptideVacuum
+
+    ala_i = AlanineDipeptideImplicit()
+    ala_v = AlanineDipeptideVacuum()
+    ui = float(ala_i.thermodynamic_state(300.0).potential_energy(
+        ala_i.sampler_state()))
+    uv = float(ala_v.thermodynamic_state(300.0).potential_energy(
+        ala_v.sampler_state()))
+    dg_solv = ui - uv
+    assert -120.0 < dg_solv < -15.0, dg_solv
+    # GB dynamics stable
+    from openmmtools_tpu.integrators import BAOABIntegrator
+
+    integ = BAOABIntegrator(temperature=300.0, collision_rate=10.0,
+                            timestep=0.001)
+    b = integ.bind(ala_i.system)
+    s = b.initial_state(ala_i.sampler_state(), jax.random.PRNGKey(0),
+                        temperature=300.0)
+    s = b.run(s, 200)
+    assert bool(jnp.all(jnp.isfinite(s.positions)))
