@@ -295,3 +295,102 @@ class DoubleWellChain_WCAFluid(DoubleWellDimer_WCAFluid):
     @staticmethod
     def _bond_indices(nbonds):
         return [(i, i + 1) for i in range(nbonds)]
+
+
+# ---------------------------------------------------------------------------
+# molecular systems from the reference's Amber data files
+# ---------------------------------------------------------------------------
+
+
+class _PrmtopSystem(TestSystem):
+    """Common loader for prmtop/inpcrd-based systems."""
+
+    _subdir = None
+    _prmtop = None
+    _crd = None
+    _implicit = False
+
+    def __init__(self, constraints="h-bonds", data_dir=None):
+        super().__init__()
+        import os
+
+        from openmmtools_tpu.models.amber import (
+            DEFAULT_DATA_DIR,
+            AmberTopology,
+            create_system_from_prmtop,
+            parse_inpcrd,
+            parse_prmtop,
+        )
+
+        base = os.path.join(data_dir or DEFAULT_DATA_DIR, self._subdir)
+        prmtop = os.path.join(base, self._prmtop)
+        crd = os.path.join(base, self._crd)
+        if not os.path.exists(prmtop):
+            raise FileNotFoundError(f"data not found: {prmtop}; set "
+                                    "OPENMMTOOLS_TPU_DATA")
+        self.system = create_system_from_prmtop(
+            prmtop, constraints=constraints,
+            implicit_solvent=self._implicit)
+        self.positions = jnp.asarray(parse_inpcrd(crd), dtype=jnp.float32)
+        self.topology = AmberTopology(parse_prmtop(prmtop))
+        self.ndof = (3 * self.system.n_particles
+                     - self.system.constraints.n_constraints)
+
+
+class HostGuestVacuum(_PrmtopSystem):
+    """CB7:B2 host-guest complex in vacuum (testsystems.py:3650;
+    data/cb7-b2/complex-vacuum.*)."""
+
+    _subdir = "cb7-b2"
+    _prmtop = "complex-vacuum.prmtop"
+    _crd = "complex-vacuum.inpcrd"
+
+
+class HostGuestImplicit(_PrmtopSystem):
+    """CB7:B2 with GBSA-OBC implicit solvent (testsystems.py:3721)."""
+
+    _subdir = "cb7-b2"
+    _prmtop = "complex-vacuum.prmtop"
+    _crd = "complex-vacuum.inpcrd"
+    _implicit = True
+
+
+class LysozymeImplicit(_PrmtopSystem):
+    """T4 lysozyme L99A + p-xylene, GBSA implicit (testsystems.py:3998;
+    2603 atoms)."""
+
+    _subdir = "T4-lysozyme-L99A-implicit"
+    _prmtop = "complex.prmtop"
+    _crd = "complex.crd"
+    _implicit = True
+
+
+class BenzeneTolueneImplicit(_PrmtopSystem):
+    """Benzene + toluene in GBSA implicit solvent
+    (data/benzene-toluene-implicit/complex.*; the reference's
+    toluene-in-implicit-solvent family, testsystems.py:3533)."""
+
+    _subdir = "benzene-toluene-implicit"
+    _prmtop = "complex.prmtop"
+    _crd = "complex.inpcrd"
+    _implicit = True
+
+
+class MolecularIdealGas(TestSystem):
+    """Alanine dipeptide with all interactions removed except constraints —
+    a molecular ideal gas (testsystems.py:4191: the reference zeroes the
+    forces of a molecular system to validate integrator kinetics)."""
+
+    def __init__(self, data_dir=None):
+        super().__init__()
+        from openmmtools_tpu.models.testsystems import AlanineDipeptideVacuum
+
+        base = AlanineDipeptideVacuum(constraints=None, data_dir=data_dir)
+        # keep only bonded structure (harmonic bonds) so molecules hold
+        # together, drop all nonbonded terms as the reference does
+        kept = tuple(t for t in base.system.terms
+                     if type(t).__name__ in ("HarmonicBondTerm",
+                                             "HarmonicAngleTerm"))
+        self.system = base.system.replace(terms=kept)
+        self.positions = base.positions
+        self.ndof = 3 * self.system.n_particles

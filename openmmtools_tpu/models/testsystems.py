@@ -678,6 +678,11 @@ class LennardJonesPair(TestSystem):
 # get_available_testsystems (and the platform-parity script) sees them
 from openmmtools_tpu.models.more_systems import (  # noqa: E402,F401
     ConstraintCoupledHarmonicOscillator,
+    HostGuestImplicit,
+    HostGuestVacuum,
+    LysozymeImplicit,
+    MolecularIdealGas,
+    BenzeneTolueneImplicit,
     ConstrainedDiatomicFluid,
     ConstrainedDipolarFluid,
     CustomLennardJonesFluidMixture,
