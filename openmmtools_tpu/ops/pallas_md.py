@@ -250,7 +250,30 @@ def _ghost_stages(spec: LJGridSpec):
     ]
 
 
-def _make_kernel(spec: LJGridSpec, n_steps: int):
+def _half_offsets(gs: int):
+    """13 lexicographically-positive neighbor offsets (Newton pairs)."""
+    out = []
+    for dz in (-1, 0, 1):
+        for dy in (-1, 0, 1):
+            for dx in (-1, 0, 1):
+                if (dz, dy, dx) > (0, 0, 0):
+                    out.append(dx + gs * dy + gs * gs * dz)
+    return out
+
+
+def _make_kernel(spec: LJGridSpec, n_steps: int, forces_only=False):
+    """Fused BAOAB + cell-grid LJ kernel (v2).
+
+    Per step, forces are computed with Newton pairing over the 13
+    half-offsets: each (cell, neighbor-cell) pair tile produces the center
+    force directly and the reaction force by rolling back into the
+    candidate frame. Ghost-lane reaction forces are folded onto their
+    interior sources (the inverse of the ghost fill). Tiles whose candidate
+    slot index k exceeds the chunk's max occupancy are skipped at runtime
+    (`pl.when`-style lax.cond) — rank-contiguous binning guarantees slot k
+    is empty when no cell holds more than k particles, so generous static
+    capacity costs nothing.
+    """
     m = spec.capacity
     g = spec.g_cells
     gs = spec.g_side
@@ -268,120 +291,194 @@ def _make_kernel(spec: LJGridSpec, n_steps: int):
     if use_switch:
         r_on = spec.cutoff - spec.switch_width
         inv_sw = 1.0 / (spec.cutoff - r_on)
-    offsets = _neighbor_offsets(gs)
+    offsets = _half_offsets(gs)
+    stages = ((2, gs * gs), (1, gs), (0, 1))  # fill order z, y, x
 
-    def kernel(seed_ref, kt_ref, x_ref, v_ref, valid_ref, xo_ref, vo_ref):
-        pltpu.prng_seed(seed_ref[0])
+    use_noise = ou_b > 0.0
+
+    def kernel(seed_ref, kt_ref, occ_ref, x_ref, v_ref, valid_ref,
+               xo_ref, vo_ref):
+        if use_noise:
+            pltpu.prng_seed(seed_ref[0])
         kT = kt_ref[0]
+        max_occ = occ_ref[0]
         valid = valid_ref[:]                      # (M, G)
         sigma_v = jnp.sqrt(kT * inv_m)
 
-        # lane coordinate masks for ghost handling (computed once)
         lane = jax.lax.broadcasted_iota(jnp.int32, (m, g), 1)
         cx = lane % gs
         cy = (lane // gs) % gs
         cz = lane // (gs * gs)
         coords = (cx, cy, cz)
+        interior = jnp.ones((m, g), dtype=jnp.float32)
+        for c in coords:
+            interior = interior * ((c > 0) & (c < gs - 1)).astype(jnp.float32)
 
-        def fill_ghosts(x):
-            # stage order z, y, x; each stage fills the two ghost planes of
-            # its axis from the opposite interior planes (already-filled
-            # ghosts of previous stages propagate into edges/corners)
-            for comp_shift_axis, (axis_idx, stride) in zip(
-                    (2, 1, 0), ((2, gs * gs), (1, gs), (0, 1))):
+        def fill_ghosts(xs):
+            # xs: tuple of 3 (M, G); stages z, y, x; previously-filled ghosts
+            # propagate into edges/corners
+            xs = list(xs)
+            for axis_idx, stride in stages:
                 c = coords[axis_idx]
                 low = c == 0
                 high = c == gs - 1
-                x_lo = _roll(x, -ns * stride, 2, g)
-                x_hi = _roll(x, ns * stride, 2, g)
-                new_comps = []
                 for comp in range(3):
-                    xc = x[comp]
-                    lo_val = x_lo[comp] - (L if comp == axis_idx else 0.0)
-                    hi_val = x_hi[comp] + (L if comp == axis_idx else 0.0)
-                    xc = jnp.where(low, lo_val, xc)
-                    xc = jnp.where(high, hi_val, xc)
-                    new_comps.append(xc)
-                x = jnp.stack(new_comps)
-            return x
+                    xlo = _roll(xs[comp], -ns * stride, 1, g)
+                    xhi = _roll(xs[comp], ns * stride, 1, g)
+                    shift = L if comp == axis_idx else 0.0
+                    xc = jnp.where(low, xlo - shift, xs[comp])
+                    xc = jnp.where(high, xhi + shift, xc)
+                    xs[comp] = xc
+            return tuple(xs)
 
-        def pair_force(dx, dy, dz, fx, fy, fz):
+        def fold_ghosts(fs):
+            # inverse of fill: push ghost-lane forces back onto their
+            # sources, stages reversed (x, y, z)
+            fs = list(fs)
+            for axis_idx, stride in reversed(stages):
+                c = coords[axis_idx]
+                low = (c == 0).astype(jnp.float32)
+                high = (c == gs - 1).astype(jnp.float32)
+                for comp in range(3):
+                    f = fs[comp]
+                    f = f + _roll(f * low, ns * stride, 1, g)
+                    f = f + _roll(f * high, -ns * stride, 1, g)
+                    fs[comp] = f * (1.0 - low) * (1.0 - high)
+            return tuple(fs)
+
+        def pair_scale(dx, dy, dz):
+            """-2 dU/dr^2, cutoff-masked (force = scale * d on the center)."""
             r2 = dx * dx + dy * dy + dz * dz
             inside = r2 < rc2
             r2s = jnp.where(inside, jnp.maximum(r2, 1e-8), 1.0)
             inv_r2 = 1.0 / r2s
             s2 = sig2 * inv_r2
             s6 = s2 * s2 * s2
-            # dU/dr^2 for 4 eps (s12 - s6)
             g_lj = -12.0 * eps * inv_r2 * s6 * (2.0 * s6 - 1.0)
             if use_switch:
                 r = jnp.sqrt(r2s)
                 t = jnp.clip((r - r_on) * inv_sw, 0.0, 1.0)
-                s = 1.0 + t * t * t * (-10.0 + t * (15.0 - 6.0 * t))
-                ds_dr = -30.0 * t * t * (1.0 - t) * (1.0 - t) * inv_sw
+                sw = 1.0 + t * t * t * (-10.0 + t * (15.0 - 6.0 * t))
+                dsw = -30.0 * t * t * (1.0 - t) * (1.0 - t) * inv_sw
                 u_lj = 4.0 * eps * (s6 * s6 - s6)
-                g_tot = g_lj * s + u_lj * ds_dr * (0.5 / r)
+                g_tot = g_lj * sw + u_lj * dsw * (0.5 / r)
             else:
                 g_tot = g_lj
-            g_tot = jnp.where(inside, g_tot, 0.0)
-            scale = -2.0 * g_tot
-            return fx + scale * dx, fy + scale * dy, fz + scale * dz
+            return jnp.where(inside, -2.0 * g_tot, 0.0)
 
-        def forces(x):
-            xg = fill_ghosts(x)
+        def forces(x0, x1, x2):
+            xg0, xg1, xg2 = fill_ghosts((x0, x1, x2))
             fx = jnp.zeros((m, g), dtype=jnp.float32)
             fy = jnp.zeros_like(fx)
             fz = jnp.zeros_like(fx)
-            x0, x1, x2 = xg[0], xg[1], xg[2]
-            # intra-cell pairs: sublane rolls (each ordered pair once)
-            for s in range(1, m):
-                xs = _roll(xg, s, 1, m)
-                fx, fy, fz = pair_force(x0 - xs[0], x1 - xs[1], x2 - xs[2],
-                                        fx, fy, fz)
-            # neighbor cells: lane rolls + per-slot sublane broadcast
+            sub_idx = jax.lax.broadcasted_iota(jnp.int32, (m, g), 0)
+
+            # intra-cell: candidate = absolute slot row k of the same cell
+            # (each unordered pair computed from both sides; self masked).
+            # k < max_occ is exact because ranks are contiguous.
+            for k in range(m):
+                def intra(carry, k=k):
+                    fx, fy, fz = carry
+                    dx = xg0 - xg0[k:k + 1, :]
+                    dy = xg1 - xg1[k:k + 1, :]
+                    dz = xg2 - xg2[k:k + 1, :]
+                    sc = (pair_scale(dx, dy, dz) * interior
+                          * (sub_idx != k).astype(jnp.float32))
+                    return fx + sc * dx, fy + sc * dy, fz + sc * dz
+                fx, fy, fz = jax.lax.cond(
+                    k < max_occ, intra, lambda c: c, (fx, fy, fz))
+
+            # neighbor cells: half-offset sweep, candidate = absolute slot
+            # row k of the rolled cell; Newton reaction rows accumulated and
+            # rolled back once per offset
             for off in offsets:
-                xr = _roll(xg, -off, 2, g)
-                for k in range(m):
-                    cx_ = xr[0, k, :][None, :]
-                    cy_ = xr[1, k, :][None, :]
-                    cz_ = xr[2, k, :][None, :]
-                    fx, fy, fz = pair_force(x0 - cx_, x1 - cy_, x2 - cz_,
-                                            fx, fy, fz)
+                def per_offset(carry, off=off):
+                    fx, fy, fz = carry
+                    xr0 = _roll(xg0, -off, 1, g)
+                    xr1 = _roll(xg1, -off, 1, g)
+                    xr2 = _roll(xg2, -off, 1, g)
+                    bx = jnp.zeros((m, g), dtype=jnp.float32)
+                    by = jnp.zeros_like(bx)
+                    bz = jnp.zeros_like(bx)
+                    for k in range(m):
+                        def per_k(c, k=k):
+                            fx, fy, fz, bx, by, bz = c
+                            dx = xg0 - xr0[k:k + 1, :]
+                            dy = xg1 - xr1[k:k + 1, :]
+                            dz = xg2 - xr2[k:k + 1, :]
+                            sc = pair_scale(dx, dy, dz) * interior
+                            fx = fx + sc * dx
+                            fy = fy + sc * dy
+                            fz = fz + sc * dz
+                            # reaction on candidate slot k of cell c+off
+                            rx = jnp.sum(sc * dx, axis=0, keepdims=True)
+                            ry = jnp.sum(sc * dy, axis=0, keepdims=True)
+                            rz = jnp.sum(sc * dz, axis=0, keepdims=True)
+                            bx = jax.lax.dynamic_update_slice(
+                                bx, bx[k:k + 1, :] + rx, (k, 0))
+                            by = jax.lax.dynamic_update_slice(
+                                by, by[k:k + 1, :] + ry, (k, 0))
+                            bz = jax.lax.dynamic_update_slice(
+                                bz, bz[k:k + 1, :] + rz, (k, 0))
+                            return fx, fy, fz, bx, by, bz
+                        fx, fy, fz, bx, by, bz = jax.lax.cond(
+                            k < max_occ, per_k, lambda c: c,
+                            (fx, fy, fz, bx, by, bz))
+                    fx = fx - _roll(bx, off, 1, g)
+                    fy = fy - _roll(by, off, 1, g)
+                    fz = fz - _roll(bz, off, 1, g)
+                    return fx, fy, fz
+                fx, fy, fz = per_offset((fx, fy, fz))
+
+            fx, fy, fz = fold_ghosts((fx, fy, fz))
             return fx * valid, fy * valid, fz * valid
 
-        def gauss(shape):
-            b1 = pltpu.prng_random_bits(shape)
-            b2 = pltpu.prng_random_bits(shape)
+        def gauss2():
+            b1 = pltpu.prng_random_bits((m, g))
+            b2 = pltpu.prng_random_bits((m, g))
             u1 = (b1 >> 8).astype(jnp.float32) * (1.0 / 16777216.0)
             u2 = (b2 >> 8).astype(jnp.float32) * (1.0 / 16777216.0)
             u1 = jnp.maximum(u1, 1e-7)
             rad = jnp.sqrt(-2.0 * jnp.log(u1))
-            return rad * jnp.cos((2.0 * math.pi) * u2)
+            ang = (2.0 * math.pi) * u2
+            return rad * jnp.cos(ang), rad * jnp.sin(ang)
 
         def step(carry, _):
-            # V R O R V with the force carried across steps: the trailing
-            # V's force F(x_new) is exactly the next step's leading force,
-            # so each step costs ONE grid sweep
-            x, v, f = carry
-            v = v + (half_dt * inv_m) * f          # V (dt/2)
-            x = x + half_dt * v                    # R (dt/2)
-            noise = gauss((3, m, g))
-            v = (ou_a * v + (ou_b * sigma_v) * noise) * valid[None]  # O
-            x = x + half_dt * v                    # R (dt/2)
-            fx, fy, fz = forces(x)
-            f = jnp.stack([fx, fy, fz])
-            v = v + (half_dt * inv_m) * f          # V (dt/2)
-            return (x, v, f), None
+            x0, x1, x2, v0, v1, v2, f0, f1, f2 = carry
+            c = half_dt * inv_m
+            v0, v1, v2 = v0 + c * f0, v1 + c * f1, v2 + c * f2   # V
+            x0, x1, x2 = x0 + half_dt * v0, x1 + half_dt * v1, \
+                x2 + half_dt * v2                                 # R
+            if use_noise:
+                n0, n1 = gauss2()
+                n2, _n3 = gauss2()
+                bs = ou_b * sigma_v
+                v0 = (ou_a * v0 + bs * n0) * valid                # O
+                v1 = (ou_a * v1 + bs * n1) * valid
+                v2 = (ou_a * v2 + bs * n2) * valid
+            elif ou_a != 1.0:
+                v0, v1, v2 = ou_a * v0, ou_a * v1, ou_a * v2
+            x0, x1, x2 = x0 + half_dt * v0, x1 + half_dt * v1, \
+                x2 + half_dt * v2                                 # R
+            f0, f1, f2 = forces(x0, x1, x2)
+            v0, v1, v2 = v0 + c * f0, v1 + c * f1, v2 + c * f2   # V
+            return (x0, x1, x2, v0, v1, v2, f0, f1, f2), None
 
         x = x_ref[:]
         v = v_ref[:]
-        fx, fy, fz = forces(x)
-        f0 = jnp.stack([fx, fy, fz])
-        # fori_loop (scan is unsupported in Pallas TPU kernels)
-        x, v, _ = jax.lax.fori_loop(
-            0, n_steps, lambda _, c: step(c, None)[0], (x, v, f0))
-        xo_ref[:] = x
-        vo_ref[:] = v
+        x0, x1, x2 = x[0], x[1], x[2]
+        v0, v1, v2 = v[0], v[1], v[2]
+        f0, f1, f2 = forces(x0, x1, x2)
+        if forces_only:
+            xo_ref[:] = jnp.stack([f0, f1, f2])
+            vo_ref[:] = v
+            return
+        carry = (x0, x1, x2, v0, v1, v2, f0, f1, f2)
+        carry = jax.lax.fori_loop(0, n_steps,
+                                  lambda _, c: step(c, None)[0], carry)
+        x0, x1, x2, v0, v1, v2 = carry[:6]
+        xo_ref[:] = jnp.stack([x0, x1, x2])
+        vo_ref[:] = jnp.stack([v0, v1, v2])
 
     return kernel
 
@@ -415,6 +512,7 @@ class FusedLJBAOAB:
                 in_specs=[
                     pl.BlockSpec(memory_space=pltpu.SMEM),   # seed
                     pl.BlockSpec(memory_space=pltpu.SMEM),   # kT
+                    pl.BlockSpec(memory_space=pltpu.SMEM),   # max_occ
                     pl.BlockSpec(memory_space=pltpu.VMEM),   # x
                     pl.BlockSpec(memory_space=pltpu.VMEM),   # v
                     pl.BlockSpec(memory_space=pltpu.VMEM),   # valid
@@ -423,7 +521,7 @@ class FusedLJBAOAB:
                            pl.BlockSpec(memory_space=pltpu.VMEM)),
                 out_shape=(jax.ShapeDtypeStruct((3, m, g), jnp.float32),
                            jax.ShapeDtypeStruct((3, m, g), jnp.float32)),
-                input_output_aliases={2: 0, 3: 1},
+                input_output_aliases={3: 0, 4: 1},
             )
             self._compiled[key] = fn = jax.jit(fn)
         return fn
@@ -455,7 +553,9 @@ class FusedLJBAOAB:
                 seed = jax.random.randint(sub, (1,), 0, 2**31 - 1,
                                           dtype=jnp.int32)
                 kt_arr = kT.reshape(1).astype(jnp.float32)
-                x_s, v_s = kernel_call(seed, kt_arr, x_s, v_s, valid)
+                occ = jnp.minimum(max_occ, spec.capacity).reshape(1)
+                x_s, v_s = kernel_call(seed, kt_arr, occ.astype(jnp.int32),
+                                       x_s, v_s, valid)
                 x, v = unbin_particles_matmul(x_s, v_s, e)
                 return (x, v, kT, key, overflow), None
             return body
