@@ -157,6 +157,9 @@ class AlchemicalNonbondedTerm:
     annihilate_sterics: Tuple[bool, ...] = static_field(default=())
     annihilate_electrostatics: Tuple[bool, ...] = static_field(default=())
     region_interactions: Tuple[Tuple[int, int], ...] = static_field(default=())
+    # 'exact' PME treatment: electrostatics by per-particle linear charge
+    # scaling (matching the reciprocal-space scaling) instead of softcore
+    exact_electrostatics: bool = static_field(default=False)
     # softcore constants (region 0's; shared across regions)
     softcore_alpha: float = static_field(default=0.5)
     softcore_a: float = static_field(default=1.0)
@@ -242,7 +245,17 @@ class AlchemicalNonbondedTerm:
         if self.switch_width is not None and self.cutoff is not None:
             e_lj = e_lj * nb_ops.switch_factor(r, self.cutoff - self.switch_width,
                                                self.cutoff)
-        e_coul = self._electrostatics(r, qq_ij, sig_ij, lam_e)
+        if self.exact_electrostatics:
+            # q_i q_j scaled by the per-particle lambdas (s_i s_j); plain
+            # method kernel, no softcore — mirrors charge-offset PME
+            lam_p = jnp.concatenate([jnp.ones((1,), dtype),
+                                     lam_e_regions])[rid + 1]
+            qq_scaled = qq_ij * lam_p[:, None] * lam_p[None, :]
+            e_coul = nb_ops.coulomb_pair(
+                r, qq_scaled, self.method, cutoff=self.cutoff,
+                dielectric=self.dielectric, alpha=self.ewald_alpha)
+        else:
+            e_coul = self._electrostatics(r, qq_ij, sig_ij, lam_e)
         e = jnp.sum(jnp.where(mask, e_lj + e_coul, 0.0))
 
         # exceptions replace the combination-rule interaction (subtract the
@@ -265,8 +278,18 @@ class AlchemicalNonbondedTerm:
             if self.switch_width is not None and self.cutoff is not None:
                 sub_lj = sub_lj * nb_ops.switch_factor(
                     re, self.cutoff - self.switch_width, self.cutoff)
-            sub = sub_lj + self._electrostatics(re, self.charge[i] * self.charge[j],
-                                                sig_e, lam_e_exc)
+            if self.exact_electrostatics:
+                lam_p = jnp.concatenate([jnp.ones((1,), dtype),
+                                         lam_e_regions])[rid + 1]
+                qq_e = (self.charge[i] * self.charge[j]
+                        * lam_p[i] * lam_p[j])
+                sub_coul = nb_ops.coulomb_pair(
+                    re, qq_e, self.method, cutoff=self.cutoff,
+                    dielectric=self.dielectric, alpha=self.ewald_alpha)
+            else:
+                sub_coul = self._electrostatics(
+                    re, self.charge[i] * self.charge[j], sig_e, lam_e_exc)
+            sub = sub_lj + sub_coul
             if self.cutoff is not None and self.method != "no_cutoff":
                 sub = jnp.where(r2e < self.cutoff**2, sub, 0.0)
             # exceptions themselves: plain (no_cutoff) kernels, lambda-scaled
@@ -447,11 +470,23 @@ class AbsoluteAlchemicalFactory:
             tuple(sorted((region_name_to_idx[a], region_name_to_idx[b])))
             for a, b in alchemical_region_interactions))
 
+        from openmmtools_tpu.ops.pme import EwaldReciprocalTerm
+
         terms = []
         for term in reference_system.terms:
             if isinstance(term, NonbondedTerm):
                 terms.append(self._alchemical_nonbonded(
                     term, region_id, regions, suffix, interactions))
+            elif (isinstance(term, EwaldReciprocalTerm)
+                    and self.alchemical_pme_treatment == "exact"):
+                # exact-PME: lambda_electrostatics scales alchemical charges
+                # in reciprocal space too (single-region only)
+                if len(regions) > 1:
+                    raise AlchemyError(
+                        "exact PME treatment supports one alchemical region")
+                terms.append(term.replace(
+                    alch_mask=jnp.asarray((region_id >= 0).astype(np.float32)),
+                    lambda_name=f"lambda_electrostatics{suffix(regions[0])}"))
             elif isinstance(term, HarmonicBondTerm) and any(
                     r.alchemical_bonds for r in regions):
                 terms.append(self._alchemical_bonds(term, region_id, regions,
@@ -475,7 +510,10 @@ class AbsoluteAlchemicalFactory:
         switch_width = term.switch_width
         if self.switch_width is not None:
             switch_width = self.switch_width
+        exact = (self.alchemical_pme_treatment == "exact"
+                 and term.method in ("pme", "ewald"))
         return AlchemicalNonbondedTerm(
+            exact_electrostatics=exact,
             charge=term.charge, sigma=term.sigma, epsilon=term.epsilon,
             region_id=jnp.asarray(region_id),
             exception_index=term.exception_index,

@@ -222,6 +222,8 @@ class BoundIntegrator:
         self.ou_b = math.sqrt(1.0 - math.exp(-2.0 * gamma * self.h_O))
 
         self._neighbor_setup()
+        self._fused = None
+        self._fused_setup()
         self._step_fn = self._build_step()
         self._run_cache: Dict[int, Any] = {}
 
@@ -288,6 +290,60 @@ class BoundIntegrator:
             return total
 
         self._vg_nbr = jax.value_and_grad(u_total)
+
+    def _fused_setup(self):
+        """Enable the fused Pallas cell-grid kernel for the production case:
+        plain BAOAB on a monodisperse uncharged periodic LJ system with no
+        constraints (the flagship benchmark configuration). Falls back to the
+        XLA paths everywhere else."""
+        integ = self.integrator
+        if getattr(integ, "neighborlist", "auto") is None:
+            return
+        if jax.default_backend() != "tpu":
+            return
+        if self.tokens != ["V", "R", "O", "R", "V"]:
+            return
+        if integ.measure_shadow_work or integ.measure_heat:
+            return
+        system = self.system
+        if (system.constraints.n_constraints > 0 or len(system.terms) != 1
+                or system.default_box is None or system.n_particles < 256):
+            return
+        from openmmtools_tpu.system import NonbondedTerm
+
+        term = system.terms[0]
+        if not isinstance(term, NonbondedTerm):
+            return
+        if (term.method != "cutoff_periodic" or term.cutoff is None
+                or term.exception_index.shape[0] > 0):
+            return
+        import numpy as _np
+
+        sig = _np.asarray(term.sigma)
+        eps = _np.asarray(term.epsilon)
+        q = _np.asarray(term.charge)
+        mass = _np.asarray(system.masses)
+        box = _np.asarray(system.default_box)
+        diag = _np.diagonal(box)
+        if not (_np.all(sig == sig[0]) and _np.all(eps == eps[0])
+                and _np.all(q == 0.0) and _np.all(mass == mass[0])
+                and _np.allclose(diag, diag[0])
+                and _np.allclose(box, _np.diag(diag))):
+            return
+        if term.use_dispersion_correction:
+            # the tail correction is a constant-energy shift: it exerts no
+            # force at fixed volume, so the fused trajectory is unaffected
+            pass
+        from openmmtools_tpu.ops.pallas_md import FusedLJBAOAB, make_grid_spec
+
+        spec = make_grid_spec(
+            system.n_particles, float(diag[0]), float(term.cutoff),
+            term.switch_width, float(sig[0]), float(eps[0]), float(mass[0]),
+            integ.timestep, integ.collision_rate,
+            skin_fraction=0.1)
+        self._fused = FusedLJBAOAB(
+            spec, system.n_particles,
+            temperature=float(getattr(integ, "temperature", 300.0)))
 
     def _build_nbr(self, x, box):
         from openmmtools_tpu.ops.neighborlist import build_neighbor_list
@@ -560,7 +616,21 @@ class BoundIntegrator:
 
     def run(self, state: IntegratorState, n_steps: int) -> IntegratorState:
         """Advance n_steps under one jitted program (with neighbor-list
-        rebuild chunking when the neighbor path is active)."""
+        rebuild chunking when the neighbor path is active). Uses the fused
+        Pallas cell-grid kernel when eligible (_fused_setup)."""
+        if self._fused is not None:
+            x, v, key = self._fused.run(
+                state.positions, state.velocities, state.kT, state.rng_key,
+                n_steps)
+            forces, potentials = [], []
+            for g in self.groups:
+                u, f = self._eval_group(g, x, state.box, state.global_params)
+                potentials.append(u)
+                forces.append(f)
+            return state.replace(
+                positions=x, velocities=v, rng_key=key,
+                forces=tuple(forces), potentials=tuple(potentials),
+                step_count=state.step_count + n_steps)
         fn = self._run_cache.get(n_steps)
         if fn is None:
             self._run_cache[n_steps] = fn = jax.jit(self.run_program(n_steps))

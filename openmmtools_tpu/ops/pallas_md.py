@@ -414,12 +414,12 @@ def _make_kernel(spec: LJGridSpec, n_steps: int, forces_only=False):
                             rx = jnp.sum(sc * dx, axis=0, keepdims=True)
                             ry = jnp.sum(sc * dy, axis=0, keepdims=True)
                             rz = jnp.sum(sc * dz, axis=0, keepdims=True)
-                            bx = jax.lax.dynamic_update_slice(
-                                bx, bx[k:k + 1, :] + rx, (k, 0))
-                            by = jax.lax.dynamic_update_slice(
-                                by, by[k:k + 1, :] + ry, (k, 0))
-                            bz = jax.lax.dynamic_update_slice(
-                                bz, bz[k:k + 1, :] + rz, (k, 0))
+                            # row-k accumulate via sublane mask (Mosaic
+                            # has no dynamic_update_slice)
+                            in_row = (sub_idx == k).astype(jnp.float32)
+                            bx = bx + in_row * rx
+                            by = by + in_row * ry
+                            bz = bz + in_row * rz
                             return fx, fy, fz, bx, by, bz
                         fx, fy, fz, bx, by, bz = jax.lax.cond(
                             k < max_occ, per_k, lambda c: c,

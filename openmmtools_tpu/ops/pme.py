@@ -73,15 +73,31 @@ class EwaldReciprocalTerm:
     charge: jax.Array               # (N,)
     kvecs: jax.Array                # (n_k, 3) integer reciprocal indices
     exclusion_index: jax.Array      # (E, 2) pairs excluded from direct space
+    alch_mask: Optional[jax.Array] = None   # (N,) 1 = alchemical particle
     alpha: float = static_field(default=3.0)
     force_group: int = static_field(default=0)
     charge_scale_param: Optional[str] = static_field(default=None)
+    lambda_name: Optional[str] = static_field(default=None)
+
+    @property
+    def global_defaults(self):
+        out = {}
+        if self.lambda_name is not None:
+            out[self.lambda_name] = 1.0
+        return out
 
     def energy(self, x, box, params=None):
         q = self.charge
         if (self.charge_scale_param is not None and params is not None
                 and self.charge_scale_param in params):
             q = q * params[self.charge_scale_param]
+        if (self.lambda_name is not None and self.alch_mask is not None
+                and params is not None and self.lambda_name in params):
+            # 'exact-PME' alchemical treatment (alchemy.py:1664-1683): the
+            # alchemical particles' charges scale linearly with lambda in
+            # BOTH direct and reciprocal space
+            lam = params[self.lambda_name]
+            q = q * (1.0 + (lam - 1.0) * self.alch_mask)
         lengths = jnp.diagonal(box)
         volume = jnp.prod(lengths)
         two_pi = 2.0 * jnp.pi

@@ -213,3 +213,55 @@ def test_dispersion_correction_lambda_scaling():
         alch, jnp.asarray(TEMP),
         global_params={"lambda_sterics": 0.0}).potential_energy(ss))
     assert np.isfinite(u1) and np.isfinite(u0)
+
+
+def test_exact_pme_treatment():
+    """'exact' PME treatment: lambda scales alchemical charges linearly in
+    direct AND reciprocal space (alchemy.py:1664-1683 semantics)."""
+    import numpy as np
+
+    from openmmtools_tpu.models.more_systems import SodiumChlorideCrystal
+
+    nacl = SodiumChlorideCrystal()
+    factory = AbsoluteAlchemicalFactory(alchemical_pme_treatment="exact")
+    alch = factory.create_alchemical_system(
+        nacl.system, AlchemicalRegion(alchemical_atoms=[0]))
+    ss = nacl.sampler_state()
+
+    def u(lam):
+        state = ThermodynamicState(
+            alch, jnp.asarray(300.0),
+            global_params={"lambda_sterics": 1.0,
+                           "lambda_electrostatics": lam})
+        return float(state.potential_energy(ss))
+
+    u_ref = float(ThermodynamicState(nacl.system, jnp.asarray(300.0))
+                  .potential_energy(ss))
+    assert np.isclose(u(1.0), u_ref, rtol=1e-4)
+    # at lambda=0 the energy must equal a reference system whose alchemical
+    # particle's charge is zeroed (charges scale linearly; |S(k)|^2 makes the
+    # total quadratic in lambda, so the endpoint is the meaningful check)
+    from openmmtools_tpu.ops.pme import EwaldReciprocalTerm
+    from openmmtools_tpu.system import NonbondedTerm
+
+    terms = []
+    for t in nacl.system.terms:
+        if isinstance(t, NonbondedTerm):
+            terms.append(t.replace(charge=t.charge.at[0].set(0.0)))
+        elif isinstance(t, EwaldReciprocalTerm):
+            terms.append(t.replace(charge=t.charge.at[0].set(0.0)))
+        else:
+            terms.append(t)
+    zeroed = nacl.system.replace(terms=tuple(terms))
+    u_zero_ref = float(ThermodynamicState(zeroed, jnp.asarray(300.0))
+                       .potential_energy(ss))
+    # lambda_sterics=1 in u(0.0), so only electrostatics differ
+    assert np.isclose(u(0.0), u_zero_ref, rtol=1e-4), (u(0.0), u_zero_ref)
+    # linear charge scaling makes E(lambda) EXACTLY quadratic: predict
+    # u(0.25) from the quadratic through u(0), u(0.5), u(1)
+    c0 = u(0.0)
+    c2 = 2.0 * (u(1.0) + c0 - 2.0 * u(0.5))
+    c1 = u(1.0) - c0 - c2
+    predicted = c0 + 0.25 * c1 + 0.0625 * c2
+    assert np.isclose(u(0.25), predicted, rtol=1e-3,
+                      atol=0.05), (u(0.25), predicted)
