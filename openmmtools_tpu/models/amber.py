@@ -110,7 +110,8 @@ def _f32(x):
 
 
 def create_system_from_prmtop(prmtop_path: str, constraints: Optional[str] = "h-bonds",
-                              implicit_solvent: bool = False) -> System:
+                              implicit_solvent: bool = False,
+                              gb_model: str = "OBC2") -> System:
     """Build a (vacuum / NoCutoff) System from a prmtop."""
     data = parse_prmtop(prmtop_path)
     ptr = data["POINTERS"]
@@ -286,10 +287,14 @@ def create_system_from_prmtop(prmtop_path: str, constraints: Optional[str] = "h-
 
         if "RADII" not in data or "SCREEN" not in data:
             raise ValueError("prmtop lacks RADII/SCREEN for implicit solvent")
+        from openmmtools_tpu.ops.gbsa import OBC1, OBC2
+
+        a_, b_, g_ = OBC1 if gb_model.upper() == "OBC1" else OBC2
         terms.append(GBSAOBCTerm(
             charge=_f32(charges),
             radius=_f32(data["RADII"][:natom] * A2NM),
-            scale=_f32(data["SCREEN"][:natom])))
+            scale=_f32(data["SCREEN"][:natom]),
+            obc_alpha=a_, obc_beta=b_, obc_gamma=g_))
     return System(
         masses=_f32(masses),
         terms=tuple(terms),

@@ -34,6 +34,8 @@ from openmmtools_tpu.constants import ONE_4PI_EPS0
 from openmmtools_tpu.utils.pytree import pytree_dataclass, static_field
 
 OFFSET = 0.009          # nm dielectric offset
+OBC1 = (0.8, 0.0, 2.909125)   # igb=2 constants
+OBC2 = (1.0, 0.8, 4.85)       # igb=5 constants
 ALPHA, BETA, GAMMA = 1.0, 0.8, 4.85
 SURFACE_TENSION = 28.3919551  # kJ/mol/nm^2
 PROBE = 0.14            # nm solvent probe radius
@@ -49,6 +51,11 @@ class GBSAOBCTerm:
     solute_dielectric: float = static_field(default=1.0)
     solvent_dielectric: float = static_field(default=78.5)
     surface_area_energy: bool = static_field(default=True)
+    # OBC rescaling constants: OBC II (igb=5) by default; OBC I (igb=2)
+    # uses (0.8, 0.0, 2.909125)
+    obc_alpha: float = static_field(default=ALPHA)
+    obc_beta: float = static_field(default=BETA)
+    obc_gamma: float = static_field(default=GAMMA)
     lambda_name: Optional[str] = static_field(default=None)
     force_group: int = static_field(default=0)
 
@@ -86,7 +93,8 @@ class GBSAOBCTerm:
         i_sum = 0.5 * jnp.sum(jnp.where(active, term, 0.0), axis=1)
 
         psi = i_sum * or_i
-        tanh_arg = ALPHA * psi - BETA * psi**2 + GAMMA * psi**3
+        tanh_arg = (self.obc_alpha * psi - self.obc_beta * psi**2
+                    + self.obc_gamma * psi**3)
         inv_b = 1.0 / or_i - jnp.tanh(tanh_arg) / self.radius
         return 1.0 / jnp.maximum(inv_b, 1e-6)
 

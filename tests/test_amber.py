@@ -118,3 +118,42 @@ def test_implicit_solvent():
                         temperature=300.0)
     s = b.run(s, 200)
     assert bool(jnp.all(jnp.isfinite(s.positions)))
+
+
+@pytest.mark.slow
+def test_sander_energy_parity_t4_lysozyme():
+    """Absolute cross-engine validation: component energies of the T4
+    lysozyme L99A + p-xylene complex (2621 atoms, GBSA OBC1) against the
+    sander single-point reference shipped with the data files
+    (complex-testenergy.sander.out: NSTEP=0 energies, igb=2, cut=999).
+
+    Observed agreement: bonded terms exact; nonbonded and GB within 0.005%.
+    """
+    from openmmtools_tpu.models.amber import (
+        create_system_from_prmtop,
+        parse_inpcrd,
+    )
+
+    base = "/root/reference/openmmtools/data/T4-lysozyme-L99A-implicit"
+    system = create_system_from_prmtop(
+        base + "/complex.prmtop", constraints="h-bonds",
+        implicit_solvent=True, gb_model="OBC1")
+    x = jnp.asarray(parse_inpcrd(base + "/complex-minimized.crd"),
+                    dtype=jnp.float64)
+    KCAL = 4.184
+    vals = {}
+    for t in system.terms:
+        name = type(t).__name__
+        if name == "GBSAOBCTerm":
+            t = t.replace(surface_area_energy=False)  # sander EGB is polar only
+        vals[name] = float(t.energy(x, None, None)) / KCAL
+    sander = {
+        "HarmonicBondTerm": 99.5327,         # BOND (ntf=2: no H bonds)
+        "HarmonicAngleTerm": 256.8987,       # ANGLE
+        "PeriodicTorsionTerm": 750.1770,     # DIHED
+        "NonbondedTerm": 482.5382 + 5262.0248 - 1450.7546 - 10956.1393,
+        "GBSAOBCTerm": -2525.6615,           # EGB
+    }
+    for key, ref in sander.items():
+        assert abs(vals[key] - ref) < max(1e-4 * abs(ref), 0.05), (
+            key, vals[key], ref)
