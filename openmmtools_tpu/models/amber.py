@@ -88,8 +88,10 @@ def parse_prmtop(path: str) -> Dict[str, np.ndarray]:
     return out
 
 
-def parse_inpcrd(path: str) -> np.ndarray:
-    """Parse an Amber .crd/.inpcrd restart: positions in Å -> nm."""
+def parse_inpcrd(path: str, return_box: bool = False):
+    """Parse an Amber .crd/.inpcrd restart: positions in Å -> nm.
+    With ``return_box=True`` also returns the (3,) box lengths in nm (or
+    None) read from the trailing box record."""
     with open(path) as fh:
         lines = fh.read().splitlines()
     natoms = int(lines[1].split()[0])
@@ -99,10 +101,20 @@ def parse_inpcrd(path: str) -> np.ndarray:
             field = line[i:i + 12].strip()
             if field:
                 values.append(float(field))
-        if len(values) >= natoms * 3:
-            break
-    coords = np.asarray(values[: natoms * 3]).reshape(natoms, 3)
-    return coords * A2NM
+    coords = np.asarray(values[: natoms * 3]).reshape(natoms, 3) * A2NM
+    if not return_box:
+        return coords
+    box = None
+    # trailing record: 3 lengths (+ optionally 3 angles); only present when
+    # there are extra values beyond the coordinates (and velocities)
+    extra = values[natoms * 3:]
+    if len(extra) >= 3:
+        cand = extra[-6:] if len(extra) >= 6 else extra[-3:]
+        if len(cand) == 6 and all(abs(a - 90.0) < 1e-3 for a in cand[3:]):
+            box = np.asarray(cand[:3]) * A2NM
+        elif len(cand) >= 3:
+            box = np.asarray(cand[:3]) * A2NM
+    return coords, box
 
 
 def _f32(x):
@@ -111,8 +123,15 @@ def _f32(x):
 
 def create_system_from_prmtop(prmtop_path: str, constraints: Optional[str] = "h-bonds",
                               implicit_solvent: bool = False,
-                              gb_model: str = "OBC2") -> System:
-    """Build a (vacuum / NoCutoff) System from a prmtop."""
+                              gb_model: str = "OBC2",
+                              nonbonded_method: str = "no_cutoff",
+                              cutoff: float = 0.9,
+                              switch_width: Optional[float] = None,
+                              ewald_error_tolerance: float = 5e-4) -> System:
+    """Build a System from a prmtop (vacuum/implicit, or periodic with
+    reaction-field / Ewald electrostatics via ``nonbonded_method`` in
+    {'no_cutoff', 'cutoff_periodic', 'pme', 'ewald'}). Periodic systems read
+    BOX_DIMENSIONS from the prmtop."""
     data = parse_prmtop(prmtop_path)
     ptr = data["POINTERS"]
     natom = int(ptr[0])
@@ -271,17 +290,39 @@ def create_system_from_prmtop(prmtop_path: str, constraints: Optional[str] = "h-
         exc_sig.append(0.5 * (sigmas[i_] + sigmas[j_]))
         exc_eps.append(np.sqrt(epsilons[i_] * epsilons[j_]) / scnb_f)
 
+    periodic = nonbonded_method in ("cutoff_periodic", "pme", "ewald")
+    default_box = None
+    if periodic:
+        if "BOX_DIMENSIONS" not in data:
+            raise ValueError("periodic method requested but prmtop has no "
+                             "BOX_DIMENSIONS")
+        box_lengths = data["BOX_DIMENSIONS"][1:4] * A2NM  # [angle, a, b, c]
+        default_box = jnp.diag(_f32(box_lengths))
+    alpha = None
+    if nonbonded_method in ("pme", "ewald"):
+        from openmmtools_tpu.ops.pme import ewald_alpha
+
+        alpha = float(ewald_alpha(cutoff, ewald_error_tolerance))
+    exc_arr = np.asarray(exc_index, dtype=np.int64).reshape(-1, 2)
     nonbonded = NonbondedTerm(
         charge=_f32(charges), sigma=_f32(sigmas), epsilon=_f32(epsilons),
-        exception_index=jnp.asarray(
-            np.asarray(exc_index, dtype=np.int64).reshape(-1, 2),
-            dtype=jnp.int32),
+        exception_index=jnp.asarray(exc_arr, dtype=jnp.int32),
         exception_chargeprod=_f32(exc_qq),
         exception_sigma=_f32(exc_sig),
         exception_epsilon=_f32(exc_eps),
-        method="no_cutoff")
+        method=nonbonded_method,
+        cutoff=None if nonbonded_method == "no_cutoff" else cutoff,
+        switch_width=switch_width,
+        use_dispersion_correction=periodic,
+        ewald_alpha=alpha)
 
     terms = [bond_terms, angle_terms, torsion_terms, nonbonded]
+    if nonbonded_method in ("pme", "ewald"):
+        from openmmtools_tpu.ops.pme import make_ewald_reciprocal_term
+
+        terms.append(make_ewald_reciprocal_term(
+            charges, float(np.max(box_lengths)), cutoff, exc_arr,
+            tol=ewald_error_tolerance))
     if implicit_solvent:
         from openmmtools_tpu.ops.gbsa import GBSAOBCTerm
 
@@ -299,8 +340,8 @@ def create_system_from_prmtop(prmtop_path: str, constraints: Optional[str] = "h-
         masses=_f32(masses),
         terms=tuple(terms),
         constraints=constraints_obj,
-        default_box=None,
-        periodic=False)
+        default_box=default_box,
+        periodic=periodic)
 
 
 class AmberTopology:

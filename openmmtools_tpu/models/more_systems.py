@@ -394,3 +394,38 @@ class MolecularIdealGas(TestSystem):
         self.system = base.system.replace(terms=kept)
         self.positions = base.positions
         self.ndof = 3 * self.system.n_particles
+
+
+class AlanineDipeptideExplicit(_PrmtopSystem):
+    """Alanine dipeptide in explicit TIP3P water, PME, 2269 atoms
+    (testsystems.py:3482 AlanineDipeptideExplicit;
+    data/alanine-dipeptide-explicit/*)."""
+
+    _subdir = "alanine-dipeptide-explicit"
+    _prmtop = "alanine-dipeptide.prmtop"
+    _crd = "alanine-dipeptide.crd"
+
+    def __init__(self, constraints="h-bonds", cutoff=0.9, data_dir=None):
+        import os
+
+        from openmmtools_tpu.models.amber import (
+            DEFAULT_DATA_DIR,
+            AmberTopology,
+            create_system_from_prmtop,
+            parse_inpcrd,
+            parse_prmtop,
+        )
+
+        TestSystem.__init__(self)
+        base = os.path.join(data_dir or DEFAULT_DATA_DIR, self._subdir)
+        prmtop = os.path.join(base, self._prmtop)
+        if not os.path.exists(prmtop):
+            raise FileNotFoundError(f"data not found: {prmtop}")
+        self.system = create_system_from_prmtop(
+            prmtop, constraints=constraints, nonbonded_method="pme",
+            cutoff=cutoff)
+        self.positions = jnp.asarray(
+            parse_inpcrd(os.path.join(base, self._crd)), dtype=jnp.float32)
+        self.topology = AmberTopology(parse_prmtop(prmtop))
+        self.ndof = (3 * self.system.n_particles
+                     - self.system.constraints.n_constraints)

@@ -677,6 +677,7 @@ class LennardJonesPair(TestSystem):
 # batch-2 systems live in more_systems.py; import so the auto-discovery in
 # get_available_testsystems (and the platform-parity script) sees them
 from openmmtools_tpu.models.more_systems import (  # noqa: E402,F401
+    AlanineDipeptideExplicit,
     ConstraintCoupledHarmonicOscillator,
     HostGuestImplicit,
     HostGuestVacuum,
