@@ -26,12 +26,15 @@ from openmmtools_tpu.integrators.nonequilibrium import (  # noqa: F401
     PeriodicNonequilibriumIntegrator,
 )
 from openmmtools_tpu.integrators.minimize import (  # noqa: F401
+    FIREMinimizationIntegrator,
+    GradientDescentMinimizationIntegrator,
     fire_minimize,
     gradient_descent_minimize,
     minimize,
 )
 from openmmtools_tpu.integrators.extras import (  # noqa: F401
     AndersenVelocityVerletIntegrator,
+    DummyIntegrator,
     MetropolisMonteCarloIntegrator,
     MTSIntegrator,
     NoseHooverChainVelocityVerletIntegrator,

@@ -292,3 +292,25 @@ class MTSIntegrator(LangevinIntegrator):
         super().__init__(temperature=temperature, timestep=timestep,
                          splitting=splitting, **kwargs)
         self.groups = groups
+
+
+class _BoundDummy(BoundIntegrator):
+    def _build_step(self):
+        def step(state: IntegratorState) -> IntegratorState:
+            return state.replace(step_count=state.step_count + 1)
+        return step
+
+
+class DummyIntegrator(LangevinIntegrator):
+    """No-op integrator (integrators.py:361) — used by moves that only need
+    a context-like binding (e.g. the reference's barostat move)."""
+
+    _bound_class = _BoundDummy
+    _default_splitting = "R"
+
+    def __init__(self, **kwargs):
+        kwargs.setdefault("temperature", 298.0)
+        kwargs.setdefault("timestep", 0.001)
+        kwargs.setdefault("collision_rate", 1.0)
+        kwargs.setdefault("splitting", "R")
+        super().__init__(**kwargs)

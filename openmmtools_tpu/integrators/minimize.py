@@ -128,3 +128,31 @@ def minimize(thermodynamic_state: ThermodynamicState,
 
         x_min = shake_positions(x_min, x_min, system.constraints, system.masses)
     return sampler_state.replace(positions=x_min)
+
+
+class FIREMinimizationIntegrator:
+    """Name-parity wrapper for the FIRE minimizer
+    (FIREMinimizationIntegrator, integrators.py:2290): exposes
+    ``minimize(system, x, ...)`` via the functional implementation."""
+
+    def __init__(self, timestep=1e-3, alpha=0.1, n_min=5, **kwargs):
+        self.timestep = timestep
+        self.alpha = alpha
+        self.n_min = n_min
+
+    def minimize(self, system, x, box=None, params=None, max_steps=500):
+        return fire_minimize(system, x, box, params,
+                             timestep=self.timestep, alpha0=self.alpha,
+                             n_min=self.n_min, max_steps=max_steps)
+
+
+class GradientDescentMinimizationIntegrator:
+    """Name-parity wrapper (integrators.py:388)."""
+
+    def __init__(self, initial_step_size=1e-4):
+        self.initial_step_size = initial_step_size
+
+    def minimize(self, system, x, box=None, params=None, max_steps=200):
+        return gradient_descent_minimize(
+            system, x, box, params, initial_step=self.initial_step_size,
+            max_steps=max_steps)

@@ -87,7 +87,10 @@ class MCMCMove:
         return sub
 
     def apply(self, thermodynamic_state, sampler_state: SamplerState,
-              key=None) -> SamplerState:
+              key=None, context_cache=None) -> SamplerState:
+        """Apply the move. ``context_cache`` is accepted for reference API
+        parity (mcmc.py:157); compiled-program reuse is automatic here, so
+        it is unused."""
         if key is None:
             key = self._next_key()
         return self._apply(_resolve(thermodynamic_state), sampler_state, key)

@@ -347,10 +347,12 @@ def _make_kernel(spec: LJGridSpec, n_steps: int, forces_only=False):
             return tuple(fs)
 
         def pair_scale(dx, dy, dz):
-            """-2 dU/dr^2, cutoff-masked (force = scale * d on the center)."""
+            """-2 dU/dr^2, cutoff-masked (force = scale * d on the center).
+            Pairs at r ~ 0 (self pairs, coincident sentinels) are excluded by
+            the lower bound so no overflow ever enters a masked product."""
             r2 = dx * dx + dy * dy + dz * dz
-            inside = r2 < rc2
-            r2s = jnp.where(inside, jnp.maximum(r2, 1e-8), 1.0)
+            inside = (r2 < rc2) & (r2 > 1e-6)
+            r2s = jnp.where(inside, jnp.maximum(r2, 1e-6), 1.0)
             inv_r2 = 1.0 / r2s
             s2 = sig2 * inv_r2
             s6 = s2 * s2 * s2
@@ -371,64 +373,52 @@ def _make_kernel(spec: LJGridSpec, n_steps: int, forces_only=False):
             fx = jnp.zeros((m, g), dtype=jnp.float32)
             fy = jnp.zeros_like(fx)
             fz = jnp.zeros_like(fx)
-            sub_idx = jax.lax.broadcasted_iota(jnp.int32, (m, g), 0)
 
-            # intra-cell: candidate = absolute slot row k of the same cell
-            # (each unordered pair computed from both sides; self masked).
-            # k < max_occ is exact because ranks are contiguous.
+            # Pairing by SUBLANE ROLL k: center slot m vs candidate slot
+            # (m+k) mod M of the (lane-rolled) neighbor cell. Rolls are the
+            # only cross-lane/sublane ops (row-slice broadcasts miscompile
+            # on this Pallas version for non-128-multiple lane counts).
+            # Rank-contiguous occupancy makes levels with
+            # occ <= k <= M-occ provably pair-free: one cond per level.
             for k in range(m):
-                def intra(carry, k=k):
+                def level(carry, k=k):
                     fx, fy, fz = carry
-                    dx = xg0 - xg0[k:k + 1, :]
-                    dy = xg1 - xg1[k:k + 1, :]
-                    dz = xg2 - xg2[k:k + 1, :]
-                    sc = (pair_scale(dx, dy, dz) * interior
-                          * (sub_idx != k).astype(jnp.float32))
-                    return fx + sc * dx, fy + sc * dy, fz + sc * dz
-                fx, fy, fz = jax.lax.cond(
-                    k < max_occ, intra, lambda c: c, (fx, fy, fz))
-
-            # neighbor cells: half-offset sweep, candidate = absolute slot
-            # row k of the rolled cell; Newton reaction rows accumulated and
-            # rolled back once per offset
-            for off in offsets:
-                def per_offset(carry, off=off):
-                    fx, fy, fz = carry
-                    xr0 = _roll(xg0, -off, 1, g)
-                    xr1 = _roll(xg1, -off, 1, g)
-                    xr2 = _roll(xg2, -off, 1, g)
-                    bx = jnp.zeros((m, g), dtype=jnp.float32)
-                    by = jnp.zeros_like(bx)
-                    bz = jnp.zeros_like(bx)
-                    for k in range(m):
-                        def per_k(c, k=k):
-                            fx, fy, fz, bx, by, bz = c
-                            dx = xg0 - xr0[k:k + 1, :]
-                            dy = xg1 - xr1[k:k + 1, :]
-                            dz = xg2 - xr2[k:k + 1, :]
-                            sc = pair_scale(dx, dy, dz) * interior
-                            fx = fx + sc * dx
-                            fy = fy + sc * dy
-                            fz = fz + sc * dz
-                            # reaction on candidate slot k of cell c+off
-                            rx = jnp.sum(sc * dx, axis=0, keepdims=True)
-                            ry = jnp.sum(sc * dy, axis=0, keepdims=True)
-                            rz = jnp.sum(sc * dz, axis=0, keepdims=True)
-                            # row-k accumulate via sublane mask (Mosaic
-                            # has no dynamic_update_slice)
-                            in_row = (sub_idx == k).astype(jnp.float32)
-                            bx = bx + in_row * rx
-                            by = by + in_row * ry
-                            bz = bz + in_row * rz
-                            return fx, fy, fz, bx, by, bz
-                        fx, fy, fz, bx, by, bz = jax.lax.cond(
-                            k < max_occ, per_k, lambda c: c,
-                            (fx, fy, fz, bx, by, bz))
-                    fx = fx - _roll(bx, off, 1, g)
-                    fy = fy - _roll(by, off, 1, g)
-                    fz = fz - _roll(bz, off, 1, g)
+                    if k > 0:
+                        # intra-cell pairs (m, m+k); all orderings arise
+                        # across the k sweep (k and M-k both active)
+                        cx_ = _roll(xg0, -k, 0, m)
+                        cy_ = _roll(xg1, -k, 0, m)
+                        cz_ = _roll(xg2, -k, 0, m)
+                        dx = xg0 - cx_
+                        dy = xg1 - cy_
+                        dz = xg2 - cz_
+                        sc = pair_scale(dx, dy, dz) * interior
+                        fx = fx + sc * dx
+                        fy = fy + sc * dy
+                        fz = fz + sc * dz
+                    for off in offsets:
+                        xr0 = _roll(xg0, -off, 1, g)
+                        xr1 = _roll(xg1, -off, 1, g)
+                        xr2 = _roll(xg2, -off, 1, g)
+                        cx_ = _roll(xr0, -k, 0, m)
+                        cy_ = _roll(xr1, -k, 0, m)
+                        cz_ = _roll(xr2, -k, 0, m)
+                        dx = xg0 - cx_
+                        dy = xg1 - cy_
+                        dz = xg2 - cz_
+                        sc = pair_scale(dx, dy, dz) * interior
+                        sx, sy, sz = sc * dx, sc * dy, sc * dz
+                        fx = fx + sx
+                        fy = fy + sy
+                        fz = fz + sz
+                        # Newton reaction onto (slot m+k, cell c+off)
+                        fx = fx - _roll(_roll(sx, k, 0, m), off, 1, g)
+                        fy = fy - _roll(_roll(sy, k, 0, m), off, 1, g)
+                        fz = fz - _roll(_roll(sz, k, 0, m), off, 1, g)
                     return fx, fy, fz
-                fx, fy, fz = per_offset((fx, fy, fz))
+                active = (k < max_occ) | (k > m - max_occ)
+                fx, fy, fz = jax.lax.cond(active, level, lambda c: c,
+                                          (fx, fy, fz))
 
             fx, fy, fz = fold_ghosts((fx, fy, fz))
             return fx * valid, fy * valid, fz * valid
