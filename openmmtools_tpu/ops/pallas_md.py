@@ -173,10 +173,14 @@ def bin_particles_matmul(x, v, spec: LJGridSpec):
     slot_ids = jax.lax.broadcasted_iota(jnp.int32, (n, m * g), 1)
     e = (slot[:, None] == slot_ids).astype(x_wrapped.dtype)  # (N, M*G)
 
+    # HIGHEST precision: the default TPU matmul runs in bf16 and would
+    # quantize the positions themselves (one-hot selection must be exact)
     xs = jnp.einsum("nm,nc->mc", e, x_wrapped,
-                    preferred_element_type=jnp.float32)      # (M*G, 3)
+                    preferred_element_type=jnp.float32,
+                    precision=jax.lax.Precision.HIGHEST)     # (M*G, 3)
     vs = jnp.einsum("nm,nc->mc", e, v.astype(x_wrapped.dtype),
-                    preferred_element_type=jnp.float32)
+                    preferred_element_type=jnp.float32,
+                    precision=jax.lax.Precision.HIGHEST)
     valid_flat = jnp.sum(e, axis=0)                          # (M*G,)
 
     slot_idx = jnp.arange(m * g, dtype=jnp.float32).reshape(m, g)
@@ -194,8 +198,10 @@ def unbin_particles_matmul(x_slots, v_slots, e):
     """Inverse of matmul binning: gather-free unload x = E @ slots."""
     xs = x_slots.reshape(3, -1).T
     vs = v_slots.reshape(3, -1).T
-    x = jnp.einsum("nm,mc->nc", e, xs, preferred_element_type=jnp.float32)
-    v = jnp.einsum("nm,mc->nc", e, vs, preferred_element_type=jnp.float32)
+    x = jnp.einsum("nm,mc->nc", e, xs, preferred_element_type=jnp.float32,
+                   precision=jax.lax.Precision.HIGHEST)
+    v = jnp.einsum("nm,mc->nc", e, vs, preferred_element_type=jnp.float32,
+                   precision=jax.lax.Precision.HIGHEST)
     return x, v
 
 
@@ -261,7 +267,8 @@ def _half_offsets(gs: int):
     return out
 
 
-def _make_kernel(spec: LJGridSpec, n_steps: int, forces_only=False):
+def _make_kernel(spec: LJGridSpec, n_steps: int, forces_only=False,
+                 newton=True):
     """Fused BAOAB + cell-grid LJ kernel (v2).
 
     Per step, forces are computed with Newton pairing over the 13
@@ -291,7 +298,7 @@ def _make_kernel(spec: LJGridSpec, n_steps: int, forces_only=False):
     if use_switch:
         r_on = spec.cutoff - spec.switch_width
         inv_sw = 1.0 / (spec.cutoff - r_on)
-    offsets = _half_offsets(gs)
+    offsets = _half_offsets(gs) if newton else _neighbor_offsets(gs)
     stages = ((2, gs * gs), (1, gs), (0, 1))  # fill order z, y, x
 
     use_noise = ou_b > 0.0
@@ -411,16 +418,18 @@ def _make_kernel(spec: LJGridSpec, n_steps: int, forces_only=False):
                         fx = fx + sx
                         fy = fy + sy
                         fz = fz + sz
-                        # Newton reaction onto (slot m+k, cell c+off)
-                        fx = fx - _roll(_roll(sx, k, 0, m), off, 1, g)
-                        fy = fy - _roll(_roll(sy, k, 0, m), off, 1, g)
-                        fz = fz - _roll(_roll(sz, k, 0, m), off, 1, g)
+                        if newton:
+                            # Newton reaction onto (slot m+k, cell c+off)
+                            fx = fx - _roll(_roll(sx, k, 0, m), off, 1, g)
+                            fy = fy - _roll(_roll(sy, k, 0, m), off, 1, g)
+                            fz = fz - _roll(_roll(sz, k, 0, m), off, 1, g)
                     return fx, fy, fz
                 active = (k < max_occ) | (k > m - max_occ)
                 fx, fy, fz = jax.lax.cond(active, level, lambda c: c,
                                           (fx, fy, fz))
 
-            fx, fy, fz = fold_ghosts((fx, fy, fz))
+            if newton:
+                fx, fy, fz = fold_ghosts((fx, fy, fz))
             return fx * valid, fy * valid, fz * valid
 
         def gauss2():
