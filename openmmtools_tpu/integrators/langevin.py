@@ -306,8 +306,12 @@ class BoundIntegrator:
         if integ.measure_shadow_work or integ.measure_heat:
             return
         system = self.system
+        # crossover vs the dense O(N^2) path measured on v5e: dense wins to
+        # ~2-3k particles (this TPU generation's VPU prefers the big fused
+        # elementwise block over many small grid tiles); the cell-grid
+        # kernel takes over at larger N where O(N^2) explodes
         if (system.constraints.n_constraints > 0 or len(system.terms) != 1
-                or system.default_box is None or system.n_particles < 256):
+                or system.default_box is None or system.n_particles < 4096):
             return
         from openmmtools_tpu.system import NonbondedTerm
 
