@@ -68,10 +68,22 @@ class MultiStateSamplerAnalyzer(PhaseAnalyzer):
     """Analyzer for MultiStateSampler-family simulations
     (multistateanalyzer.py:1137)."""
 
-    def __init__(self, reporter, unbias_restraint=False, n_equilibration_iterations=None,
+    def __init__(self, reporter, unbias_restraint=False,
+                 restraint_force=None, restraint_energy_cutoff="auto",
+                 restraint_distance_cutoff=None,
+                 n_equilibration_iterations=None,
                  statistical_inefficiency=None, **kwargs):
         super().__init__(reporter, **kwargs)
         self.unbias_restraint = unbias_restraint
+        # restraint unbiasing (multistateanalyzer.py:1556-1917): the analyzer
+        # appends two restraint-free unsampled end states whose energies are
+        # u_k -/+ the restraint energy recomputed from the per-iteration
+        # analysis positions; samples beyond the energy/distance cutoff are
+        # discarded. restraint_force: a forces.py restraint whose group
+        # indices refer to the reporter's analysis particle subset.
+        self.restraint_force = restraint_force
+        self.restraint_energy_cutoff = restraint_energy_cutoff
+        self.restraint_distance_cutoff = restraint_distance_cutoff
         self._fixed_equilibration = n_equilibration_iterations
         self._fixed_statistical_inefficiency = statistical_inefficiency
 
@@ -162,10 +174,67 @@ class MultiStateSamplerAnalyzer(PhaseAnalyzer):
         # flatten frames × replicas into samples
         u_ln = u.reshape(-1, k_total).T                  # (Ktot, n_samples)
         s_flat = s.reshape(-1)
-        n_sampled_states = int(s_flat.max()) + 1 if s_flat.size else 0
         n_k = np.bincount(s_flat, minlength=k_total).astype(np.float64)
+
+        if self.unbias_restraint:
+            u_rest = self._restraint_energies_kT(t0, idx)
+            if u_rest is not None:
+                keep = np.ones(u_rest.shape[0], dtype=bool)
+                cutoff = self.restraint_energy_cutoff
+                if cutoff == "auto":
+                    cutoff = 16.0  # kT; reference picks from the histogram
+                if cutoff is not None:
+                    keep &= u_rest <= float(cutoff)
+                if self.restraint_distance_cutoff is not None:
+                    d = self._cache["restraint_distances"]
+                    keep &= d <= float(self.restraint_distance_cutoff)
+                u_ln = u_ln[:, keep]
+                u_rest = u_rest[keep]
+                s_flat = s_flat[keep]
+                n_k = np.bincount(s_flat, minlength=k_total).astype(np.float64)
+                # two restraint-free end states (first and last sampled)
+                u_first = u_ln[0] - u_rest
+                u_last = u_ln[k_total - 1] - u_rest
+                u_ln = np.concatenate(
+                    [u_ln, u_first[None, :], u_last[None, :]], axis=0)
+                n_k = np.concatenate([n_k, [0.0, 0.0]])
+
         self._cache["mbar_input"] = (u_ln, n_k)
         return u_ln, n_k
+
+    def _restraint_energies_kT(self, t0, idx):
+        """Restraint energies (kT) per flattened decorrelated sample, from
+        the reporter's analysis positions and self.restraint_force."""
+        if self.restraint_force is None:
+            return None
+        pos = self._reporter.read_analysis_positions()
+        if pos is None:
+            logger.warning("unbias_restraint requested but no analysis "
+                           "positions stored; skipping")
+            return None
+        import jax
+        import jax.numpy as jnp
+
+        from openmmtools_tpu.constants import kB
+
+        pos = pos[: self.max_n_iterations + 1] if self.max_n_iterations \
+            else pos
+        pos = pos[t0:][idx]                      # (T', N, P, 3)
+        t_, n_, p_, _ = pos.shape
+        flat = jnp.asarray(pos.reshape(-1, p_, 3))
+        force = self.restraint_force
+        energies = np.asarray(jax.vmap(
+            lambda x: force.energy(x, None, None))(flat))
+        if hasattr(force, "_distance"):
+            self._cache["restraint_distances"] = np.asarray(jax.vmap(
+                lambda x: force._distance(x))(flat))
+        else:
+            self._cache["restraint_distances"] = np.full(
+                energies.shape, np.nan)
+        # kT of the first sampled state
+        states, _ = self._reporter.read_thermodynamic_states()
+        kT = kB * float(states[0].temperature)
+        return energies / kT
 
     # -- MBAR & observables --------------------------------------------------
     def _mbar(self) -> MBARResult:

@@ -222,9 +222,13 @@ class MultiStateReporter:
         return ds
 
     def write_iteration(self, iteration: int, energies, replica_states,
-                        n_accepted, n_proposed):
+                        n_accepted, n_proposed, analysis_positions=None):
         """energies[iteration, replica, state] in kT + states + mixing
-        statistics (:865-930 schema)."""
+        statistics (:865-930 schema). ``analysis_positions``: per-iteration
+        coordinates of the analysis particle subset (:111)."""
+        if analysis_positions is not None:
+            self._write_frame(self._analysis, "analysis_positions", iteration,
+                              np.asarray(analysis_positions, dtype=np.float32))
         self._write_frame(self._analysis, "energies", iteration,
                           np.asarray(energies, dtype=np.float64))
         self._write_frame(self._analysis, "states", iteration,
@@ -244,6 +248,12 @@ class MultiStateReporter:
 
     def read_replica_states(self, iteration):
         return self._analysis["states"][iteration]
+
+    def read_analysis_positions(self, iterations=None):
+        ds = self._analysis.get("analysis_positions")
+        if ds is None:
+            return None
+        return ds[...] if iterations is None else ds[iterations]
 
     def read_mixing_statistics(self, iteration=None):
         if "accepted" not in self._analysis:

@@ -489,10 +489,16 @@ class MultiStateSampler:
         self._energy_history.append(u.copy())
         self._state_history.append(s.copy())
         if self._reporter is not None:
+            analysis_positions = None
+            idx = getattr(self._reporter, "analysis_particle_indices", None)
+            if idx is not None and len(idx):
+                analysis_positions = np.asarray(
+                    self._carry.positions)[:, np.asarray(idx)]
             self._reporter.write_iteration(
                 iteration=self._iteration, energies=u, replica_states=s,
                 n_accepted=np.asarray(self._carry.n_accepted),
-                n_proposed=np.asarray(self._carry.n_proposed))
+                n_proposed=np.asarray(self._carry.n_proposed),
+                analysis_positions=analysis_positions)
             if self._iteration % self._checkpoint_interval() == 0:
                 self._reporter.write_checkpoint(
                     iteration=self._iteration,

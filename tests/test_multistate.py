@@ -224,3 +224,92 @@ def test_online_analysis_and_stop(tmp_path):
     # stopped early once online error (always < 50 kT) was evaluated
     assert sampler.iteration <= 40
     assert sampler._last_err_free_energy is not None
+
+
+def test_unsampled_endpoint_states(tmp_path):
+    """Unsampled (endpoint) thermodynamic states get energy columns and MBAR
+    free energies with zero samples (multistateanalyzer.py:1479-1554 path)."""
+    ho, states = _make_states()
+    # unsampled endpoints: stiffer wells never simulated
+    ref = states[0]
+    unsampled = [ref.replace(global_params={
+                    "testsystems_HarmonicOscillator_K": jnp.asarray(k)})
+                 for k in (1600.0, 3200.0)]
+    reporter = MultiStateReporter(str(tmp_path / "unsampled.h5"),
+                                  checkpoint_interval=100)
+    sampler = ReplicaExchangeSampler(
+        mcmc_moves=_move(), number_of_iterations=300,
+        online_analysis_interval=None, rng_seed=9)
+    sampler.create(states, SamplerState(positions=ho.positions),
+                   storage=reporter,
+                   unsampled_thermodynamic_states=unsampled)
+    sampler.run()
+    assert sampler.energies_last_iteration.shape == (4, 6)
+
+    analyzer = MultiStateSamplerAnalyzer(reporter)
+    df, ddf = analyzer.get_free_energy()
+    assert df.shape == (6, 6)
+    for k_idx, K in ((4, 1600.0), (5, 3200.0)):
+        analytic = _analytic_f(K) - _analytic_f(K_LADDER[0])
+        err = max(6 * ddf[0, k_idx], 0.25)
+        assert abs(df[0, k_idx] - analytic) < err, (
+            k_idx, df[0, k_idx], analytic, ddf[0, k_idx])
+    reporter.close()
+
+
+def test_analysis_positions_stored(tmp_path):
+    ho, states = _make_states()
+    reporter = MultiStateReporter(str(tmp_path / "apos.h5"),
+                                  checkpoint_interval=100,
+                                  analysis_particle_indices=[0])
+    sampler = ReplicaExchangeSampler(
+        mcmc_moves=_move(), number_of_iterations=5,
+        online_analysis_interval=None, rng_seed=2)
+    sampler.create(states, SamplerState(positions=ho.positions),
+                   storage=reporter)
+    sampler.run()
+    pos = reporter.read_analysis_positions()
+    assert pos.shape == (6, 4, 1, 3)  # iterations 0..5, 4 replicas, 1 atom
+    reporter.close()
+
+
+def test_restraint_unbiasing(tmp_path):
+    """Restraint unbiasing: a harmonically-restrained free particle pair;
+    removing the restraint analytically changes the reduced free energy, and
+    the unbiased end state plus standard-state correction recovers it
+    (multistateanalyzer.py:1556-1917 pipeline)."""
+    from openmmtools_tpu.forces import HarmonicRestraintBondForce
+    from openmmtools_tpu.models import IdealGas
+
+    gas = IdealGas(nparticles=2)
+    restraint = HarmonicRestraintBondForce(spring_constant=jnp.asarray(400.0),
+                                           atom1=0, atom2=1)
+    system = gas.system.replace(terms=gas.system.terms + (restraint,))
+    from openmmtools_tpu.states import ThermodynamicState
+
+    states = [ThermodynamicState(system, jnp.asarray(TEMP),
+                                 global_params={"lambda_restraints": 1.0}),
+              ThermodynamicState(system, jnp.asarray(TEMP),
+                                 global_params={"lambda_restraints": 1.0})]
+    reporter = MultiStateReporter(str(tmp_path / "rest.h5"),
+                                  checkpoint_interval=100,
+                                  analysis_particle_indices=[0, 1])
+    sampler = ReplicaExchangeSampler(
+        mcmc_moves=_move(n_steps=20), number_of_iterations=200,
+        online_analysis_interval=None, rng_seed=7)
+    sampler.create(states, gas.sampler_state(), storage=reporter)
+    sampler.run()
+
+    analyzer = MultiStateSamplerAnalyzer(
+        reporter, unbias_restraint=True,
+        restraint_force=restraint, restraint_energy_cutoff=None)
+    u_ln, n_k = analyzer._decorrelated_u_ln_and_n_k()
+    assert u_ln.shape[0] == 4  # 2 sampled + 2 unbiased end states
+    assert n_k[-1] == 0 and n_k[-2] == 0
+    df, ddf = analyzer.get_free_energy()
+    assert df.shape == (4, 4)
+    assert np.all(np.isfinite(df))
+    # unbiased state has LOWER reduced free energy... the restraint confines:
+    # removing it increases entropy, so f_unbiased < f_biased... in reduced
+    # potentials u_unbiased = u - u_rest <= u, so f decreases
+    assert df[0, -1] < 0.5
