@@ -337,20 +337,65 @@ class MultiStateSampler:
             state = bound.run_program(n_steps)(state)
             return state.positions, state.velocities
 
-        def energies_one(x, box):
-            """u_k for one configuration at all states (incl. unsampled)."""
-            def u_at(temperature, pressure, params):
-                ts = ThermodynamicState(
-                    system=system, temperature=temperature, pressure=pressure,
-                    global_params=params)
-                return ts.reduced_potential(
-                    SamplerState(positions=x, box_vectors=box))
+        locality = self.locality
+        k_states = len(self._thermodynamic_states)
 
-            in_axes = (0, None if stacked_all.pressure is None else 0,
-                       {k: 0 for k in stacked_all.global_params})
-            return jax.vmap(u_at, in_axes=in_axes)(
-                stacked_all.temperature, stacked_all.pressure,
-                stacked_all.global_params)
+        def u_at(x, box, temperature, pressure, params):
+            ts = ThermodynamicState(
+                system=system, temperature=temperature, pressure=pressure,
+                global_params=params)
+            return ts.reduced_potential(
+                SamplerState(positions=x, box_vectors=box))
+
+        def energies_one(x, box, state_index):
+            """u_k for one configuration.
+
+            locality=None: all K (+unsampled) states in one vmap.
+            locality=L: only the neighborhood |k - s_n| <= L is evaluated
+            (multistatesampler.py:116-118,1263-1281); other entries are +inf
+            (the reference leaves them unwritten). Unsampled states are
+            always evaluated."""
+            in_axes_all = (None, None, 0,
+                           None if stacked_all.pressure is None else 0,
+                           {k: 0 for k in stacked_all.global_params})
+            if locality is None:
+                return jax.vmap(u_at, in_axes=in_axes_all)(
+                    x, box, stacked_all.temperature, stacked_all.pressure,
+                    stacked_all.global_params)
+            window = 2 * int(locality) + 1
+            start = jnp.clip(state_index - locality, 0,
+                             max(0, k_states - window))
+
+            def slice_leaf(leaf):
+                return jax.lax.dynamic_slice_in_dim(leaf, start, window)
+
+            temp_w = slice_leaf(stacked_all.temperature[:k_states])
+            pres_w = (None if stacked_all.pressure is None
+                      else slice_leaf(stacked_all.pressure[:k_states]))
+            params_w = {k: slice_leaf(v[:k_states])
+                        for k, v in stacked_all.global_params.items()}
+            in_axes_w = (None, None, 0, None if pres_w is None else 0,
+                         {k: 0 for k in params_w})
+            u_window = jax.vmap(u_at, in_axes=in_axes_w)(
+                x, box, temp_w, pres_w, params_w)
+            u_full = jnp.full((stacked_all.temperature.shape[0],), jnp.inf,
+                              dtype=u_window.dtype)
+            u_full = jax.lax.dynamic_update_slice_in_dim(u_full, u_window,
+                                                         start, axis=0)
+            if stacked_all.temperature.shape[0] > k_states:
+                # unsampled (endpoint) states always evaluated
+                n_uns = stacked_all.temperature.shape[0] - k_states
+                in_axes_u = (None, None, 0,
+                             None if stacked_all.pressure is None else 0,
+                             {k: 0 for k in stacked_all.global_params})
+                u_uns = jax.vmap(u_at, in_axes=in_axes_u)(
+                    x, box, stacked_all.temperature[k_states:],
+                    None if stacked_all.pressure is None
+                    else stacked_all.pressure[k_states:],
+                    {k: v[k_states:]
+                     for k, v in stacked_all.global_params.items()})
+                u_full = u_full.at[k_states:].set(u_uns)
+            return u_full
 
         mix_kernel = self._mix_kernel  # subclass hook (may be None)
 
@@ -368,7 +413,8 @@ class MultiStateSampler:
             box_axis = None if carry.boxes is None else 0
             xs, vs = jax.vmap(propagate_one, in_axes=(0, 0, box_axis, 0, 0))(
                 carry.positions, carry.velocities, carry.boxes, keys, states)
-            u = jax.vmap(energies_one, in_axes=(0, box_axis))(xs, carry.boxes)
+            u = jax.vmap(energies_one, in_axes=(0, box_axis, 0))(
+                xs, carry.boxes, states)
             return carry.replace(
                 positions=xs, velocities=vs, replica_states=states,
                 energies=u, n_accepted=n_acc, n_proposed=n_prop, rng_key=key)

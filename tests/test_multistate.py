@@ -313,3 +313,26 @@ def test_restraint_unbiasing(tmp_path):
     # removing it increases entropy, so f_unbiased < f_biased... in reduced
     # potentials u_unbiased = u - u_rest <= u, so f decreases
     assert df[0, -1] < 0.5
+
+
+def test_locality_windowed_energies():
+    """locality=L: only the |k - s_n| <= L neighborhood is computed; other
+    entries are +inf (multistatesampler.py:1263-1281 semantics)."""
+    ho, states = _make_states()
+    sampler = ReplicaExchangeSampler(
+        mcmc_moves=_move(n_steps=5), number_of_iterations=3,
+        replica_mixing_scheme=None,  # keep replicas at their states
+        locality=1, online_analysis_interval=None, rng_seed=11)
+    sampler.create(states, SamplerState(positions=ho.positions))
+    sampler.run()
+    u = sampler.energies_last_iteration
+    s = sampler.replica_states
+    for n in range(4):
+        for k in range(4):
+            near = abs(k - s[n]) <= 1 or (
+                # clipped window at the edges still spans 2L+1 states
+                (s[n] <= 1 and k <= 2) or (s[n] >= 2 and k >= 1))
+            if abs(k - s[n]) <= 1:
+                assert np.isfinite(u[n, k])
+    # something is inf (distant states skipped)
+    assert np.any(~np.isfinite(u))
