@@ -45,6 +45,10 @@ _MODELS = {
                   rOH=0.09572, aHOH=math.radians(104.52)),
     "spce": dict(qO=-0.8476, qH=0.4238, sigma=0.316557, epsilon=0.650194,
                  rOH=0.1, aHOH=math.radians(109.47)),
+    # 4-site: charge lives on the virtual M site on the HOH bisector
+    "tip4pew": dict(qO=0.0, qH=0.52422, qM=-1.04844, sigma=0.316435,
+                    epsilon=0.680946, rOH=0.09572,
+                    aHOH=math.radians(104.52), dOM=0.0125),
 }
 
 WATER_NUMBER_DENSITY = 33.0  # molecules / nm^3 (~0.987 g/cm^3)
@@ -92,6 +96,8 @@ class WaterBox(TestSystem):
         p = _MODELS[model]
         self.model = model
         self.constrained = constrained
+        four_site = "qM" in p
+        spm = 4 if four_site else 3  # sites per molecule
 
         # --- lattice placement at liquid density ---------------------------
         n_target = int(WATER_NUMBER_DENSITY * box_edge**3)
@@ -100,31 +106,41 @@ class WaterBox(TestSystem):
         spacing = box_edge / n_side
         rng = np.random.default_rng(seed)
         geom = _water_geometry(p["rOH"], p["aHOH"])
-        positions = np.zeros((n_waters * 3, 3))
+        if four_site:
+            # virtual M site on the bisector; its exact placement is
+            # recomputed by VirtualSites.reconstruct at every evaluation
+            bis = 0.5 * (geom[1] + geom[2])
+            m_site = geom[0] + p["dOM"] * bis / np.linalg.norm(bis)
+            geom = np.concatenate([geom, m_site[None]], axis=0)
+        positions = np.zeros((n_waters * spm, 3))
         w = 0
         for ix in range(n_side):
             for iy in range(n_side):
                 for iz in range(n_side):
                     center = (np.array([ix, iy, iz]) + 0.5) * spacing
                     R = _random_rotation(rng)
-                    positions[3 * w: 3 * w + 3] = geom @ R.T + center
+                    positions[spm * w: spm * w + spm] = geom @ R.T + center
                     w += 1
         self.n_waters = n_waters
-        n_atoms = 3 * n_waters
+        n_atoms = spm * n_waters
 
         # --- parameters ------------------------------------------------------
-        charges = np.tile([p["qO"], p["qH"], p["qH"]], n_waters)
-        sigmas = np.tile([p["sigma"], 0.1, 0.1], n_waters)  # H: no LJ
-        epsilons = np.tile([p["epsilon"], 0.0, 0.0], n_waters)
-        masses = np.tile([15.99943, 1.007947, 1.007947], n_waters)
+        if four_site:
+            charges = np.tile([p["qO"], p["qH"], p["qH"], p["qM"]], n_waters)
+            sigmas = np.tile([p["sigma"], 0.1, 0.1, 0.1], n_waters)
+            epsilons = np.tile([p["epsilon"], 0.0, 0.0, 0.0], n_waters)
+            masses = np.tile([15.99943, 1.007947, 1.007947, 0.0], n_waters)
+        else:
+            charges = np.tile([p["qO"], p["qH"], p["qH"]], n_waters)
+            sigmas = np.tile([p["sigma"], 0.1, 0.1], n_waters)  # H: no LJ
+            epsilons = np.tile([p["epsilon"], 0.0, 0.0], n_waters)
+            masses = np.tile([15.99943, 1.007947, 1.007947], n_waters)
 
-        # intramolecular exclusions: (O,H1), (O,H2), (H1,H2) per water
-        base = np.arange(n_waters)[:, None] * 3
-        excl = np.concatenate([
-            base + np.array([0, 1]),
-            base + np.array([0, 2]),
-            base + np.array([1, 2]),
-        ], axis=0)
+        # intramolecular exclusions: all site pairs within a molecule
+        base = np.arange(n_waters)[:, None] * spm
+        pair_offsets = [(i, j) for i in range(spm) for j in range(i + 1, spm)]
+        excl = np.concatenate([base + np.array(po) for po in pair_offsets],
+                              axis=0)
         e_count = excl.shape[0]
 
         alpha = None
@@ -176,10 +192,24 @@ class WaterBox(TestSystem):
                 angle=_f32(np.full(n_waters, p["aHOH"])),
                 k=_f32(np.full(n_waters, 836.8))))
 
+        vsites = None
+        if four_site:
+            from openmmtools_tpu.system import VirtualSites
+
+            # M = O + w (H1 - O) + w (H2 - O): 3-particle average with
+            # weights (1 - 2w, w, w); w = dOM / (2 rOH cos(HOH/2))
+            wgt = p["dOM"] / (2.0 * p["rOH"] * math.cos(p["aHOH"] / 2.0))
+            vsites = VirtualSites(
+                site=jnp.asarray(base[:, 0] + 3, jnp.int32),
+                parents=jnp.asarray(
+                    np.stack([base[:, 0], base[:, 0] + 1, base[:, 0] + 2],
+                             axis=1), jnp.int32),
+                weights=_f32(np.tile([1.0 - 2.0 * wgt, wgt, wgt],
+                                     (n_waters, 1))))
         box = jnp.diag(_f32([box_edge, box_edge, box_edge]))
         self.system = System(
             masses=_f32(masses), terms=tuple(terms), constraints=constraints,
-            default_box=box, periodic=True)
+            default_box=box, virtual_sites=vsites, periodic=True)
         self.positions = jnp.asarray(positions, dtype=jnp.float32)
         self.ndof = 3 * n_atoms - constraints.n_constraints if constrained \
             else 3 * n_atoms

@@ -257,6 +257,43 @@ class CustomExternalTerm:
 
 
 @pytree_dataclass
+class VirtualSites:
+    """Massless interaction sites reconstructed from parent particles.
+
+    TPU-native treatment of OpenMM's virtual sites (used by TIP4P/TIP5P
+    waters, reference testsystems.py:2828-3350): site positions are
+    *recomputed inside the energy function* as x_site = sum_i w_i x_parent_i,
+    so force redistribution to the parents is exactly ``jax.grad`` through
+    the reconstruction — no bookkeeping in the integrator (sites are massless
+    and never integrated).
+
+    Currently the 3-particle weighted-average site (OpenMM
+    ThreeParticleAverageSite / the out-of-plane-free TIP4P geometry).
+    """
+
+    site: jax.Array      # (V,) int32 particle index of each virtual site
+    parents: jax.Array   # (V, 3) int32 parent particle indices
+    weights: jax.Array   # (V, 3) weights (sum to 1)
+
+    @property
+    def n_sites(self) -> int:
+        return self.site.shape[0]
+
+    def reconstruct(self, x):
+        if self.site.shape[0] == 0:
+            return x
+        parent_pos = x[self.parents]            # (V, 3, 3)
+        site_pos = jnp.sum(self.weights[:, :, None] * parent_pos, axis=1)
+        return x.at[self.site].set(site_pos)
+
+
+def no_virtual_sites() -> VirtualSites:
+    return VirtualSites(site=jnp.zeros((0,), jnp.int32),
+                        parents=jnp.zeros((0, 3), jnp.int32),
+                        weights=jnp.zeros((0, 3), jnp.float32))
+
+
+@pytree_dataclass
 class Constraints:
     """Holonomic distance constraints |x_i - x_j| = d (SHAKE/RATTLE targets)."""
 
@@ -288,6 +325,7 @@ class System:
     terms: Tuple[Any, ...]                  # energy-term pytrees
     constraints: Constraints
     default_box: Optional[jax.Array] = None  # (3,3) nm
+    virtual_sites: Optional[VirtualSites] = None
     periodic: bool = static_field(default=False)
 
     @property
@@ -326,9 +364,15 @@ def make_energy_fn(system: System, groups=None):
             gs = frozenset(groups)
             selected = tuple(t for t in system.terms if t.force_group in gs)
 
+    vsites = system.virtual_sites
+
     def energy_fn(x, box=None, params=None):
         if box is None:
             box = system.default_box
+        if vsites is not None and vsites.site.shape[0] > 0:
+            # virtual sites: reconstruct inside the energy so grad
+            # redistributes site forces onto the parents automatically
+            x = vsites.reconstruct(x)
         total = jnp.zeros((), dtype=x.dtype)
         for term in selected:
             total = total + term.energy(x, box, params)

@@ -135,3 +135,34 @@ def test_spce_model():
 def test_unsupported_model():
     with pytest.raises(ValueError):
         WaterBox(model="tip42")
+
+
+def test_tip4pew_virtual_sites():
+    """4-site water: the virtual M site is massless, carries the charge,
+    exerts zero direct force (redistributed to parents by autodiff), and the
+    box integrates stably."""
+    from openmmtools_tpu.system import make_force_fn
+
+    wb = WaterBox(box_edge=2.2, cutoff=0.9, model="tip4pew")
+    assert wb.system.n_particles == 4 * wb.n_waters
+    assert wb.system.virtual_sites.n_sites == wb.n_waters
+    masses = np.asarray(wb.system.masses)
+    assert np.all(masses[3::4] == 0.0)
+    f = make_force_fn(wb.system)(wb.positions, wb.system.default_box, None)
+    assert float(jnp.max(jnp.abs(f[3::4]))) == 0.0
+    u = float(wb.thermodynamic_state(300.0).potential_energy(
+        wb.sampler_state()))
+    assert np.isfinite(u)
+
+    from openmmtools_tpu.integrators import BAOABIntegrator
+
+    integ = BAOABIntegrator(temperature=300.0, collision_rate=5.0,
+                            timestep=0.001, neighborlist=None)
+    b = integ.bind(wb.system)
+    s = b.initial_state(wb.sampler_state(), jax.random.PRNGKey(0),
+                        temperature=300.0)
+    s = b.run(s, 30)
+    assert bool(jnp.all(jnp.isfinite(s.positions)))
+    # M sites never move (massless, zero velocity) but energies use the
+    # reconstructed positions, so the physics is 4-site
+    assert float(jnp.max(jnp.abs(s.velocities[3::4]))) == 0.0
