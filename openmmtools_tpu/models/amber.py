@@ -88,6 +88,17 @@ def parse_prmtop(path: str) -> Dict[str, np.ndarray]:
     return out
 
 
+def parse_pdb_positions(path: str) -> np.ndarray:
+    """Read coordinates (Å -> nm) from an ASCII PDB (ATOM/HETATM records)."""
+    coords = []
+    with open(path) as fh:
+        for line in fh:
+            if line.startswith(("ATOM", "HETATM")):
+                coords.append((float(line[30:38]), float(line[38:46]),
+                               float(line[46:54])))
+    return np.asarray(coords) * A2NM
+
+
 def parse_inpcrd(path: str, return_box: bool = False):
     """Parse an Amber .crd/.inpcrd restart: positions in Å -> nm.
     With ``return_box=True`` also returns the (3,) box lengths in nm (or

@@ -429,3 +429,36 @@ class AlanineDipeptideExplicit(_PrmtopSystem):
         self.topology = AmberTopology(parse_prmtop(prmtop))
         self.ndof = (3 * self.system.n_particles
                      - self.system.constraints.n_constraints)
+
+
+class DHFRExplicit(TestSystem):
+    """DHFR in explicit TIP3P water — the Joint Amber-CHARMM benchmark
+    system, 23558 atoms (testsystems.py:3863 DHFRExplicit; data/dhfr/).
+    Coordinates come from system.pdb (JAC.inpcrd is a binary NetCDF
+    restart)."""
+
+    def __init__(self, constraints="h-bonds", cutoff=0.9, data_dir=None):
+        super().__init__()
+        import os
+
+        from openmmtools_tpu.models.amber import (
+            DEFAULT_DATA_DIR,
+            AmberTopology,
+            create_system_from_prmtop,
+            parse_pdb_positions,
+            parse_prmtop,
+        )
+
+        base = os.path.join(data_dir or DEFAULT_DATA_DIR, "dhfr")
+        prmtop = os.path.join(base, "JAC.prmtop")
+        if not os.path.exists(prmtop):
+            raise FileNotFoundError(f"data not found: {prmtop}")
+        self.system = create_system_from_prmtop(
+            prmtop, constraints=constraints, nonbonded_method="pme",
+            cutoff=cutoff)
+        self.positions = jnp.asarray(
+            parse_pdb_positions(os.path.join(base, "system.pdb"))[
+                : self.system.n_particles], dtype=jnp.float32)
+        self.topology = AmberTopology(parse_prmtop(prmtop))
+        self.ndof = (3 * self.system.n_particles
+                     - self.system.constraints.n_constraints)

@@ -679,6 +679,7 @@ class LennardJonesPair(TestSystem):
 from openmmtools_tpu.models.more_systems import (  # noqa: E402,F401
     AlanineDipeptideExplicit,
     ConstraintCoupledHarmonicOscillator,
+    DHFRExplicit,
     HostGuestImplicit,
     HostGuestVacuum,
     LysozymeImplicit,

@@ -157,3 +157,20 @@ def test_sander_energy_parity_t4_lysozyme():
     for key, ref in sander.items():
         assert abs(vals[key] - ref) < max(1e-4 * abs(ref), 0.05), (
             key, vals[key], ref)
+
+
+def test_dhfr_loads():
+    """DHFR/JAC (23558 atoms, PME box) loads with canonical bonded energies
+    (JAC benchmark: BOND ~397, ANGLE ~1184, DIHED ~965 kcal/mol)."""
+    from openmmtools_tpu.models.more_systems import DHFRExplicit
+
+    dhfr = DHFRExplicit()
+    assert dhfr.system.n_particles == 23558
+    assert dhfr.positions.shape == (23558, 3)
+    x = jnp.asarray(dhfr.positions, dtype=jnp.float64)
+    expected = {"HarmonicBondTerm": 397.4, "HarmonicAngleTerm": 1183.9,
+                "PeriodicTorsionTerm": 965.2}
+    for t in dhfr.system.terms[:3]:
+        u = float(t.energy(x, dhfr.system.default_box, None)) / 4.184
+        assert abs(u - expected[type(t).__name__]) < 1.0, (
+            type(t).__name__, u)
