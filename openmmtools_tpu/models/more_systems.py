@@ -462,3 +462,34 @@ class DHFRExplicit(TestSystem):
         self.topology = AmberTopology(parse_prmtop(prmtop))
         self.ndof = (3 * self.system.n_particles
                      - self.system.constraints.n_constraints)
+
+
+class HostGuestExplicit(_PrmtopSystem):
+    """CB7:B2 complex in explicit water, PME (testsystems.py:3792;
+    data/cb7-b2/complex-explicit.*)."""
+
+    def __init__(self, constraints="h-bonds", cutoff=0.9, data_dir=None):
+        import os
+
+        from openmmtools_tpu.models.amber import (
+            DEFAULT_DATA_DIR,
+            AmberTopology,
+            create_system_from_prmtop,
+            parse_inpcrd,
+            parse_prmtop,
+        )
+
+        TestSystem.__init__(self)
+        base = os.path.join(data_dir or DEFAULT_DATA_DIR, "cb7-b2")
+        prmtop = os.path.join(base, "complex-explicit.prmtop")
+        if not os.path.exists(prmtop):
+            raise FileNotFoundError(f"data not found: {prmtop}")
+        self.system = create_system_from_prmtop(
+            prmtop, constraints=constraints, nonbonded_method="pme",
+            cutoff=cutoff)
+        self.positions = jnp.asarray(
+            parse_inpcrd(os.path.join(base, "complex-explicit.inpcrd")),
+            dtype=jnp.float32)
+        self.topology = AmberTopology(parse_prmtop(prmtop))
+        self.ndof = (3 * self.system.n_particles
+                     - self.system.constraints.n_constraints)

@@ -680,6 +680,7 @@ from openmmtools_tpu.models.more_systems import (  # noqa: E402,F401
     AlanineDipeptideExplicit,
     ConstraintCoupledHarmonicOscillator,
     DHFRExplicit,
+    HostGuestExplicit,
     HostGuestImplicit,
     HostGuestVacuum,
     LysozymeImplicit,

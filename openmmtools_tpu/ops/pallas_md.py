@@ -244,29 +244,6 @@ def _neighbor_offsets(gs: int):
     return out
 
 
-def _ghost_stages(spec: LJGridSpec):
-    """(axis, mask_low_fn, mask_high_fn, shift_lanes) per axis; fill order
-    z, y, x so edge/corner ghosts compose."""
-    gs = spec.g_side
-    ns = spec.n_side
-    return [
-        ("z", gs * gs),
-        ("y", gs),
-        ("x", 1),
-    ]
-
-
-def _half_offsets(gs: int):
-    """13 lexicographically-positive neighbor offsets (Newton pairs)."""
-    out = []
-    for dz in (-1, 0, 1):
-        for dy in (-1, 0, 1):
-            for dx in (-1, 0, 1):
-                if (dz, dy, dx) > (0, 0, 0):
-                    out.append(dx + gs * dy + gs * gs * dz)
-    return out
-
-
 def _make_kernel(spec: LJGridSpec, n_steps: int, forces_only=False,
                  newton=True):
     """Fused BAOAB + cell-grid LJ kernel (v2).
