@@ -10,6 +10,12 @@ from openmmtools_tpu.utils.pytree import pytree_dataclass, static_field
 from openmmtools_tpu.utils.timing import Timer, time_it, with_timer
 from openmmtools_tpu.utils.math_eval import math_eval, sanitize_expression
 from openmmtools_tpu.utils.serialization import serialize, deserialize
+from openmmtools_tpu.utils.platforms import (
+    get_available_platforms,
+    get_fastest_platform,
+    platform_supports_precision,
+    device_report,
+)
 
 __all__ = [
     "pytree_dataclass",
@@ -21,4 +27,8 @@ __all__ = [
     "sanitize_expression",
     "serialize",
     "deserialize",
+    "get_available_platforms",
+    "get_fastest_platform",
+    "platform_supports_precision",
+    "device_report",
 ]
