@@ -221,6 +221,13 @@ class BoundIntegrator:
         self.ou_a = math.exp(-gamma * self.h_O)
         self.ou_b = math.sqrt(1.0 - math.exp(-2.0 * gamma * self.h_O))
 
+        # analytic SETTLE when all constraints are rigid isosceles triangles
+        # (rigid water); otherwise iterative SHAKE/RATTLE
+        from openmmtools_tpu.ops.constraints import analyze_settle
+
+        self._settle = (analyze_settle(system.constraints, system.masses)
+                        if system.constraints.n_constraints > 0 else None)
+
         self._neighbor_setup()
         self._fused = None
         self._fused_setup()
@@ -345,6 +352,14 @@ class BoundIntegrator:
             term.switch_width, float(sig[0]), float(eps[0]), float(mass[0]),
             integ.timestep, integ.collision_rate,
             skin_fraction=0.1)
+        # VMEM budget: the whole-state-in-VMEM kernel's peak scoped
+        # allocation is ~32x one (3, capacity, g_cells) f32 plane (measured
+        # on v5e at N=8192: 35.75M for a 1.12M plane). Stay under the
+        # raised 100M scoped limit with margin; larger systems fall back to
+        # the XLA paths until an HBM-resident multi-block kernel lands.
+        plane_bytes = 3 * spec.capacity * spec.g_cells * 4
+        if 34 * plane_bytes > 90 * 1024 * 1024:
+            return
         self._fused = FusedLJBAOAB(
             spec, system.n_particles,
             temperature=float(getattr(integ, "temperature", 300.0)))
@@ -389,6 +404,24 @@ class BoundIntegrator:
     def _kinetic(self, env: _Env):
         return 0.5 * jnp.sum(self.masses[:, None] * env.v * env.v)
 
+    # -- constraint dispatch: analytic SETTLE for rigid water, else SHAKE --
+    def _constrain_positions(self, x_new, x_old):
+        from openmmtools_tpu.ops.constraints import settle_positions
+
+        if self._settle is not None:
+            return settle_positions(x_new, x_old, self._settle, self.masses)
+        return shake_positions(x_new, x_old, self.system.constraints,
+                               self.masses,
+                               tol=self.integrator.constraint_tolerance)
+
+    def _constrain_velocities(self, x, v):
+        from openmmtools_tpu.ops.constraints import settle_velocities
+
+        if self._settle is not None:
+            return settle_velocities(x, v, self._settle, self.masses)
+        return rattle_velocities(x, v, self.system.constraints, self.masses,
+                                 tol=self.integrator.constraint_tolerance)
+
     # -- substep emitters (trace-time; reference integrators.py:1404-1557) --
     def _emit_R(self, env: _Env):
         integ = self.integrator
@@ -397,8 +430,7 @@ class BoundIntegrator:
         x_old = env.x
         x_new = env.x + self.h_R * env.v
         if self.system.constraints.n_constraints > 0:
-            x_proj = shake_positions(x_new, x_old, self.system.constraints,
-                                     self.masses, tol=integ.constraint_tolerance)
+            x_proj = self._constrain_positions(x_new, x_old)
             # velocity correction v += (x_proj - x_unconstrained)/h
             env.v = env.v + (x_proj - x_new) / self.h_R
             x_new = x_proj
@@ -418,9 +450,7 @@ class BoundIntegrator:
         h = self.integrator.timestep / self.n_V[g]
         env.v = env.v + h * env.F[g] * self.inv_mass[:, None]
         if self.system.constraints.n_constraints > 0:
-            env.v = rattle_velocities(env.x, env.v, self.system.constraints,
-                                      self.masses,
-                                      tol=integ.constraint_tolerance)
+            env.v = self._constrain_velocities(env.x, env.v)
         if integ.measure_shadow_work:
             env.shadow_work = env.shadow_work + (self._kinetic(env) - ke_old)
 
@@ -433,9 +463,7 @@ class BoundIntegrator:
         noise = jax.random.normal(sub, env.v.shape, dtype=env.v.dtype)
         env.v = self.ou_a * env.v + self.ou_b * sigma * noise
         if self.system.constraints.n_constraints > 0:
-            env.v = rattle_velocities(env.x, env.v, self.system.constraints,
-                                      self.masses,
-                                      tol=integ.constraint_tolerance)
+            env.v = self._constrain_velocities(env.x, env.v)
         if integ.measure_heat:
             env.heat = env.heat + (self._kinetic(env) - ke_old)
 

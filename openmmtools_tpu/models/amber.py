@@ -374,8 +374,15 @@ class AmberTopology:
             self.residue_names.append(res_labels[r] if r < len(res_labels)
                                       else "UNK")
 
-    def select(self, resname=None, name=None):
-        """Tiny selection helper (mdtraj-DSL stand-in)."""
+    def select(self, expr=None, resname=None, name=None):
+        """Atom selection: either keyword filters (``resname=``/``name=``)
+        or an mdtraj-style expression string, e.g.
+        ``select("protein and name CA")``,
+        ``select("water or resname NA+")``,
+        ``select("not hydrogen and resid 0 to 9")``.
+        Returns sorted atom indices."""
+        if expr is not None:
+            return np.flatnonzero(_parse_selection(expr, self))
         idx = np.arange(len(self.atom_names))
         mask = np.ones(len(self.atom_names), dtype=bool)
         if resname is not None:
@@ -385,3 +392,118 @@ class AmberTopology:
         if name is not None:
             mask &= np.asarray(self.atom_names) == name
         return idx[mask]
+
+
+# -- mdtraj-style selection DSL ---------------------------------------------
+# Recursive-descent parser over: and/or/not, parentheses, bare keywords
+# (all, none, protein, water, backbone, sidechain, hydrogen, heavy) and
+# field selectors (name/resname with one or more values; resid/index with
+# values or "A to B" ranges). Replaces the reference's mdtraj dependency for
+# the selection strings openmmtools passes around (e.g. forcefactories
+# restrain_atoms 'protein and name CA').
+
+_PROTEIN_RESIDUES = frozenset("""
+    ALA ARG ASN ASP CYS CYX CYM GLN GLU GLY HIS HID HIE HIP ILE LEU LYS MET
+    PHE PRO SER THR TRP TYR VAL ACE NME NMA ASH GLH LYN
+""".split())
+_WATER_RESIDUES = frozenset(["WAT", "HOH", "TIP3", "TP3", "TIP4", "TIP5",
+                             "SPC", "SOL"])
+_BACKBONE_NAMES = frozenset(["CA", "C", "N", "O", "OXT"])
+
+
+class _SelTokens:
+    def __init__(self, expr):
+        import re
+
+        self.toks = re.findall(r"\(|\)|[^\s()]+", expr)
+        self.pos = 0
+
+    def peek(self):
+        return self.toks[self.pos] if self.pos < len(self.toks) else None
+
+    def next(self):
+        t = self.peek()
+        if t is None:
+            raise ValueError("unexpected end of selection expression")
+        self.pos += 1
+        return t
+
+
+def _parse_selection(expr, top: "AmberTopology"):
+    n = len(top.atom_names)
+    names = np.asarray(top.atom_names)
+    resnames = np.asarray([top.residue_names[r] for r in top.residue_index])
+    resid = top.residue_index
+    index = np.arange(n)
+    is_h = np.asarray([s.strip().upper().lstrip("0123456789").startswith("H")
+                       for s in top.atom_names])
+    keywords = {
+        "all": np.ones(n, bool),
+        "none": np.zeros(n, bool),
+        "protein": np.isin(resnames, list(_PROTEIN_RESIDUES)),
+        "water": np.isin(resnames, list(_WATER_RESIDUES)),
+        "hydrogen": is_h,
+        "heavy": ~is_h,
+    }
+    keywords["backbone"] = keywords["protein"] & np.isin(
+        names, list(_BACKBONE_NAMES))
+    keywords["sidechain"] = keywords["protein"] & ~np.isin(
+        names, list(_BACKBONE_NAMES))
+    stop_words = {"and", "or", "not", "(", ")", "to"}
+    fields = {"name", "resname", "resid", "index", "resSeq"}
+
+    tk = _SelTokens(expr)
+
+    def parse_or():
+        m = parse_and()
+        while tk.peek() == "or":
+            tk.next()
+            m = m | parse_and()
+        return m
+
+    def parse_and():
+        m = parse_not()
+        while tk.peek() == "and":
+            tk.next()
+            m = m & parse_not()
+        return m
+
+    def parse_not():
+        if tk.peek() == "not":
+            tk.next()
+            return ~parse_not()
+        return parse_primary()
+
+    def parse_primary():
+        t = tk.next()
+        if t == "(":
+            m = parse_or()
+            if tk.next() != ")":
+                raise ValueError("unbalanced parentheses in selection")
+            return m
+        if t in keywords:
+            return keywords[t]
+        if t in fields:
+            vals = []
+            while tk.peek() is not None and tk.peek() not in stop_words \
+                    and tk.peek() not in fields:
+                vals.append(tk.next())
+                if tk.peek() == "to":           # range: "resid 2 to 7"
+                    tk.next()
+                    hi = tk.next()
+                    arr = resid if t in ("resid", "resSeq") else index
+                    return (arr >= int(vals[-1])) & (arr <= int(hi))
+            if not vals:
+                raise ValueError(f"selection field {t!r} needs a value")
+            if t in ("resid", "resSeq"):
+                return np.isin(resid, [int(v) for v in vals])
+            if t == "index":
+                return np.isin(index, [int(v) for v in vals])
+            arr = names if t == "name" else resnames
+            return np.isin(arr, vals)
+        raise ValueError(f"unknown selection token {t!r}")
+
+    mask = parse_or()
+    if tk.peek() is not None:
+        raise ValueError(f"trailing tokens in selection: {tk.toks[tk.pos:]}")
+    return mask

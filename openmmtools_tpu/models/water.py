@@ -1,4 +1,5 @@
-"""Water box test systems (TIP3P/SPC-E; rigid or flexible; PME/Ewald/RF).
+"""Water box test systems (TIP3P/SPC-E/TIP4P-EW/TIP5P; rigid or flexible;
+PME/Ewald/RF).
 
 Port of the reference WaterBox family (testsystems.py:2828-3350). The
 reference fills the box through openmm.app.Modeller + force-field XMLs; here
@@ -49,6 +50,11 @@ _MODELS = {
     "tip4pew": dict(qO=0.0, qH=0.52422, qM=-1.04844, sigma=0.316435,
                     epsilon=0.680946, rOH=0.09572,
                     aHOH=math.radians(104.52), dOM=0.0125),
+    # 5-site (Mahoney & Jorgensen 2000): two out-of-plane lone-pair sites
+    "tip5p": dict(qO=0.0, qH=0.241, qL=-0.241, sigma=0.312,
+                  epsilon=0.66944, rOH=0.09572,
+                  aHOH=math.radians(104.52), rOL=0.070,
+                  aLOL=math.radians(109.47)),
 }
 
 WATER_NUMBER_DENSITY = 33.0  # molecules / nm^3 (~0.987 g/cm^3)
@@ -97,7 +103,8 @@ class WaterBox(TestSystem):
         self.model = model
         self.constrained = constrained
         four_site = "qM" in p
-        spm = 4 if four_site else 3  # sites per molecule
+        five_site = "qL" in p
+        spm = 5 if five_site else (4 if four_site else 3)  # sites/molecule
 
         # --- lattice placement at liquid density ---------------------------
         n_target = int(WATER_NUMBER_DENSITY * box_edge**3)
@@ -112,6 +119,13 @@ class WaterBox(TestSystem):
             bis = 0.5 * (geom[1] + geom[2])
             m_site = geom[0] + p["dOM"] * bis / np.linalg.norm(bis)
             geom = np.concatenate([geom, m_site[None]], axis=0)
+        elif five_site:
+            # lone pairs in the plane perpendicular to HOH, behind the O
+            # (H bisector points +z in _water_geometry's frame)
+            sl = p["rOL"] * math.sin(p["aLOL"] / 2.0)
+            cl = p["rOL"] * math.cos(p["aLOL"] / 2.0)
+            l_sites = np.array([[0.0, sl, -cl], [0.0, -sl, -cl]])
+            geom = np.concatenate([geom, l_sites], axis=0)
         positions = np.zeros((n_waters * spm, 3))
         w = 0
         for ix in range(n_side):
@@ -125,7 +139,14 @@ class WaterBox(TestSystem):
         n_atoms = spm * n_waters
 
         # --- parameters ------------------------------------------------------
-        if four_site:
+        if five_site:
+            charges = np.tile([p["qO"], p["qH"], p["qH"],
+                               p["qL"], p["qL"]], n_waters)
+            sigmas = np.tile([p["sigma"], 0.1, 0.1, 0.1, 0.1], n_waters)
+            epsilons = np.tile([p["epsilon"], 0.0, 0.0, 0.0, 0.0], n_waters)
+            masses = np.tile([15.99943, 1.007947, 1.007947, 0.0, 0.0],
+                             n_waters)
+        elif four_site:
             charges = np.tile([p["qO"], p["qH"], p["qH"], p["qM"]], n_waters)
             sigmas = np.tile([p["sigma"], 0.1, 0.1, 0.1], n_waters)
             epsilons = np.tile([p["epsilon"], 0.0, 0.0, 0.0], n_waters)
@@ -205,7 +226,31 @@ class WaterBox(TestSystem):
                     np.stack([base[:, 0], base[:, 0] + 1, base[:, 0] + 2],
                              axis=1), jnp.int32),
                 weights=_f32(np.tile([1.0 - 2.0 * wgt, wgt, wgt],
-                                     (n_waters, 1))))
+                                     (n_waters, 1))),
+                wcross=_f32(np.zeros(n_waters)))
+        elif five_site:
+            from openmmtools_tpu.system import VirtualSites
+
+            # OutOfPlane form x_L = sum w_i x_i + wcross (r12 x r13).
+            # With H1 = (s,0,d), H2 = (-s,0,d) in O's frame
+            # (s = rOH sin(aHOH/2), d = rOH cos(aHOH/2)) and the L targets
+            # (0, +-rOL sin(aLOL/2), -rOL cos(aLOL/2)):
+            #   z: 2 w d = -rOL cos(aLOL/2)           -> w
+            #   y: wcross (-2 s d) = +-rOL sin(aLOL/2) -> -+wcross
+            s = p["rOH"] * math.sin(p["aHOH"] / 2.0)
+            d = p["rOH"] * math.cos(p["aHOH"] / 2.0)
+            w = -p["rOL"] * math.cos(p["aLOL"] / 2.0) / (2.0 * d)
+            wc = p["rOL"] * math.sin(p["aLOL"] / 2.0) / (2.0 * s * d)
+            o = base[:, 0]
+            parents1 = np.stack([o, o + 1, o + 2], axis=1)
+            vsites = VirtualSites(
+                site=jnp.asarray(np.concatenate([o + 3, o + 4]), jnp.int32),
+                parents=jnp.asarray(
+                    np.concatenate([parents1, parents1], axis=0), jnp.int32),
+                weights=_f32(np.tile([1.0 - 2.0 * w, w, w],
+                                     (2 * n_waters, 1))),
+                wcross=_f32(np.concatenate([np.full(n_waters, -wc),
+                                            np.full(n_waters, wc)])))
         box = jnp.diag(_f32([box_edge, box_edge, box_edge]))
         self.system = System(
             masses=_f32(masses), terms=tuple(terms), constraints=constraints,

@@ -244,6 +244,17 @@ def _neighbor_offsets(gs: int):
     return out
 
 
+def _half_offsets(gs: int):
+    """13 lexicographically-positive neighbor offsets (Newton pairs)."""
+    out = []
+    for dz in (-1, 0, 1):
+        for dy in (-1, 0, 1):
+            for dx in (-1, 0, 1):
+                if (dz, dy, dx) > (0, 0, 0):
+                    out.append(dx + gs * dy + gs * gs * dz)
+    return out
+
+
 def _make_kernel(spec: LJGridSpec, n_steps: int, forces_only=False,
                  newton=True):
     """Fused BAOAB + cell-grid LJ kernel (v2).
@@ -498,6 +509,10 @@ class FusedLJBAOAB:
                 out_shape=(jax.ShapeDtypeStruct((3, m, g), jnp.float32),
                            jax.ShapeDtypeStruct((3, m, g), jnp.float32)),
                 input_output_aliases={3: 0, 4: 1},
+                compiler_params=pltpu.CompilerParams(
+                    # state + ghost/roll temporaries outgrow the 16M scoped
+                    # default for big grids; v5e VMEM accommodates more
+                    vmem_limit_bytes=100 * 1024 * 1024),
             )
             self._compiled[key] = fn = jax.jit(fn)
         return fn

@@ -267,13 +267,18 @@ class VirtualSites:
     the reconstruction — no bookkeeping in the integrator (sites are massless
     and never integrated).
 
-    Currently the 3-particle weighted-average site (OpenMM
-    ThreeParticleAverageSite / the out-of-plane-free TIP4P geometry).
+    Unifies OpenMM's ThreeParticleAverageSite (TIP4P M site) and
+    OutOfPlaneSite (TIP5P lone pairs) in one form:
+
+        x_site = sum_i w_i x_i  +  w_cross * ((x_2 - x_1) x (x_3 - x_1))
+
+    with ``wcross = 0`` for in-plane average sites.
     """
 
     site: jax.Array      # (V,) int32 particle index of each virtual site
     parents: jax.Array   # (V, 3) int32 parent particle indices
     weights: jax.Array   # (V, 3) weights (sum to 1)
+    wcross: jax.Array    # (V,) out-of-plane cross-product coefficient
 
     @property
     def n_sites(self) -> int:
@@ -284,13 +289,17 @@ class VirtualSites:
             return x
         parent_pos = x[self.parents]            # (V, 3, 3)
         site_pos = jnp.sum(self.weights[:, :, None] * parent_pos, axis=1)
+        r12 = parent_pos[:, 1] - parent_pos[:, 0]
+        r13 = parent_pos[:, 2] - parent_pos[:, 0]
+        site_pos = site_pos + self.wcross[:, None] * jnp.cross(r12, r13)
         return x.at[self.site].set(site_pos)
 
 
 def no_virtual_sites() -> VirtualSites:
     return VirtualSites(site=jnp.zeros((0,), jnp.int32),
                         parents=jnp.zeros((0, 3), jnp.int32),
-                        weights=jnp.zeros((0, 3), jnp.float32))
+                        weights=jnp.zeros((0, 3), jnp.float32),
+                        wcross=jnp.zeros((0,), jnp.float32))
 
 
 @pytree_dataclass

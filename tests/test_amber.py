@@ -35,6 +35,35 @@ def test_topology_selection(ala):
     assert len(ca) == 1
 
 
+def test_selection_dsl(ala):
+    """mdtraj-style selection expressions (reference passes strings like
+    'protein and name CA' to mdtraj; here parsed natively)."""
+    top = ala.topology
+    ca = top.select("protein and name CA")
+    assert list(ca) == list(top.select(name="CA"))
+    assert len(top.select("all")) == 22
+    assert len(top.select("none")) == 0
+    h = top.select("hydrogen")
+    heavy = top.select("heavy")
+    assert len(h) + len(heavy) == 22 and len(h) == 12
+    assert len(top.select("not hydrogen")) == len(heavy)
+    # backbone/sidechain partition the protein
+    bb = top.select("backbone")
+    sc = top.select("sidechain")
+    assert len(bb) + len(sc) == len(top.select("protein")) == 22
+    # ranges, multi-values, parentheses, or
+    r = top.select("resid 0 to 1")
+    assert np.all(np.asarray(top.residue_index)[r] <= 1)
+    two = top.select("name CA CB")
+    assert len(two) == 2
+    both = top.select("(name CA) or (name CB)")
+    assert list(both) == list(two)
+    with pytest.raises(ValueError):
+        top.select("name CA extra_garbage and")
+    with pytest.raises(ValueError):
+        top.select("bogus_keyword")
+
+
 def test_unconstrained_variant():
     from openmmtools_tpu.models import AlanineDipeptideVacuum
 

@@ -132,6 +132,91 @@ def test_spce_model():
     assert np.isfinite(u)
 
 
+def test_settle_matches_shake(waterbox):
+    """SETTLE is the analytic solution of the SHAKE/RATTLE Lagrange system:
+    constraints exact to machine precision, corrections in the span of the
+    mass-weighted reference bond directions, and velocity projection
+    identical to converged RATTLE."""
+    from openmmtools_tpu.ops.constraints import (
+        analyze_settle, rattle_velocities, settle_positions,
+        settle_velocities, shake_positions)
+
+    sys_ = waterbox.system
+    spec = analyze_settle(sys_.constraints, sys_.masses)
+    assert spec is not None
+    assert spec.a.shape[0] == waterbox.n_waters
+
+    x0 = jnp.asarray(waterbox.positions, jnp.float64)
+    m = jnp.asarray(sys_.masses, jnp.float64)
+    rng = np.random.default_rng(3)
+    x1 = x0 + 2e-3 * jnp.asarray(rng.normal(size=x0.shape))
+    xs = settle_positions(x1, x0, spec, m)
+    i, j = sys_.constraints.index[:, 0], sys_.constraints.index[:, 1]
+    d = jnp.linalg.norm(xs[i] - xs[j], axis=1)
+    assert float(jnp.max(jnp.abs(d - sys_.constraints.distance))) < 1e-12
+    # momentum conservation of the projection
+    drift = jnp.sum(m[:, None] * (xs - x1), axis=0)
+    assert float(jnp.max(jnp.abs(drift))) < 1e-10
+    # agreement with iterative SHAKE at SHAKE's own convergence floor
+    xk = shake_positions(x1, x0, sys_.constraints, m, tol=1e-12,
+                         max_iter=5000)
+    assert float(jnp.max(jnp.abs(xs - xk))) < 1e-6
+
+    v = jnp.asarray(rng.normal(scale=0.5, size=x0.shape))
+    vs = settle_velocities(xs, v, spec, m)
+    tang = jnp.sum((vs[i] - vs[j]) * (xs[i] - xs[j]), axis=1)
+    assert float(jnp.max(jnp.abs(tang))) < 1e-12
+    vk = rattle_velocities(xs, v, sys_.constraints, m, tol=1e-12,
+                           max_iter=5000)
+    assert float(jnp.max(jnp.abs(vs - vk))) < 1e-8
+
+
+def test_settle_rejects_non_triangles():
+    """Chain topologies (e.g. H-X-H angles unconstrained) fall back to
+    SHAKE: analyze_settle returns None for a 2-constraint chain."""
+    from openmmtools_tpu.ops.constraints import analyze_settle
+    from openmmtools_tpu.system import Constraints
+
+    chain = Constraints(index=jnp.asarray([[0, 1], [1, 2], [2, 3]],
+                                          jnp.int32),
+                        distance=jnp.asarray([0.1, 0.1, 0.1]))
+    assert analyze_settle(chain, jnp.asarray([16.0, 1.0, 1.0, 1.0])) is None
+
+
+def test_tip5p_out_of_plane_sites():
+    """5-site water: both lone pairs are out-of-plane virtual sites whose
+    reconstruction reproduces the as-placed geometry for every (randomly
+    rotated) molecule, carry the negative charge, and exert zero direct
+    force."""
+    from openmmtools_tpu.system import make_force_fn
+
+    wb = WaterBox(box_edge=2.2, cutoff=0.9, model="tip5p")
+    assert wb.system.n_particles == 5 * wb.n_waters
+    assert wb.system.virtual_sites.n_sites == 2 * wb.n_waters
+    masses = np.asarray(wb.system.masses).reshape(-1, 5)
+    assert np.all(masses[:, 3:] == 0.0)
+    # reconstruction must agree with the explicitly placed L sites across
+    # random molecular orientations (validates the cross-product term)
+    xr = wb.system.virtual_sites.reconstruct(wb.positions)
+    assert float(jnp.max(jnp.abs(xr - wb.positions))) < 1e-5
+    f = make_force_fn(wb.system)(wb.positions, wb.system.default_box, None)
+    assert float(jnp.max(jnp.abs(np.asarray(f).reshape(-1, 5, 3)[:, 3:]))) \
+        == 0.0
+    u = float(wb.thermodynamic_state(300.0).potential_energy(
+        wb.sampler_state()))
+    assert np.isfinite(u)
+
+    from openmmtools_tpu.integrators import BAOABIntegrator
+
+    integ = BAOABIntegrator(temperature=300.0, collision_rate=5.0,
+                            timestep=0.0005, neighborlist=None)
+    b = integ.bind(wb.system)
+    s = b.initial_state(wb.sampler_state(), jax.random.PRNGKey(0),
+                        temperature=300.0)
+    s = b.run(s, 20)
+    assert bool(jnp.all(jnp.isfinite(s.positions)))
+
+
 def test_unsupported_model():
     with pytest.raises(ValueError):
         WaterBox(model="tip42")
