@@ -52,9 +52,10 @@ class _BoundNoseHoover(BoundIntegrator):
         state = super().initial_state(sampler_state, key, **kwargs)
         m, _, _, _ = self._chain_params()
         params = dict(state.global_params)
+        dtype = state.positions.dtype
         for i in range(m):
-            params[f"_nhc_xi_{i}"] = jnp.zeros((), dtype=jnp.float32)
-            params[f"_nhc_vxi_{i}"] = jnp.zeros((), dtype=jnp.float32)
+            params[f"_nhc_xi_{i}"] = jnp.zeros((), dtype=dtype)
+            params[f"_nhc_vxi_{i}"] = jnp.zeros((), dtype=dtype)
         return state.replace(global_params=params)
 
     def _build_step(self):

@@ -314,9 +314,12 @@ class BoundIntegrator:
             return
         system = self.system
         # crossover vs the dense O(N^2) path measured on v5e: dense wins to
-        # ~2-3k particles (this TPU generation's VPU prefers the big fused
-        # elementwise block over many small grid tiles); the cell-grid
-        # kernel takes over at larger N where O(N^2) explodes
+        # ~3k particles at the default (safe) cell capacity — 4253 vs 3476
+        # steps/s at N=2048 — and the cell-grid kernel takes over at larger
+        # N (954 vs 303 at N=8192). Tight capacity-8 packing measured 8367
+        # steps/s at N=2048 but overflows on density fluctuations (each
+        # bump = minutes of Mosaic recompile), so it stays opt-in until the
+        # overflow side pass lands (ROADMAP round-2 lever #1)
         if (system.constraints.n_constraints > 0 or len(system.terms) != 1
                 or system.default_box is None or system.n_particles < 4096):
             return

@@ -76,7 +76,14 @@ def make_grid_spec(n_particles, box_edge, cutoff, switch_width, sigma,
     cell_edge = box_edge / n_side
     if capacity is None:
         lam = n_particles / n_side**3
-        # generous Poisson-tail headroom; rebuild bumps capacity on overflow
+        # generous Poisson-tail headroom: capacity is vreg-quantized to 8
+        # sublanes and the kernel cost is ~linear in it (capacity 8 measured
+        # 2.4x faster than 16 at lambda~2 on v5e), but an overflow bump
+        # costs a multi-minute Mosaic recompile, and at lambda~2 the
+        # Poisson tail P(occ>8) ~ 2e-4/cell makes overflows routine over
+        # long runs (worse near gas-liquid coexistence, where droplets
+        # drive local occupancy far above the mean). Tight packing needs
+        # the round-2 overflow side pass; until then stay safe.
         capacity = int(math.ceil(lam + 4.0 * math.sqrt(lam) + 4))
         capacity = max(8, ((capacity + 7) // 8) * 8)  # sublane multiple
     return LJGridSpec(

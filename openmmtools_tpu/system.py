@@ -292,7 +292,7 @@ class VirtualSites:
         r12 = parent_pos[:, 1] - parent_pos[:, 0]
         r13 = parent_pos[:, 2] - parent_pos[:, 0]
         site_pos = site_pos + self.wcross[:, None] * jnp.cross(r12, r13)
-        return x.at[self.site].set(site_pos)
+        return x.at[self.site].set(site_pos.astype(x.dtype))
 
 
 def no_virtual_sites() -> VirtualSites:

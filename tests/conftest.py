@@ -24,7 +24,15 @@ if "xla_force_host_platform_device_count" not in flags:
 
 import jax  # noqa: E402
 
+# The env assignment above is NOT sufficient when a sitecustomize has
+# already imported jax at interpreter start (the ambient JAX_PLATFORMS
+# value gets baked into the config at import time) — override the config
+# directly so the suite really runs on the virtual CPU mesh.
+jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", True)
+
+assert jax.default_backend() == "cpu", (
+    "test suite must run on CPU, got " + jax.default_backend())
 
 import pytest  # noqa: E402
 
