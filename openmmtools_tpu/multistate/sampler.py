@@ -477,9 +477,14 @@ class MultiStateSampler:
             t0 = time.perf_counter()
             self._iteration += 1
             self._carry = self._iteration_fn(self._carry, self._mix_params())
-            # host-side phases of the reference loop
-            self._check_nan_energy()
-            self._report_iteration()
+            # host-side phases of the reference loop: pull the (small)
+            # energy matrix + state vector ONCE — each device->host sync
+            # costs ~0.1 s through the TPU relay, and check/report/analysis
+            # all need the same two arrays
+            u = np.asarray(self._carry.energies)
+            s = np.asarray(self._carry.replica_states)
+            self._check_nan_energy(u, s)
+            self._report_iteration(u, s)
             self._update_analysis()
             self._update_timing(time.perf_counter() - t0)
             self._velocities_initialized = True
@@ -518,10 +523,12 @@ class MultiStateSampler:
     # ------------------------------------------------------------------
     # bookkeeping phases
     # ------------------------------------------------------------------
-    def _check_nan_energy(self):
+    def _check_nan_energy(self, u=None, s=None):
         """Fail fast on NaN energy rows (multistatesampler.py:1049)."""
-        u = self.energies_last_iteration
-        s = self.replica_states
+        if u is None:
+            u = self.energies_last_iteration
+        if s is None:
+            s = self.replica_states
         sampled = u[np.arange(u.shape[0]), s]
         nan_replicas = np.where(~np.isfinite(sampled))[0]
         if nan_replicas.size:
@@ -529,9 +536,11 @@ class MultiStateSampler:
                 f"NaN energy for replicas {nan_replicas.tolist()} at "
                 f"iteration {self._iteration}")
 
-    def _report_iteration(self):
-        u = self.energies_last_iteration
-        s = self.replica_states
+    def _report_iteration(self, u=None, s=None):
+        if u is None:
+            u = self.energies_last_iteration
+        if s is None:
+            s = self.replica_states
         self._energy_history.append(u.copy())
         self._state_history.append(s.copy())
         if self._reporter is not None:

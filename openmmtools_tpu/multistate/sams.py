@@ -151,8 +151,12 @@ class SAMSSampler(MultiStateSampler):
             self._iteration += 1
             self._carry = self._iteration_fn(self._carry, self._mix_params())
             self._update_logZ_estimates()
-            self._check_nan_energy()
-            self._report_iteration()
+            import numpy as _np
+
+            u = _np.asarray(self._carry.energies)
+            s = _np.asarray(self._carry.replica_states)
+            self._check_nan_energy(u, s)
+            self._report_iteration(u, s)
             self._update_analysis()
             self._update_timing(_time.perf_counter() - t0)
             self._velocities_initialized = True
