@@ -21,3 +21,41 @@ from openmmtools_tpu.models.testsystems import (  # noqa: F401
     WCAFluid,
     get_available_testsystems,
 )
+from openmmtools_tpu.models.testsystems import (  # noqa: F401
+    AlanineDipeptideExplicit,
+    BenzeneTolueneImplicit,
+    ConstrainedDiatomicFluid,
+    ConstrainedDipolarFluid,
+    ConstraintCoupledHarmonicOscillator,
+    CustomLennardJonesFluidMixture,
+    DHFRExplicit,
+    DiatomicFluid,
+    DipolarFluid,
+    DoubleWellChain_WCAFluid,
+    DoubleWellDimer_WCAFluid,
+    HostGuestExplicit,
+    HostGuestImplicit,
+    HostGuestVacuum,
+    LennardJonesGrid,
+    LysozymeImplicit,
+    MolecularIdealGas,
+    SodiumChlorideCrystal,
+    UnconstrainedDiatomicFluid,
+    UnconstrainedDipolarFluid,
+)
+from openmmtools_tpu.models.water import (  # noqa: F401
+    AlchemicalWaterBox,
+    DischargedWaterBox,
+    DischargedWaterBoxHsites,
+    FiveSiteWaterBox,
+    FlexibleDischargedWaterBox,
+    FlexiblePMEWaterBox,
+    FlexibleReactionFieldWaterBox,
+    FlexibleWaterBox,
+    FourSiteWaterBox,
+    GiantFlexibleDischargedWaterBox,
+    GiantFlexibleWaterBox,
+    PMEWaterBox,
+    WaterBox,
+    WaterCluster,
+)

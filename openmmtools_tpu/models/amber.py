@@ -341,12 +341,17 @@ def create_system_from_prmtop(prmtop_path: str, constraints: Optional[str] = "h-
             raise ValueError("prmtop lacks RADII/SCREEN for implicit solvent")
         from openmmtools_tpu.ops.gbsa import OBC1, OBC2
 
-        a_, b_, g_ = OBC1 if gb_model.upper() == "OBC1" else OBC2
+        model = gb_model.upper()
+        if model not in ("HCT", "OBC1", "OBC2"):
+            raise ValueError(f"unsupported gb_model {gb_model!r}; "
+                             "available: HCT, OBC1, OBC2")
+        a_, b_, g_ = OBC1 if model == "OBC1" else OBC2
         terms.append(GBSAOBCTerm(
             charge=_f32(charges),
             radius=_f32(data["RADII"][:natom] * A2NM),
             scale=_f32(data["SCREEN"][:natom]),
-            obc_alpha=a_, obc_beta=b_, obc_gamma=g_))
+            obc_alpha=a_, obc_beta=b_, obc_gamma=g_,
+            hct=(model == "HCT")))
     return System(
         masses=_f32(masses),
         terms=tuple(terms),

@@ -309,6 +309,7 @@ class _PrmtopSystem(TestSystem):
     _prmtop = None
     _crd = None
     _implicit = False
+    _gb_model = "OBC2"
 
     def __init__(self, constraints="h-bonds", data_dir=None):
         super().__init__()
@@ -330,7 +331,7 @@ class _PrmtopSystem(TestSystem):
                                     "OPENMMTOOLS_TPU_DATA")
         self.system = create_system_from_prmtop(
             prmtop, constraints=constraints,
-            implicit_solvent=self._implicit)
+            implicit_solvent=self._implicit, gb_model=self._gb_model)
         self.positions = jnp.asarray(parse_inpcrd(crd), dtype=jnp.float32)
         self.topology = AmberTopology(parse_prmtop(prmtop))
         self.ndof = (3 * self.system.n_particles
@@ -490,6 +491,110 @@ class HostGuestExplicit(_PrmtopSystem):
         self.positions = jnp.asarray(
             parse_inpcrd(os.path.join(base, "complex-explicit.inpcrd")),
             dtype=jnp.float32)
+        self.topology = AmberTopology(parse_prmtop(prmtop))
+        self.ndof = (3 * self.system.n_particles
+                     - self.system.constraints.n_constraints)
+
+
+class TolueneVacuum(_PrmtopSystem):
+    """Toluene (GAFF/AM1-BCC) in vacuum (testsystems.py:3533;
+    data/benzene-toluene-implicit/solvent.*)."""
+
+    _subdir = "benzene-toluene-implicit"
+    _prmtop = "solvent.prmtop"
+    _crd = "solvent.inpcrd"
+
+
+class TolueneImplicit(_PrmtopSystem):
+    """Toluene in GB implicit solvent (testsystems.py:3575); the GB model
+    is selectable ('HCT' | 'OBC1' | 'OBC2', reference's named subclasses
+    testsystems.py:3626-3645)."""
+
+    _subdir = "benzene-toluene-implicit"
+    _prmtop = "solvent.prmtop"
+    _crd = "solvent.inpcrd"
+    _implicit = True
+
+    def __init__(self, gb_model="OBC2", **kwargs):
+        self._gb_model = gb_model
+        super().__init__(**kwargs)
+
+
+class TolueneImplicitHCT(TolueneImplicit):
+    def __init__(self, **kwargs):
+        super().__init__(gb_model="HCT", **kwargs)
+
+
+class TolueneImplicitOBC1(TolueneImplicit):
+    def __init__(self, **kwargs):
+        super().__init__(gb_model="OBC1", **kwargs)
+
+
+class TolueneImplicitOBC2(TolueneImplicit):
+    def __init__(self, **kwargs):
+        super().__init__(gb_model="OBC2", **kwargs)
+
+
+class MethanolBox(TestSystem):
+    """Box of methanol molecules, periodic cutoff electrostatics
+    (testsystems.py:4146; data/methanol-box/)."""
+
+    def __init__(self, constraints="h-bonds", nonbonded_method="cutoff_periodic",
+                 data_dir=None):
+        super().__init__()
+        import os
+
+        from openmmtools_tpu.models.amber import (
+            DEFAULT_DATA_DIR,
+            AmberTopology,
+            create_system_from_prmtop,
+            parse_inpcrd,
+            parse_prmtop,
+        )
+
+        base = os.path.join(data_dir or DEFAULT_DATA_DIR, "methanol-box")
+        prmtop = os.path.join(base, "methanol-box.prmtop")
+        if not os.path.exists(prmtop):
+            raise FileNotFoundError(f"data not found: {prmtop}")
+        positions, box = parse_inpcrd(os.path.join(base, "methanol-box.crd"),
+                                      return_box=True)
+        # small box (~1.4 nm): cutoff must stay below half the edge
+        cutoff = min(0.9, 0.49 * float(np.min(box)))
+        self.system = create_system_from_prmtop(
+            prmtop, constraints=constraints,
+            nonbonded_method=nonbonded_method, cutoff=cutoff)
+        self.positions = jnp.asarray(positions, dtype=jnp.float32)
+        self.topology = AmberTopology(parse_prmtop(prmtop))
+        self.ndof = (3 * self.system.n_particles
+                     - self.system.constraints.n_constraints)
+
+
+class DNADodecamerExplicit(TestSystem):
+    """Drew-Dickerson B-DNA dodecamer in explicit solvent, PME
+    (testsystems.py:3929; data/dna_dodecamer_explicit/, 13646 atoms)."""
+
+    def __init__(self, constraints="h-bonds", cutoff=0.9, data_dir=None):
+        super().__init__()
+        import os
+
+        from openmmtools_tpu.models.amber import (
+            DEFAULT_DATA_DIR,
+            AmberTopology,
+            create_system_from_prmtop,
+            parse_inpcrd,
+            parse_prmtop,
+        )
+
+        base = os.path.join(data_dir or DEFAULT_DATA_DIR,
+                            "dna_dodecamer_explicit")
+        prmtop = os.path.join(base, "prmtop")
+        if not os.path.exists(prmtop):
+            raise FileNotFoundError(f"data not found: {prmtop}")
+        self.system = create_system_from_prmtop(
+            prmtop, constraints=constraints, nonbonded_method="pme",
+            cutoff=cutoff)
+        self.positions = jnp.asarray(
+            parse_inpcrd(os.path.join(base, "inpcrd")), dtype=jnp.float32)
         self.topology = AmberTopology(parse_prmtop(prmtop))
         self.ndof = (3 * self.system.n_particles
                      - self.system.constraints.n_constraints)

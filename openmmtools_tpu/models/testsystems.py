@@ -699,7 +699,18 @@ from openmmtools_tpu.models.more_systems import (  # noqa: E402,F401
     UnconstrainedDipolarFluid,
 )
 from openmmtools_tpu.models.water import (  # noqa: E402,F401
+    AlchemicalWaterBox,
+    DischargedWaterBox,
+    DischargedWaterBoxHsites,
+    FiveSiteWaterBox,
+    FlexibleDischargedWaterBox,
+    FlexiblePMEWaterBox,
+    FlexibleReactionFieldWaterBox,
     FlexibleWaterBox,
+    FourSiteWaterBox,
+    GiantFlexibleDischargedWaterBox,
+    GiantFlexibleWaterBox,
+    PMEWaterBox,
     WaterBox,
     WaterCluster,
 )

@@ -322,3 +322,137 @@ class WaterCluster(TestSystem):
                              constraints=constraints, default_box=None,
                              periodic=False)
         self.positions = jnp.asarray(positions, dtype=jnp.float32)
+
+
+# ---------------------------------------------------------------------------
+# Named water-box variants (reference testsystems.py:3003-3350): thin
+# subclasses configuring WaterBox, plus discharged boxes built by rebuilding
+# the nonbonded term with zeroed charges (systems are immutable pytrees, so
+# "mutation" = constructing a new term tuple).
+# ---------------------------------------------------------------------------
+
+
+def _discharged_system(system, h_lj=False):
+    """New System with all charges (and exception charge products) zeroed.
+    The Ewald reciprocal term is dropped — it is identically zero for zero
+    charges. With ``h_lj``, zero-epsilon sites get small LJ parameters
+    (testsystems.py:3262 DischargedWaterBoxHsites: eps=0.0157 kJ/mol,
+    sigma=0.006 nm) so hydrogens keep a repulsive core."""
+    from openmmtools_tpu.ops.pme import EwaldReciprocalTerm
+
+    new_terms = []
+    for t in system.terms:
+        if isinstance(t, EwaldReciprocalTerm):
+            continue
+        if isinstance(t, NonbondedTerm):
+            sigma, epsilon = t.sigma, t.epsilon
+            if h_lj:
+                zero_eps = epsilon == 0.0
+                epsilon = jnp.where(zero_eps, 0.0157, epsilon)
+                sigma = jnp.where(zero_eps, 0.006, sigma)
+            t = t.replace(
+                charge=jnp.zeros_like(t.charge), sigma=sigma, epsilon=epsilon,
+                exception_chargeprod=jnp.zeros_like(t.exception_chargeprod))
+        new_terms.append(t)
+    return system.replace(terms=tuple(new_terms))
+
+
+class FlexibleReactionFieldWaterBox(WaterBox):
+    """Flexible water with reaction-field electrostatics
+    (testsystems.py:3003)."""
+
+    def __init__(self, *args, **kwargs):
+        kwargs["constrained"] = False
+        kwargs["nonbonded_method"] = "cutoff_periodic"
+        super().__init__(*args, **kwargs)
+
+
+class FlexiblePMEWaterBox(WaterBox):
+    """Flexible water with PME (testsystems.py:3027)."""
+
+    def __init__(self, *args, **kwargs):
+        kwargs["constrained"] = False
+        kwargs["nonbonded_method"] = "pme"
+        super().__init__(*args, **kwargs)
+
+
+class PMEWaterBox(WaterBox):
+    """Rigid water with PME (testsystems.py:3051)."""
+
+    def __init__(self, *args, **kwargs):
+        kwargs["nonbonded_method"] = "pme"
+        super().__init__(*args, **kwargs)
+
+
+class GiantFlexibleWaterBox(WaterBox):
+    """5 nm flexible box, ~4000 waters (testsystems.py:3075)."""
+
+    def __init__(self, *args, **kwargs):
+        kwargs["constrained"] = False
+        kwargs.setdefault("box_edge", 5.0)
+        super().__init__(*args, **kwargs)
+
+
+class FourSiteWaterBox(WaterBox):
+    """TIP4P-EW box (testsystems.py:3099)."""
+
+    def __init__(self, *args, **kwargs):
+        kwargs["model"] = "tip4pew"
+        super().__init__(*args, **kwargs)
+
+
+class FiveSiteWaterBox(WaterBox):
+    """TIP5P box (testsystems.py:3128)."""
+
+    def __init__(self, *args, **kwargs):
+        kwargs["model"] = "tip5p"
+        super().__init__(*args, **kwargs)
+
+
+class DischargedWaterBox(WaterBox):
+    """Water box with zeroed charges (testsystems.py:3156)."""
+
+    def __init__(self, *args, **kwargs):
+        super().__init__(*args, **kwargs)
+        self.system = _discharged_system(self.system)
+
+
+class FlexibleDischargedWaterBox(FlexibleWaterBox):
+    """Flexible water box with zeroed charges (testsystems.py:3197)."""
+
+    def __init__(self, *args, **kwargs):
+        super().__init__(*args, **kwargs)
+        self.system = _discharged_system(self.system)
+
+
+class GiantFlexibleDischargedWaterBox(FlexibleDischargedWaterBox):
+    """5 nm flexible discharged box (testsystems.py:3238)."""
+
+    def __init__(self, *args, **kwargs):
+        kwargs.setdefault("box_edge", 5.0)
+        super().__init__(*args, **kwargs)
+
+
+class DischargedWaterBoxHsites(WaterBox):
+    """Zeroed charges + small LJ sites on hydrogens (testsystems.py:3262)."""
+
+    def __init__(self, *args, **kwargs):
+        super().__init__(*args, **kwargs)
+        self.system = _discharged_system(self.system, h_lj=True)
+
+
+class AlchemicalWaterBox(WaterBox):
+    """Water box where the first molecule is alchemically modifiable via
+    ``lambda_electrostatics`` / ``lambda_sterics`` (testsystems.py:3310)."""
+
+    def __init__(self, *args, **kwargs):
+        super().__init__(*args, **kwargs)
+        from openmmtools_tpu.alchemy import (
+            AbsoluteAlchemicalFactory,
+            AlchemicalRegion,
+        )
+
+        spm = self.system.n_particles // self.n_waters
+        region = AlchemicalRegion(alchemical_atoms=list(range(spm)))
+        factory = AbsoluteAlchemicalFactory()
+        self.system = factory.create_alchemical_system(self.system, region)

@@ -56,6 +56,9 @@ class GBSAOBCTerm:
     obc_alpha: float = static_field(default=ALPHA)
     obc_beta: float = static_field(default=BETA)
     obc_gamma: float = static_field(default=GAMMA)
+    # HCT (igb=1): Born radii directly from the descreening integral with
+    # no tanh rescaling (OpenMM GBSAHCTForce / reference TolueneImplicitHCT)
+    hct: bool = static_field(default=False)
     lambda_name: Optional[str] = static_field(default=None)
     force_group: int = static_field(default=0)
 
@@ -92,6 +95,9 @@ class GBSAOBCTerm:
                 + 0.5 * jnp.log(l_safe / u_safe) / r_safe)
         i_sum = 0.5 * jnp.sum(jnp.where(active, term, 0.0), axis=1)
 
+        if self.hct:
+            inv_b = 1.0 / or_i - i_sum
+            return 1.0 / jnp.maximum(inv_b, 1e-6)
         psi = i_sum * or_i
         tanh_arg = (self.obc_alpha * psi - self.obc_beta * psi**2
                     + self.obc_gamma * psi**3)

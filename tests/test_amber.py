@@ -203,3 +203,53 @@ def test_dhfr_loads():
         u = float(t.energy(x, dhfr.system.default_box, None)) / 4.184
         assert abs(u - expected[type(t).__name__]) < 1.0, (
             type(t).__name__, u)
+
+
+def test_toluene_gb_models():
+    """Toluene vacuum + the three GB models give distinct, finite,
+    increasingly solvated energies (testsystems.py:3533-3645)."""
+    from openmmtools_tpu.models.more_systems import (
+        TolueneImplicitHCT,
+        TolueneImplicitOBC1,
+        TolueneImplicitOBC2,
+        TolueneVacuum,
+    )
+
+    u_vac = float(TolueneVacuum().thermodynamic_state(300.0)
+                  .potential_energy(TolueneVacuum().sampler_state()))
+    us = {}
+    for cls in (TolueneImplicitHCT, TolueneImplicitOBC1,
+                TolueneImplicitOBC2):
+        t = cls()
+        assert t.system.n_particles == 15
+        us[cls.__name__] = float(t.thermodynamic_state(300.0)
+                                 .potential_energy(t.sampler_state()))
+    assert np.isfinite(u_vac)
+    vals = list(us.values())
+    assert all(np.isfinite(v) for v in vals)
+    # GB solvation lowers the energy relative to vacuum and the three
+    # models disagree (they are different rescalings of the same integral)
+    assert all(v < u_vac for v in vals)
+    assert len({round(v, 6) for v in vals}) == 3
+
+
+def test_methanol_box():
+    from openmmtools_tpu.models.more_systems import MethanolBox
+
+    m = MethanolBox()
+    assert m.system.periodic
+    u = float(m.thermodynamic_state(300.0).potential_energy(
+        m.sampler_state()))
+    assert np.isfinite(u)
+
+
+def test_dna_dodecamer_loads():
+    """DNA dodecamer explicit (13646 atoms) builds with its orthorhombic
+    box; energy evaluation is exercised at DHFR scale elsewhere."""
+    from openmmtools_tpu.models.more_systems import DNADodecamerExplicit
+
+    d = DNADodecamerExplicit()
+    assert d.system.n_particles == 13646
+    diag = np.asarray(d.system.default_box).diagonal()
+    assert diag.shape == (3,) and np.all(diag > 4.0)
+    assert d.positions.shape == (13646, 3)

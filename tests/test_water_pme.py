@@ -251,3 +251,48 @@ def test_tip4pew_virtual_sites():
     # M sites never move (massless, zero velocity) but energies use the
     # reconstructed positions, so the physics is 4-site
     assert float(jnp.max(jnp.abs(s.velocities[3::4]))) == 0.0
+
+
+def test_water_variant_family():
+    """Named water-box variants (testsystems.py:3003-3350): construction +
+    finite energies + the defining property of each."""
+    from openmmtools_tpu.models.water import (
+        AlchemicalWaterBox,
+        DischargedWaterBox,
+        DischargedWaterBoxHsites,
+        FlexiblePMEWaterBox,
+        FlexibleReactionFieldWaterBox,
+        PMEWaterBox,
+    )
+    from openmmtools_tpu.ops.pme import EwaldReciprocalTerm
+
+    kw = dict(box_edge=1.9, cutoff=0.9)
+    dwb = DischargedWaterBox(**kw)
+    assert float(jnp.sum(jnp.abs(dwb.system.terms[0].charge))) == 0.0
+    assert not any(isinstance(t, EwaldReciprocalTerm)
+                   for t in dwb.system.terms)
+    u = float(dwb.thermodynamic_state(300.0).potential_energy(
+        dwb.sampler_state()))
+    assert np.isfinite(u)
+
+    hs = DischargedWaterBoxHsites(**kw)
+    eps = np.asarray(hs.system.terms[0].epsilon)
+    assert np.all(eps > 0)  # H sites got LJ cores
+
+    rf = FlexibleReactionFieldWaterBox(**kw)
+    assert rf.system.constraints.n_constraints == 0
+    assert rf.system.terms[0].method == "cutoff_periodic"
+
+    assert PMEWaterBox(**kw).system.terms[0].method == "pme"
+    assert FlexiblePMEWaterBox(**kw).system.constraints.n_constraints == 0
+
+    aw = AlchemicalWaterBox(**kw)
+    ts = aw.thermodynamic_state(300.0)
+    s = aw.sampler_state()
+    u1 = float(ts.replace(global_params={"lambda_electrostatics": 1.0,
+                                         "lambda_sterics": 1.0})
+               .potential_energy(s))
+    u0 = float(ts.replace(global_params={"lambda_electrostatics": 0.0,
+                                         "lambda_sterics": 1.0})
+               .potential_energy(s))
+    assert np.isfinite(u1) and np.isfinite(u0) and u1 != u0
