@@ -236,6 +236,18 @@ def restrain_atoms(system: System, positions, atom_indices,
     return system.replace(terms=system.terms + (term,))
 
 
+def restrain_atoms_by_dsl(system: System, positions, topology, atoms_dsl,
+                          sigma: float = 0.3) -> System:
+    """Restrain the atoms selected by an mdtraj-style DSL string, e.g.
+    ``'protein and name CA'`` (restrain_atoms_by_dsl, forcefactories.py:93;
+    the selection is parsed natively — models/amber.py AmberTopology.select).
+    """
+    atom_indices = topology.select(atoms_dsl)
+    if len(atom_indices) == 0:
+        raise ValueError(f"selection {atoms_dsl!r} matched no atoms")
+    return restrain_atoms(system, positions, atom_indices, sigma=sigma)
+
+
 def replace_reaction_field(system: System, switch_width=None,
                            return_copy=True) -> System:
     """Switch all cutoff_periodic NonbondedTerms to the unshifted (c_rf = 0)

@@ -23,6 +23,7 @@ from openmmtools_tpu.integrators.langevin import (  # noqa: F401
 from openmmtools_tpu.integrators.nonequilibrium import (  # noqa: F401
     NonequilibriumLangevinIntegrator,
     AlchemicalNonequilibriumLangevinIntegrator,
+    ExternalPerturbationLangevinIntegrator,
     PeriodicNonequilibriumIntegrator,
 )
 from openmmtools_tpu.integrators.minimize import (  # noqa: F401
@@ -35,6 +36,7 @@ from openmmtools_tpu.integrators.minimize import (  # noqa: F401
 from openmmtools_tpu.integrators.extras import (  # noqa: F401
     AndersenVelocityVerletIntegrator,
     DummyIntegrator,
+    HMCIntegrator,
     MetropolisMonteCarloIntegrator,
     MTSIntegrator,
     NoseHooverChainVelocityVerletIntegrator,

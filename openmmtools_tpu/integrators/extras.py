@@ -263,6 +263,72 @@ class MetropolisMonteCarloIntegrator(LangevinIntegrator):
         self.displacement_sigma = displacement_sigma
 
 
+class _BoundHMC(BoundIntegrator):
+    def _build_step(self):
+        n_inner = self.integrator.nsteps
+        dt = self.integrator.timestep
+        inv_mass = self.inv_mass
+        masses = self.masses
+        has_constraints = self.system.constraints.n_constraints > 0
+
+        def step(state: IntegratorState) -> IntegratorState:
+            key, kv, ka = jax.random.split(state.rng_key, 3)
+            v = thermalize_velocities(masses, state.kT, kv,
+                                      dtype=state.positions.dtype)
+            if has_constraints:
+                v = self._constrain_velocities(state.positions, v)
+            x0, u0, f0 = state.positions, state.potentials[0], state.forces[0]
+            ke0 = 0.5 * jnp.sum(masses[:, None] * v * v)
+
+            def vv(_, carry):
+                x, v, u, f = carry
+                v = v + 0.5 * dt * f * inv_mass[:, None]
+                x_new = x + dt * v
+                if has_constraints:
+                    x_proj = self._constrain_positions(x_new, x)
+                    v = v + (x_proj - x_new) / dt
+                    x_new = x_proj
+                u, grad = self._vg_fns[None](x_new, state.box,
+                                             state.global_params)
+                f = -grad
+                v = v + 0.5 * dt * f * inv_mass[:, None]
+                if has_constraints:
+                    v = self._constrain_velocities(x_new, v)
+                return x_new, v, u, f
+
+            x, v, u, f = jax.lax.fori_loop(0, n_inner, vv, (x0, v, u0, f0))
+            ke1 = 0.5 * jnp.sum(masses[:, None] * v * v)
+            log_p = -((u + ke1) - (u0 + ke0)) / state.kT
+            accept = jnp.log(jax.random.uniform(ka, dtype=u.dtype)) < log_p
+            return state.replace(
+                positions=jnp.where(accept, x, x0),
+                velocities=jnp.where(accept, v, -v),
+                rng_key=key,
+                forces=(jnp.where(accept, f, f0),),
+                potentials=(jnp.where(accept, u, u0),),
+                n_accepted=state.n_accepted + accept.astype(jnp.int32),
+                n_proposed=state.n_proposed + 1,
+                step_count=state.step_count + 1)
+
+        return step
+
+
+class HMCIntegrator(LangevinIntegrator):
+    """Hybrid Monte Carlo (integrators.py:885): each step draws fresh
+    Maxwell-Boltzmann velocities, runs ``nsteps`` of velocity Verlet, and
+    Metropolis-accepts on the total-energy change. Acceptance statistics
+    live in state.n_accepted / n_proposed."""
+
+    _bound_class = _BoundHMC
+    _default_splitting = "V R V"
+
+    def __init__(self, temperature=298.0, nsteps=10, timestep=0.001,
+                 **kwargs):
+        super().__init__(temperature=temperature, collision_rate=1.0,
+                         timestep=timestep, splitting="V R V", **kwargs)
+        self.nsteps = nsteps
+
+
 class MTSIntegrator(LangevinIntegrator):
     """r-RESPA multiple-timestep integrator (respa.py:39, re-exported at
     integrators.py:321).

@@ -107,3 +107,26 @@ def test_mts_integrator():
                             temperature=TEMP)
     s = bound.run(s, 200)
     assert bool(jnp.all(jnp.isfinite(s.positions)))
+
+
+def test_hmc_integrator():
+    """HMC integrator samples the harmonic oscillator at the right <U>
+    with healthy acceptance (integrators.py:885)."""
+    from openmmtools_tpu.integrators import HMCIntegrator
+
+    ho = HarmonicOscillator()
+    integ = HMCIntegrator(temperature=TEMP, nsteps=10, timestep=0.001)
+    bound = integ.bind(ho.system)
+    s = bound.initial_state(SamplerState(positions=ho.positions),
+                            jax.random.PRNGKey(0), temperature=TEMP)
+    s = bound.run(s, 500)
+    us = []
+    for _ in range(60):
+        s = bound.run(s, 20)
+        us.append(float(sum(s.potentials)))
+    rate = float(s.n_accepted) / float(s.n_proposed)
+    assert 0.3 < rate <= 1.0, rate
+    expected = 1.5 * kB * TEMP
+    stderr = np.std(us) / np.sqrt(len(us) / 4.0)
+    assert abs(np.mean(us) - expected) < max(6 * stderr, 0.15 * expected), (
+        np.mean(us), expected, stderr)

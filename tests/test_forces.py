@@ -108,3 +108,23 @@ def test_restraint_with_alchemical_control_in_state():
                              global_params={"lambda_restraints": 0.0})
     du = float(on.potential_energy(ss)) - float(off.potential_energy(ss))
     assert np.isclose(du, 0.5 * 50.0 * 0.16, rtol=1e-5)
+
+
+def test_restrain_atoms_by_dsl():
+    """DSL-driven positional restraints (forcefactories.py:93)."""
+    import os
+
+    if not os.path.exists(
+            "/root/reference/openmmtools/data/alanine-dipeptide-gbsa"):
+        pytest.skip("reference data files not available")
+    from openmmtools_tpu.forces import restrain_atoms_by_dsl
+    from openmmtools_tpu.models import AlanineDipeptideVacuum
+
+    ala = AlanineDipeptideVacuum()
+    system = restrain_atoms_by_dsl(ala.system, ala.positions, ala.topology,
+                                   "protein and name CA")
+    assert len(system.terms) == len(ala.system.terms) + 1
+    assert system.terms[-1].particles.shape[0] == 1
+    with pytest.raises(ValueError):
+        restrain_atoms_by_dsl(ala.system, ala.positions, ala.topology,
+                              "resname BOGUS")
