@@ -313,13 +313,16 @@ class BoundIntegrator:
         if integ.measure_shadow_work or integ.measure_heat:
             return
         system = self.system
-        # crossover vs the dense O(N^2) path measured on v5e: dense wins to
-        # ~3k particles at the default (safe) cell capacity — 4253 vs 3476
-        # steps/s at N=2048 — and the cell-grid kernel takes over at larger
-        # N (954 vs 303 at N=8192). Tight capacity-8 packing measured 8367
-        # steps/s at N=2048 but overflows on density fluctuations (each
-        # bump = minutes of Mosaic recompile), so it stays opt-in until the
-        # overflow side pass lands (ROADMAP round-2 lever #1)
+        # crossover vs the dense O(N^2) path measured on v5e, with the
+        # dual-kernel scheme (FusedLJBAOAB._full_program: a tight 8-slot
+        # kernel picked per chunk via lax.cond on the rebuild occupancy,
+        # full-capacity kernel as the in-program fallback — exact physics,
+        # no recompiles on density fluctuations): 2243 steps/s at N=4096
+        # vs ~1100 dense. At N=2048 the bench state point (rho*=0.05,
+        # T*=1.0, inside the LJ binodal) condenses into droplets within a
+        # few thousand steps, pushing cell occupancy past 8 — steady state
+        # then runs the 16-slot kernel (3476/s), losing to dense (4253/s),
+        # so the dense path keeps N < 4096
         if (system.constraints.n_constraints > 0 or len(system.terms) != 1
                 or system.default_box is None or system.n_particles < 4096):
             return
