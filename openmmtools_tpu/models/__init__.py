@@ -24,6 +24,14 @@ from openmmtools_tpu.models.testsystems import (  # noqa: F401
 from openmmtools_tpu.models.testsystems import (  # noqa: F401
     AlanineDipeptideExplicit,
     BenzeneTolueneImplicit,
+    CustomGBForceSystem,
+    DNADodecamerExplicit,
+    MethanolBox,
+    TolueneImplicit,
+    TolueneImplicitHCT,
+    TolueneImplicitOBC1,
+    TolueneImplicitOBC2,
+    TolueneVacuum,
     ConstrainedDiatomicFluid,
     ConstrainedDipolarFluid,
     ConstraintCoupledHarmonicOscillator,

@@ -598,3 +598,40 @@ class DNADodecamerExplicit(TestSystem):
         self.topology = AmberTopology(parse_prmtop(prmtop))
         self.ndof = (3 * self.system.n_particles
                      - self.system.constraints.n_constraints)
+
+
+class CustomGBForceSystem(TestSystem):
+    """140 charged LJ particles with an OBC-II generalized Born force
+    (testsystems.py:4279, itself from OpenMM's TestReferenceCustomGBForce).
+    The reference builds the GB math as CustomGBForce expressions; here the
+    same HCT-integral + OBC-tanh + ACE-surface energy is the native
+    GBSAOBCTerm (ops/gbsa.py). Radii 0.2/0.1 nm, scales 0.5 (first half) /
+    0.8 (second half), solvent dielectric 80."""
+
+    def __init__(self, n_molecules=70, box_size=10.0, cutoff=2.0):
+        super().__init__()
+        from openmmtools_tpu.ops.gbsa import GBSAOBCTerm
+
+        n = 2 * n_molecules
+        charges = np.tile([1.0, -1.0], n_molecules)
+        radii = np.tile([0.2, 0.1], n_molecules)
+        half = n_molecules // 2
+        scales = np.repeat(np.where(np.arange(n_molecules) < half, 0.5, 0.8),
+                           2)
+        sigma, epsilon, mass = 0.335, 0.001603, 39.9
+        nb = NonbondedTerm(
+            charge=_f32(charges), sigma=_f32(np.full(n, sigma)),
+            epsilon=_f32(np.full(n, epsilon)),
+            exception_index=jnp.zeros((0, 2), jnp.int32),
+            exception_chargeprod=_f32([]), exception_sigma=_f32([]),
+            exception_epsilon=_f32([]),
+            method="cutoff_periodic", cutoff=cutoff)
+        gb = GBSAOBCTerm(charge=_f32(charges), radius=_f32(radii),
+                         scale=_f32(scales), solvent_dielectric=80.0)
+        box = jnp.diag(_f32([box_size] * 3))
+        self.system = System(masses=_f32(np.full(n, mass)), terms=(nb, gb),
+                             constraints=no_constraints(), default_box=box,
+                             periodic=True)
+        self.positions = jnp.asarray(
+            subrandom_particle_positions(n, np.asarray(box)),
+            dtype=jnp.float32)

@@ -679,12 +679,20 @@ class LennardJonesPair(TestSystem):
 from openmmtools_tpu.models.more_systems import (  # noqa: E402,F401
     AlanineDipeptideExplicit,
     ConstraintCoupledHarmonicOscillator,
+    CustomGBForceSystem,
     DHFRExplicit,
+    DNADodecamerExplicit,
     HostGuestExplicit,
     HostGuestImplicit,
     HostGuestVacuum,
     LysozymeImplicit,
+    MethanolBox,
     MolecularIdealGas,
+    TolueneImplicit,
+    TolueneImplicitHCT,
+    TolueneImplicitOBC1,
+    TolueneImplicitOBC2,
+    TolueneVacuum,
     BenzeneTolueneImplicit,
     ConstrainedDiatomicFluid,
     ConstrainedDipolarFluid,

@@ -18,8 +18,21 @@ from openmmtools_tpu.models import (
 )
 
 
+# systems whose default construction evaluates a >10k-atom dense PME energy
+# — minutes each on the CPU test host; their loaders/energies are covered by
+# dedicated fast tests (test_amber) and the TPU drives recorded in ROADMAP
+_SLOW_SYSTEMS = {
+    "DHFRExplicit",
+    "DNADodecamerExplicit",
+    "GiantFlexibleWaterBox",
+    "GiantFlexibleDischargedWaterBox",
+}
+
+
 @pytest.mark.parametrize("name", get_available_testsystems())
-def test_construct_and_finite_energy(name):
+def test_construct_and_finite_energy(name, request):
+    if name in _SLOW_SYSTEMS and not request.config.getoption("--runslow"):
+        pytest.skip(f"{name} is a >10k-atom system; use --runslow")
     cls = getattr(models.testsystems, name)
     try:
         ts = cls()
