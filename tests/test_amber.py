@@ -253,3 +253,30 @@ def test_dna_dodecamer_loads():
     diag = np.asarray(d.system.default_box).diagonal()
     assert diag.shape == (3,) and np.all(diag > 4.0)
     assert d.positions.shape == (13646, 3)
+
+
+def test_native_prmtop_parser_parity(ala):
+    """The C++ prmtop parser (native/prmtop_parser.cpp) returns exactly the
+    same sections as the pure-Python oracle."""
+    import openmmtools_tpu.models.amber as A
+
+    lib = A._native_prmtop_lib()
+    if lib is None:
+        pytest.skip("native parser not built (native/build.sh)")
+    path = ("/root/reference/openmmtools/data/alanine-dipeptide-gbsa/"
+            "alanine-dipeptide.prmtop")
+    d_native = A._parse_prmtop_native(lib, path)
+    saved = A._NATIVE_PRMTOP
+    try:
+        A._NATIVE_PRMTOP = False
+        d_py = A.parse_prmtop(path)
+    finally:
+        A._NATIVE_PRMTOP = saved
+    assert set(d_py) == set(d_native)
+    for k in d_py:
+        a, b = d_py[k], d_native[k]
+        assert a.shape == b.shape, k
+        if a.dtype.kind in "if":
+            assert np.array_equal(a, b), k
+        else:
+            assert list(a) == list(b), k
