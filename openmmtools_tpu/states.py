@@ -317,6 +317,11 @@ def create_thermodynamic_state_protocol(
     parameter name) to equal-length sequences of values. ``constants`` are
     applied to every state. Mirrors reference states.py:39-143.
     """
+    if isinstance(reference_state, CompoundThermodynamicState):
+        # resolve composable-state parameters into plain global_params so
+        # the ladder states carry them (reference builds compound states;
+        # here states ARE their parameters)
+        reference_state = reference_state.resolve()
     constants = dict(constants or {})
     lengths = {len(v) for v in protocol.values()}
     if len(lengths) != 1:
@@ -572,7 +577,14 @@ class CompoundThermodynamicState:
 
     # convenience forwarding ------------------------------------------------
     def __getattr__(self, name):
-        # dataclass fields handled normally; anything else is forwarded
+        # dataclass fields handled normally; anything else is forwarded to
+        # the composable states first (reference states.py:2885-2954), then
+        # to the base ThermodynamicState (so e.g. surface_tension and other
+        # ensemble attributes resolve through the compound)
+        if name in ("base_state", "composable_states"):
+            # avoid recursion during pytree unflattening (fields may be
+            # absent while the object is being reconstructed)
+            raise AttributeError(name)
         for cs in self.composable_states:
             try:
                 return cs.get_parameter(name)
@@ -580,6 +592,10 @@ class CompoundThermodynamicState:
                 continue
             except AttributeError:
                 continue
+        try:
+            return getattr(self.base_state, name)
+        except AttributeError:
+            pass
         raise AttributeError(name)
 
     @property
