@@ -26,7 +26,9 @@ def main():
     state = bound.initial_state(fluid.sampler_state(), jax.random.PRNGKey(0),
                                 temperature=120.0)
 
-    chunk = 1000
+    # large chunks amortize the ~30 ms host->TPU dispatch latency of the
+    # relay; the fused kernel integrates the whole chunk in one program
+    chunk = 10000
     # warm-up/compile
     state = jax.block_until_ready(bound.run(state, chunk))
 
@@ -36,7 +38,7 @@ def main():
         state = jax.block_until_ready(bound.run(state, chunk))
         n_steps += chunk
         elapsed = time.perf_counter() - t0
-        if elapsed > 10.0 or n_steps >= 50000:
+        if elapsed > 10.0 or n_steps >= 2_000_000:
             break
     steps_per_sec = n_steps / elapsed
 

@@ -35,7 +35,7 @@ import jax.numpy as jnp
 from openmmtools_tpu.constants import kB
 from openmmtools_tpu.ops.constraints import rattle_velocities, shake_positions
 from openmmtools_tpu.states import SamplerState, ThermodynamicState
-from openmmtools_tpu.system import System, make_energy_fn
+from openmmtools_tpu.system import System, make_energy_force_fn
 from openmmtools_tpu.utils.pytree import pytree_dataclass, static_field
 
 
@@ -200,10 +200,20 @@ class BoundIntegrator:
                            if t.startswith("V") and len(t) > 1})
         self.groups: List[Any] = numbered if numbered else [None]
 
+        # analytic joint (U, F) per force group (ops/pair_forces.py);
+        # _vg_fns keeps the legacy (u, grad) signature for subclasses
+        self._ef_fns = {}
         self._vg_fns = {}
         for g in self.groups:
-            u_fn = make_energy_fn(system, groups=None if g is None else [g])
-            self._vg_fns[g] = jax.value_and_grad(u_fn)
+            ef = make_energy_force_fn(system,
+                                      groups=None if g is None else [g])
+            self._ef_fns[g] = ef
+
+            def vg(x, box, params, _ef=ef):
+                u, f = _ef(x, box, params)
+                return u, -f
+
+            self._vg_fns[g] = vg
 
         # substep counts → per-substep timesteps (integrators.py:1474 counts)
         self.n_R = max(1, self.tokens.count("R"))
@@ -299,10 +309,18 @@ class BoundIntegrator:
         self._vg_nbr = jax.value_and_grad(u_total)
 
     def _fused_setup(self):
-        """Enable the fused Pallas cell-grid kernel for the production case:
-        plain BAOAB on a monodisperse uncharged periodic LJ system with no
-        constraints (the flagship benchmark configuration). Falls back to the
-        XLA paths everywhere else."""
+        """Enable the fully-fused dense-pair Pallas MD kernel for the
+        production case: plain BAOAB on a monodisperse uncharged periodic
+        LJ system with no constraints (the flagship benchmark
+        configuration, BASELINE configs 1-2). Falls back to the XLA paths
+        everywhere else.
+
+        The kernel (ops/pallas_baoab.py) integrates whole chunks in ONE
+        Pallas program: half-shell roll-sweep pair forces, both kicks and
+        drifts, and in-kernel Box-Muller noise — measured ~12x the XLA
+        dense path at N=2048 on v5e. It reads the box and temperature at
+        run time, so states carrying a non-default box integrate
+        correctly (ADVICE round-1 item 3)."""
         integ = self.integrator
         if getattr(integ, "neighborlist", "auto") is None:
             return
@@ -313,18 +331,12 @@ class BoundIntegrator:
         if integ.measure_shadow_work or integ.measure_heat:
             return
         system = self.system
-        # crossover vs the dense O(N^2) path measured on v5e, with the
-        # dual-kernel scheme (FusedLJBAOAB._full_program: a tight 8-slot
-        # kernel picked per chunk via lax.cond on the rebuild occupancy,
-        # full-capacity kernel as the in-program fallback — exact physics,
-        # no recompiles on density fluctuations): 2243 steps/s at N=4096
-        # vs ~1100 dense. At N=2048 the bench state point (rho*=0.05,
-        # T*=1.0, inside the LJ binodal) condenses into droplets within a
-        # few thousand steps, pushing cell occupancy past 8 — steady state
-        # then runs the 16-slot kernel (3476/s), losing to dense (4253/s),
-        # so the dense path keeps N < 4096
+        # below ~192 particles the XLA dense path is already sub-5us/step
+        # and kernel launch overhead dominates; above ~16k the O(N^2/2)
+        # pair sweep loses to the cell-based kernels / neighbor paths
         if (system.constraints.n_constraints > 0 or len(system.terms) != 1
-                or system.default_box is None or system.n_particles < 4096):
+                or system.default_box is None
+                or not 192 <= system.n_particles <= 16384):
             return
         from openmmtools_tpu.system import NonbondedTerm
 
@@ -344,31 +356,17 @@ class BoundIntegrator:
         diag = _np.diagonal(box)
         if not (_np.all(sig == sig[0]) and _np.all(eps == eps[0])
                 and _np.all(q == 0.0) and _np.all(mass == mass[0])
-                and _np.allclose(diag, diag[0])
                 and _np.allclose(box, _np.diag(diag))):
             return
-        if term.use_dispersion_correction:
-            # the tail correction is a constant-energy shift: it exerts no
-            # force at fixed volume, so the fused trajectory is unaffected
-            pass
-        from openmmtools_tpu.ops.pallas_md import FusedLJBAOAB, make_grid_spec
+        if float(term.cutoff) > 0.5 * float(diag.min()):
+            return  # minimum image invalid
+        from openmmtools_tpu.ops.pallas_baoab import FusedDenseBAOAB
 
-        spec = make_grid_spec(
-            system.n_particles, float(diag[0]), float(term.cutoff),
-            term.switch_width, float(sig[0]), float(eps[0]), float(mass[0]),
-            integ.timestep, integ.collision_rate,
-            skin_fraction=0.1)
-        # VMEM budget: the whole-state-in-VMEM kernel's peak scoped
-        # allocation is ~32x one (3, capacity, g_cells) f32 plane (measured
-        # on v5e at N=8192: 35.75M for a 1.12M plane). Stay under the
-        # raised 100M scoped limit with margin; larger systems fall back to
-        # the XLA paths until an HBM-resident multi-block kernel lands.
-        plane_bytes = 3 * spec.capacity * spec.g_cells * 4
-        if 34 * plane_bytes > 90 * 1024 * 1024:
-            return
-        self._fused = FusedLJBAOAB(
-            spec, system.n_particles,
-            temperature=float(getattr(integ, "temperature", 300.0)))
+        self._fused_term = term
+        self._fused = FusedDenseBAOAB(
+            system.n_particles, float(term.cutoff), term.switch_width,
+            float(sig[0]), float(eps[0]), float(mass[0]),
+            integ.timestep, integ.collision_rate)
 
     def _build_nbr(self, x, box):
         from openmmtools_tpu.ops.neighborlist import build_neighbor_list
@@ -389,8 +387,7 @@ class BoundIntegrator:
         if self.neighbor_mode and nbr is not None:
             u, grad = self._vg_nbr(x, box, params, nbr)
             return u, -grad
-        u, grad = self._vg_fns[g](x, box, params)
-        return u, -grad
+        return self._ef_fns[g](x, box, params)
 
     def _ensure_forces(self, env: _Env, groups=None):
         for g in (self.groups if groups is None else groups):
@@ -657,17 +654,22 @@ class BoundIntegrator:
         rebuild chunking when the neighbor path is active). Uses the fused
         Pallas cell-grid kernel when eligible (_fused_setup)."""
         if self._fused is not None:
-            x, v, key = self._fused.run(
-                state.positions, state.velocities, state.kT, state.rng_key,
-                n_steps)
-            forces, potentials = [], []
-            for g in self.groups:
-                u, f = self._eval_group(g, x, state.box, state.global_params)
-                potentials.append(u)
-                forces.append(f)
+            box = state.box if state.box is not None \
+                else self.system.default_box
+            x, v, f, u, key = self._fused.run(
+                state.positions, state.velocities, box, state.kT,
+                state.rng_key, n_steps)
+            term = self._fused_term
+            if term.use_dispersion_correction:
+                from openmmtools_tpu.ops.nonbonded import (
+                    dispersion_correction_energy,
+                )
+
+                u = u + dispersion_correction_energy(
+                    box, term.sigma, term.epsilon, term.cutoff)
             return state.replace(
                 positions=x, velocities=v, rng_key=key,
-                forces=tuple(forces), potentials=tuple(potentials),
+                forces=(f,), potentials=(u,),
                 step_count=state.step_count + n_steps)
         fn = self._run_cache.get(n_steps)
         if fn is None:

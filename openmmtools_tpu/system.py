@@ -163,6 +163,57 @@ class NonbondedTerm:
             )
         return e
 
+    def energy_forces(self, x, box, params=None):
+        """Joint (U, F) via the hand-differentiated dense pair kernel.
+
+        Mathematically identical to ``(energy, -grad energy)`` but ~3.5x
+        faster on TPU (ops/pair_forces.py docstring); this is the
+        integrator hot path's force provider.
+        """
+        from openmmtools_tpu.ops import pair_forces
+
+        charge_scale = _param(params, self.charge_scale_param, None)
+        lj_scale = _param(params, self.lj_scale_param, None)
+        # statically drop all Coulomb math for uncharged systems (LJ fluid)
+        charges = self.charge
+        if charge_scale is None and not isinstance(charges, jax.core.Tracer):
+            import numpy as _np
+
+            if not _np.any(_np.asarray(charges)):
+                charges = None
+        u, f = pair_forces.dense_pair_energy_forces(
+            x, box, charges, self.sigma, self.epsilon,
+            method=self.method, cutoff=self.cutoff,
+            switch_width=self.switch_width, dielectric=self.dielectric,
+            alpha=self.ewald_alpha, periodic=self.periodic,
+            charge_scale=charge_scale, lj_scale=lj_scale)
+        if self.exception_index.shape[0] > 0:
+            i = self.exception_index[:, 0]
+            j = self.exception_index[:, 1]
+            q = self.charge if charge_scale is None \
+                else self.charge * charge_scale
+            eps = self.epsilon if lj_scale is None \
+                else self.epsilon * lj_scale
+            u_sub, f_sub = pair_forces.pair_list_energy_forces(
+                x, box, self.exception_index, q[i] * q[j],
+                0.5 * (self.sigma[i] + self.sigma[j]),
+                jnp.sqrt(eps[i] * eps[j]),
+                method=self.method, cutoff=self.cutoff,
+                switch_width=self.switch_width, dielectric=self.dielectric,
+                alpha=self.ewald_alpha, periodic=self.periodic)
+            u_exc, f_exc = pair_forces.pair_list_energy_forces(
+                x, box, self.exception_index, self.exception_chargeprod,
+                self.exception_sigma, self.exception_epsilon,
+                method="no_cutoff", periodic=self.periodic)
+            u = u - u_sub + u_exc
+            f = f - f_sub + f_exc
+        if self.use_dispersion_correction and self.periodic:
+            # constant-volume tail correction: energy shift, zero force
+            u = u + nonbonded.dispersion_correction_energy(
+                box, self.sigma, self.epsilon, self.cutoff,
+                lj_scale=lj_scale)
+        return u, f
+
     def energy_neighbors(self, x, box, params, nbr):
         """Energy via a fixed-capacity neighbor list (production MD path).
 
@@ -388,6 +439,56 @@ def make_energy_fn(system: System, groups=None):
         return total
 
     return energy_fn
+
+
+def make_energy_force_fn(system: System, groups=None):
+    """Return ``(x, box, params) -> (U, F)`` for the selected force groups.
+
+    Uses each term's analytic ``energy_forces`` where available (the dense
+    nonbonded kernel, ops/pair_forces.py) and per-term autodiff otherwise;
+    systems with virtual sites fall back to whole-system autodiff so site
+    forces redistribute onto parents through the reconstruction. This is
+    the integrator's force provider — the role OpenMM's force kernels play
+    for the reference (SURVEY.md §2.2 row 1).
+    """
+    if groups is None:
+        selected = system.terms
+    else:
+        if isinstance(groups, int):
+            mask = groups
+            selected = tuple(t for t in system.terms
+                             if (mask >> t.force_group) & 1)
+        else:
+            gs = frozenset(groups)
+            selected = tuple(t for t in system.terms if t.force_group in gs)
+
+    vsites = system.virtual_sites
+    if vsites is not None and vsites.site.shape[0] > 0:
+        u_fn = make_energy_fn(system, groups=groups)
+
+        def ef_vsites(x, box=None, params=None):
+            u, g = jax.value_and_grad(u_fn)(x, box, params)
+            return u, -g
+
+        return ef_vsites
+
+    def energy_force_fn(x, box=None, params=None):
+        if box is None:
+            box = system.default_box
+        total_u = jnp.zeros((), dtype=x.dtype)
+        total_f = jnp.zeros_like(x)
+        for term in selected:
+            if hasattr(term, "energy_forces"):
+                u, f = term.energy_forces(x, box, params)
+            else:
+                u, g = jax.value_and_grad(
+                    lambda xx, t=term: t.energy(xx, box, params))(x)
+                f = -g
+            total_u = total_u + u
+            total_f = total_f + f
+        return total_u, total_f
+
+    return energy_force_fn
 
 
 def make_force_fn(system: System, groups=None):
