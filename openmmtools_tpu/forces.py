@@ -262,7 +262,14 @@ def replace_reaction_field(system: System, switch_width=None,
     for term in system.terms:
         if isinstance(term, NonbondedTerm) and term.method == "cutoff_periodic":
             sw = switch_width if switch_width is not None else term.switch_width
-            terms.append(term.replace(switch_width=sw))
+            if sw is None:
+                sw = 0.1  # reference default: 1 A (forcefactories.py:34)
+            # c_rf = 0 (shift_rf=False) and the quintic switch applied to
+            # the WHOLE pair energy, matching the reference's switched
+            # UnshiftedReactionFieldForce (forces.py:1110 via
+            # CustomNonbondedForce switching)
+            terms.append(term.replace(switch_width=sw, shift_rf=False,
+                                      switch_coulomb=True))
         else:
             terms.append(term)
     return system.replace(terms=tuple(terms))

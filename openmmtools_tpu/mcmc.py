@@ -474,19 +474,68 @@ class MonteCarloBarostatMove(MetropolizedMove):
 
     The reference delegates this to OpenMM's MonteCarloBarostat triggered via
     a dummy integrator (mcmc.py:1597); here it is a native move:
-    propose ln V' = ln V + dv, scale positions (monatomic: per particle) and
-    box; accept with exp(-[beta dU + beta p dV - (N+1) ln(V'/V)]).
+    propose V' = V + dV, scale *molecule centroids* (particles move rigidly
+    with their molecule, so constraints and bond lengths are preserved —
+    OpenMM MonteCarloBarostatImpl semantics) and the box; accept with
+    exp(-[beta dU + beta p dV - N_molecules ln(V'/V)]).
+
+    Molecules are the connected components of the bond + constraint +
+    virtual-site graph, computed once per system on the host. For a
+    monatomic fluid every particle is its own molecule and this reduces
+    to per-particle scaling.
     """
 
     def __init__(self, volume_scale=0.01, **kwargs):
         super().__init__(**kwargs)
         self.volume_scale = volume_scale
-        self._kernel = None
+        self._kernels = {}  # per-system: molecule ids are baked in
+        self._molecules_cache = {}
+
+    @staticmethod
+    def _molecule_ids(system):
+        """Connected components of the bonded graph -> (ids (N,), count)."""
+        import numpy as np
+        from openmmtools_tpu.system import HarmonicBondTerm
+
+        n = system.n_particles
+        parent = np.arange(n)
+
+        def find(a):
+            while parent[a] != a:
+                parent[a] = parent[parent[a]]
+                a = parent[a]
+            return a
+
+        def union(a, b):
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[ra] = rb
+
+        for _, term in system.find_terms(HarmonicBondTerm):
+            for i, j in np.asarray(term.index):
+                union(int(i), int(j))
+        if system.constraints.n_constraints > 0:
+            for i, j in np.asarray(system.constraints.index):
+                union(int(i), int(j))
+        vs = system.virtual_sites
+        if vs is not None and vs.n_sites > 0:
+            sites = np.asarray(vs.site)
+            parents_arr = np.asarray(vs.parents)
+            for s, ps in zip(sites, parents_arr):
+                for p in ps:
+                    union(int(s), int(p))
+        roots = np.array([find(i) for i in range(n)])
+        _, ids = np.unique(roots, return_inverse=True)
+        return jnp.asarray(ids, jnp.int32), int(ids.max()) + 1 if n else 0
 
     def _apply(self, thermodynamic_state, sampler_state, key):
         ts = thermodynamic_state
         if ts.pressure is None:
             raise MCMCMoveError("MonteCarloBarostatMove requires an NPT state")
+        cache_key = id(ts.system)
+        if cache_key not in self._molecules_cache:
+            self._molecules_cache[cache_key] = self._molecule_ids(ts.system)
+        mol_ids, n_molecules = self._molecules_cache[cache_key]
 
         def kernel(ts, ss, key):
             from openmmtools_tpu.constants import BAR_TO_KJ_PER_MOL_NM3
@@ -500,23 +549,29 @@ class MonteCarloBarostatMove(MetropolizedMove):
             v_new = v_old + dv
             scale = (v_new / v_old) ** (1.0 / 3.0)
             box_new = box * scale
-            x_new = ss.positions * scale
+            x = ss.positions
+            # rigid molecule translation: x += (scale - 1) * centroid[mol]
+            counts = jax.ops.segment_sum(
+                jnp.ones((x.shape[0],), x.dtype), mol_ids,
+                num_segments=n_molecules)
+            centers = jax.ops.segment_sum(
+                x, mol_ids, num_segments=n_molecules) / counts[:, None]
+            x_new = x + (scale - 1.0) * centers[mol_ids]
             ss_new = ss.replace(positions=x_new, box_vectors=box_new)
             u_new = ts.potential_energy(ss_new)
-            n = ss.positions.shape[0]
             beta = ts.beta
             p = ts.pressure * BAR_TO_KJ_PER_MOL_NM3
-            # dV proposed uniformly => Jacobian term N ln(V'/V), matching
-            # OpenMM's MonteCarloBarostat acceptance rule
+            # dV proposed uniformly => Jacobian term N_mol ln(V'/V),
+            # matching OpenMM's MonteCarloBarostat acceptance rule
             log_alpha = (-(beta * (u_new - u_old) + beta * p * (v_new - v_old))
-                         + n * jnp.log(v_new / v_old))
+                         + n_molecules * jnp.log(v_new / v_old))
             accept = jnp.log(jax.random.uniform(k2, dtype=v_old.dtype)) < log_alpha
             return jax.tree.map(
                 lambda a, b: jnp.where(accept, a, b), ss_new, ss), accept
 
-        if self._kernel is None:
-            self._kernel = jax.jit(kernel)
-        new_ss, accept = self._kernel(ts, sampler_state, key)
+        if cache_key not in self._kernels:
+            self._kernels[cache_key] = jax.jit(kernel)
+        new_ss, accept = self._kernels[cache_key](ts, sampler_state, key)
         self.n_proposed += 1
         self.n_accepted += int(accept)
         return new_ss

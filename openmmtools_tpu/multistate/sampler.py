@@ -201,6 +201,31 @@ class MultiStateSampler:
         self._reporter = storage
         self._velocities_initialized = all(
             s.velocities is not None for s in sampler_states)
+        if not self._velocities_initialized:
+            # Thermalize missing velocities ONCE, eagerly: the compiled
+            # iteration program bakes the reassign flag in at trace time,
+            # so deferring this would redraw velocities every iteration
+            # for the whole run even with reassign_velocities=False
+            # (ADVICE round-1 item 5).
+            from openmmtools_tpu.constants import kB
+            from openmmtools_tpu.integrators.langevin import (
+                thermalize_velocities,
+            )
+
+            key, *subs = jax.random.split(
+                jax.random.PRNGKey(self._rng_seed ^ 0x5EED), n + 1)
+            temps = self._stacked_sampled.temperature[
+                self._carry.replica_states]
+            missing = jnp.asarray(
+                [s.velocities is None for s in sampler_states])
+            drawn = jnp.stack([
+                thermalize_velocities(system.masses, kB * temps[i], subs[i],
+                                      dtype=dtype)
+                for i in range(n)])
+            velocities = jnp.where(missing[:, None, None], drawn,
+                                   self._carry.velocities)
+            self._carry = self._carry.replace(velocities=velocities)
+            self._velocities_initialized = True
 
         if mesh is not None:
             self._apply_mesh(mesh)
@@ -325,7 +350,9 @@ class MultiStateSampler:
         integrator = move._get_integrator(self._thermodynamic_states[0])
         bound = integrator.bind(system)
         n_steps = move.n_steps
-        reassign = move.reassign_velocities or not self._velocities_initialized
+        # velocities are always initialized by create()/from_storage before
+        # the program is built, so the traced flag is just the move option
+        reassign = move.reassign_velocities
 
         def propagate_one(x, v, box, key, s):
             temperature, _, params = self._state_params_at(stacked, s)
@@ -574,6 +601,18 @@ class MultiStateSampler:
         interval = self.online_analysis_interval
         if interval is None or self._iteration % interval != 0:
             return
+        if self.locality is not None:
+            # locality-masked energies are +inf outside each replica's
+            # neighborhood — feeding them to MBAR yields inf/nan free
+            # energies and the convergence stop would silently never fire
+            # (ADVICE round-1 item 4). Surface the condition once.
+            if not getattr(self, "_warned_locality_analysis", False):
+                logger.warning(
+                    "online analysis is disabled when locality is set: the "
+                    "windowed energy matrix is not MBAR-complete; run the "
+                    "offline analyzer on the stored energies instead")
+                self._warned_locality_analysis = True
+            return
         if self._iteration < self.online_analysis_minimum_iterations:
             return
         try:
@@ -587,16 +626,34 @@ class MultiStateSampler:
         if self._reporter is not None:
             self._reporter.write_online_analysis(self._iteration, f, df)
 
+    _ONLINE_MAX_SAMPLES = 20000
+
     def _online_free_energy(self) -> Tuple[np.ndarray, float]:
-        """MBAR over all accumulated (non-equilibration-corrected) energies."""
+        """MBAR over the accumulated (non-equilibration-corrected) energies.
+
+        Cost control (the reference re-runs full MBAR over the whole
+        history each time, multistatesampler.py:1526): (a) stride-
+        subsample to at most _ONLINE_MAX_SAMPLES rows — correlated MD
+        samples lose almost no information to striding — and (b) warm-
+        start the self-consistent iteration from the previous estimate,
+        so per-analysis cost stays bounded as the run grows.
+        """
         k = self.n_states
         k_total = k + len(self._unsampled_states)
         u_all = np.concatenate(self._energy_history, axis=0)  # (T*N, Ktot)
         s_all = np.concatenate(self._state_history, axis=0)   # (T*N,)
+        if u_all.shape[0] > self._ONLINE_MAX_SAMPLES:
+            stride = -(-u_all.shape[0] // self._ONLINE_MAX_SAMPLES)
+            u_all = u_all[::stride]
+            s_all = s_all[::stride]
         n_k = np.bincount(s_all, minlength=k).astype(np.float64)
-        result = mbar_free_energies(u_all.T, np.maximum(n_k, 0.0)
-                                    if k_total == k else
-                                    np.concatenate([n_k, np.zeros(k_total - k)]))
+        if k_total != k:
+            n_k = np.concatenate([n_k, np.zeros(k_total - k)])
+        f_init = None
+        if self._online_data is not None \
+                and len(self._online_data.get("f_k", ())) == k_total:
+            f_init = np.asarray(self._online_data["f_k"])
+        result = mbar_free_energies(u_all.T, n_k, f_init=f_init)
         f = np.asarray(result.free_energies)
         df = float(result.delta_f(0, k - 1)[1])
         return f, df

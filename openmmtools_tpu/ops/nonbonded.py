@@ -105,6 +105,8 @@ def all_pairs_energy(
     periodic=False,
     charge_scale=None,
     lj_scale=None,
+    shift_rf=True,
+    switch_coulomb=False,
 ):
     """Total LJ + Coulomb energy over all i<j pairs (dense O(N^2) path).
 
@@ -142,10 +144,16 @@ def all_pairs_energy(
     r = jnp.sqrt(r2)
 
     e_lj = lj_pair(r2, sig_ij, eps_ij)
-    if switch_width is not None and cutoff is not None:
-        e_lj = e_lj * switch_factor(r, cutoff - switch_width, cutoff)
     e_coul = coulomb_pair(r, qq_ij, method, cutoff=cutoff,
-                          dielectric=dielectric, alpha=alpha)
+                          dielectric=dielectric, alpha=alpha,
+                          shift_rf=shift_rf)
+    if switch_width is not None and cutoff is not None:
+        S = switch_factor(r, cutoff - switch_width, cutoff)
+        e_lj = e_lj * S
+        if switch_coulomb:
+            # the reference's [Unshifted/Switched]ReactionFieldForce
+            # switches the whole pair energy (forces.py:1110,1231)
+            e_coul = e_coul * S
 
     return jnp.sum(jnp.where(mask, e_lj + e_coul, 0.0))
 
@@ -165,6 +173,8 @@ def pair_list_energy(
     alpha=None,
     periodic=False,
     apply_cutoff=True,
+    shift_rf=True,
+    switch_coulomb=False,
 ):
     """LJ + Coulomb energy over an explicit pair list with per-pair parameters.
 
@@ -180,10 +190,13 @@ def pair_list_energy(
     r2 = jnp.maximum(jnp.sum(d * d, axis=-1), 1e-12)
     r = jnp.sqrt(r2)
     e_lj = lj_pair(r2, sigma, epsilon)
-    if switch_width is not None and cutoff is not None:
-        e_lj = e_lj * switch_factor(r, cutoff - switch_width, cutoff)
     e_coul = coulomb_pair(r, qq, method, cutoff=cutoff, dielectric=dielectric,
-                          alpha=alpha)
+                          alpha=alpha, shift_rf=shift_rf)
+    if switch_width is not None and cutoff is not None:
+        S = switch_factor(r, cutoff - switch_width, cutoff)
+        e_lj = e_lj * S
+        if switch_coulomb:
+            e_coul = e_coul * S
     e = e_lj + e_coul
     if apply_cutoff and cutoff is not None and method != "no_cutoff":
         e = jnp.where(r2 < cutoff * cutoff, e, 0.0)

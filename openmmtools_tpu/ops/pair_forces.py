@@ -60,6 +60,8 @@ def dense_pair_energy_forces(
     periodic=False,
     charge_scale=None,
     lj_scale=None,
+    shift_rf=True,
+    switch_coulomb=False,
 ):
     """Energy and forces of the dense all-pairs LJ+Coulomb sum.
 
@@ -112,6 +114,30 @@ def dense_pair_energy_forces(
     inv_r = jnp.sqrt(inv_r2)
     r = r2 * inv_r  # r = r2/ r ; masked entries have inv_r = 0 -> r = 0
 
+    # Coulomb energy + force coefficient (unswitched)
+    if q is None:
+        e_c = w_c = None
+    elif method in ("no_cutoff", "cutoff_nonperiodic_nocoulombmod"):
+        kqq = ONE_4PI_EPS0 * (q[:, None] * q[None, :])
+        e_c = kqq * inv_r
+        w_c = kqq * inv_r2 * inv_r
+    elif method in ("cutoff_periodic", "cutoff_nonperiodic"):
+        k_rf, c_rf = reaction_field_constants(cutoff, dielectric)
+        if not shift_rf:
+            c_rf = 0.0
+        kqq = ONE_4PI_EPS0 * (q[:, None] * q[None, :])
+        e_c = kqq * (inv_r + k_rf * r2 - c_rf)
+        w_c = kqq * (inv_r2 * inv_r - 2.0 * k_rf)
+    elif method in ("pme", "ewald"):
+        kqq = ONE_4PI_EPS0 * (q[:, None] * q[None, :])
+        erfc_ar = jax.scipy.special.erfc(alpha * r)
+        gauss = (2.0 * alpha / math.sqrt(math.pi)) * jnp.exp(
+            -(alpha * alpha) * r2)
+        e_c = kqq * erfc_ar * inv_r
+        w_c = kqq * (erfc_ar * inv_r2 * inv_r + gauss * inv_r2)
+    else:
+        raise ValueError(f"unknown nonbonded method {method!r}")
+
     if switch_width is not None and cutoff is not None:
         r_switch = cutoff - switch_width
         inv_span = 1.0 / (cutoff - r_switch)
@@ -119,33 +145,25 @@ def dense_pair_energy_forces(
         one_m_t = 1.0 - t
         S = 1.0 + t * t * t * (-10.0 + t * (15.0 - 6.0 * t))
         dS_dr = -30.0 * (t * t) * (one_m_t * one_m_t) * inv_span
-        w = w_lj * S - e_lj * dS_dr * inv_r
-        e_lj = e_lj * S
+        if switch_coulomb and e_c is not None:
+            # switch the whole pair energy (reference forces.py:1110)
+            e_all = e_lj + e_c
+            w = ((w_lj + w_c) * S - e_all * dS_dr * inv_r)
+            e_pair_val = e_all * S
+        else:
+            w = w_lj * S - e_lj * dS_dr * inv_r
+            e_pair_val = e_lj * S
+            if e_c is not None:
+                w = w + w_c
+                e_pair_val = e_pair_val + e_c
     else:
         w = w_lj
+        e_pair_val = e_lj
+        if e_c is not None:
+            w = w + w_c
+            e_pair_val = e_pair_val + e_c
 
-    if q is None:
-        e_c = 0.0
-    elif method in ("no_cutoff", "cutoff_nonperiodic_nocoulombmod"):
-        kqq = ONE_4PI_EPS0 * (q[:, None] * q[None, :])
-        e_c = kqq * inv_r
-        w = w + kqq * inv_r2 * inv_r
-    elif method in ("cutoff_periodic", "cutoff_nonperiodic"):
-        k_rf, c_rf = reaction_field_constants(cutoff, dielectric)
-        kqq = ONE_4PI_EPS0 * (q[:, None] * q[None, :])
-        e_c = kqq * (inv_r + k_rf * r2 - c_rf)
-        w = w + kqq * (inv_r2 * inv_r - 2.0 * k_rf)
-    elif method in ("pme", "ewald"):
-        kqq = ONE_4PI_EPS0 * (q[:, None] * q[None, :])
-        erfc_ar = jax.scipy.special.erfc(alpha * r)
-        gauss = (2.0 * alpha / math.sqrt(math.pi)) * jnp.exp(
-            -(alpha * alpha) * r2)
-        e_c = kqq * erfc_ar * inv_r
-        w = w + kqq * (erfc_ar * inv_r2 * inv_r + gauss * inv_r2)
-    else:
-        raise ValueError(f"unknown nonbonded method {method!r}")
-
-    e_pair = jnp.where(mask, e_lj + e_c, 0.0)
+    e_pair = jnp.where(mask, e_pair_val, 0.0)
     w = jnp.where(mask, w, 0.0)
 
     U = 0.5 * jnp.sum(e_pair)
@@ -168,6 +186,8 @@ def pair_list_energy_forces(
     alpha=None,
     periodic=False,
     apply_cutoff=True,
+    shift_rf=True,
+    switch_coulomb=False,
 ):
     """(U, F) over an explicit pair list (exceptions / exclusions).
 
@@ -185,7 +205,8 @@ def pair_list_energy_forces(
         return pair_list_energy(
             xx, box, pairs, qq, sigma, epsilon, method=method, cutoff=cutoff,
             switch_width=switch_width, dielectric=dielectric, alpha=alpha,
-            periodic=periodic, apply_cutoff=apply_cutoff)
+            periodic=periodic, apply_cutoff=apply_cutoff, shift_rf=shift_rf,
+            switch_coulomb=switch_coulomb)
 
     u, g = jax.value_and_grad(u_fn)(x)
     return u, -g

@@ -119,6 +119,12 @@ class NonbondedTerm:
     # optional global-parameter hooks for charge/epsilon scaling (alchemy)
     charge_scale_param: Optional[str] = static_field(default=None)
     lj_scale_param: Optional[str] = static_field(default=None)
+    # reaction-field variants (reference forces.py:1110,1231):
+    # shift_rf=False gives the unshifted (c_rf = 0) reaction field;
+    # switch_coulomb=True applies the quintic switch to the whole pair
+    # energy, as OpenMM does for CustomNonbondedForce-based RF
+    shift_rf: bool = static_field(default=True)
+    switch_coulomb: bool = static_field(default=False)
 
     @property
     def periodic(self) -> bool:
@@ -133,6 +139,7 @@ class NonbondedTerm:
             switch_width=self.switch_width, dielectric=self.dielectric,
             alpha=self.ewald_alpha, periodic=self.periodic,
             charge_scale=charge_scale, lj_scale=lj_scale,
+            shift_rf=self.shift_rf, switch_coulomb=self.switch_coulomb,
         )
         # exceptions: subtract standard pair interaction, add exception term
         if self.exception_index.shape[0] > 0:
@@ -148,6 +155,7 @@ class NonbondedTerm:
                 method=self.method, cutoff=self.cutoff,
                 switch_width=self.switch_width, dielectric=self.dielectric,
                 alpha=self.ewald_alpha, periodic=self.periodic,
+                shift_rf=self.shift_rf, switch_coulomb=self.switch_coulomb,
             )
             # OpenMM computes exceptions like bonded terms: plain LJ+Coulomb,
             # no cutoff truncation, no reaction-field/erfc modification.
@@ -186,7 +194,8 @@ class NonbondedTerm:
             method=self.method, cutoff=self.cutoff,
             switch_width=self.switch_width, dielectric=self.dielectric,
             alpha=self.ewald_alpha, periodic=self.periodic,
-            charge_scale=charge_scale, lj_scale=lj_scale)
+            charge_scale=charge_scale, lj_scale=lj_scale,
+            shift_rf=self.shift_rf, switch_coulomb=self.switch_coulomb)
         if self.exception_index.shape[0] > 0:
             i = self.exception_index[:, 0]
             j = self.exception_index[:, 1]
@@ -200,7 +209,9 @@ class NonbondedTerm:
                 jnp.sqrt(eps[i] * eps[j]),
                 method=self.method, cutoff=self.cutoff,
                 switch_width=self.switch_width, dielectric=self.dielectric,
-                alpha=self.ewald_alpha, periodic=self.periodic)
+                alpha=self.ewald_alpha, periodic=self.periodic,
+                shift_rf=self.shift_rf,
+                switch_coulomb=self.switch_coulomb)
             u_exc, f_exc = pair_forces.pair_list_energy_forces(
                 x, box, self.exception_index, self.exception_chargeprod,
                 self.exception_sigma, self.exception_epsilon,
@@ -239,7 +250,12 @@ class NonbondedTerm:
                     r, self.cutoff - self.switch_width, self.cutoff)
             e_c = nonbonded.coulomb_pair(
                 r, qq_ij, self.method, cutoff=self.cutoff,
-                dielectric=self.dielectric, alpha=self.ewald_alpha)
+                dielectric=self.dielectric, alpha=self.ewald_alpha,
+                shift_rf=self.shift_rf)
+            if (self.switch_coulomb and self.switch_width is not None
+                    and self.cutoff is not None):
+                e_c = e_c * nonbonded.switch_factor(
+                    r, self.cutoff - self.switch_width, self.cutoff)
             e = e_lj + e_c
             if self.cutoff is not None and self.method != "no_cutoff":
                 e = jnp.where(r2 < self.cutoff * self.cutoff, e, 0.0)
@@ -255,7 +271,8 @@ class NonbondedTerm:
                 jnp.sqrt(eps[i] * eps[j]),
                 method=self.method, cutoff=self.cutoff,
                 switch_width=self.switch_width, dielectric=self.dielectric,
-                alpha=self.ewald_alpha, periodic=self.periodic)
+                alpha=self.ewald_alpha, periodic=self.periodic,
+                shift_rf=self.shift_rf, switch_coulomb=self.switch_coulomb)
             e = e + nonbonded.pair_list_energy(
                 x, box, self.exception_index, self.exception_chargeprod,
                 self.exception_sigma, self.exception_epsilon,

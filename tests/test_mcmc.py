@@ -153,3 +153,52 @@ def test_mcmc_sampler(ho):
     assert u_min < 1.0
     sampler.run(3)
     assert not bool(sampler.sampler_state.has_nan())
+
+
+def test_barostat_move_scales_molecule_centroids():
+    """Rigid/bonded molecules translate as units under the barostat, so
+    internal distances are exactly preserved (OpenMM MonteCarloBarostat
+    molecule-centroid scaling; ADVICE round-1 item 2)."""
+    from openmmtools_tpu.states import SamplerState, ThermodynamicState
+    from openmmtools_tpu.system import (
+        Constraints,
+        NonbondedTerm,
+        System,
+    )
+
+    rng = np.random.default_rng(0)
+    n_mol, L = 16, 4.0
+    centers = rng.uniform(0.5, L - 0.5, (n_mol, 3))
+    bond = 0.12
+    x = np.empty((2 * n_mol, 3), np.float32)
+    x[0::2] = centers - [bond / 2, 0, 0]
+    x[1::2] = centers + [bond / 2, 0, 0]
+    cons = Constraints(
+        index=jnp.asarray([[2 * i, 2 * i + 1] for i in range(n_mol)],
+                          jnp.int32),
+        distance=jnp.full((n_mol,), bond, jnp.float32))
+    zero2 = jnp.zeros((0, 2), jnp.int32)
+    zero = jnp.zeros((0,), jnp.float32)
+    nb = NonbondedTerm(
+        charge=jnp.zeros((2 * n_mol,), jnp.float32),
+        sigma=jnp.full((2 * n_mol,), 0.25, jnp.float32),
+        epsilon=jnp.full((2 * n_mol,), 0.3, jnp.float32),
+        exception_index=zero2, exception_chargeprod=zero,
+        exception_sigma=zero, exception_epsilon=zero,
+        method="cutoff_periodic", cutoff=1.0)
+    box = jnp.diag(jnp.full((3,), L, jnp.float32))
+    system = System(masses=jnp.full((2 * n_mol,), 10.0, jnp.float32),
+                    terms=(nb,), constraints=cons, default_box=box,
+                    periodic=True)
+    state = ThermodynamicState(system=system, temperature=300.0,
+                               pressure=100.0)
+    move = MonteCarloBarostatMove(volume_scale=0.1, seed=11)
+    ss = SamplerState(positions=jnp.asarray(x), box_vectors=box)
+    for _ in range(30):
+        ss = move.apply(state, ss)
+    assert move.n_accepted >= 1
+    d = np.linalg.norm(np.asarray(ss.positions[0::2] - ss.positions[1::2]),
+                       axis=1)
+    np.testing.assert_allclose(d, bond, rtol=1e-5)
+    # volume actually moved
+    assert abs(float(ss.volume) - L**3) > 1e-3

@@ -63,6 +63,65 @@ def test_dense_matches_autodiff(kw, charged):
     assert float(jnp.max(jnp.abs(f + g))) <= 2e-4 * f_scale
 
 
+def test_unshifted_switched_rf_matches_autodiff():
+    """shift_rf=False + switch_coulomb=True (UnshiftedReactionFieldForce
+    analog, reference forces.py:1110)."""
+    x, box, q, sig, eps = _random_config(seed=11)
+    kw = dict(method="cutoff_periodic", cutoff=1.0, switch_width=0.3,
+              periodic=True, shift_rf=False, switch_coulomb=True)
+
+    def u_fn(xx):
+        return all_pairs_energy(x=xx, box=box, charges=q, sigmas=sig,
+                                epsilons=eps, **kw)
+
+    u_ref, g = jax.value_and_grad(u_fn)(x)
+    u, f = dense_pair_energy_forces(x, box, q, sig, eps, **kw)
+    f_scale = float(jnp.max(jnp.abs(g))) + 1.0
+    assert abs(float(u - u_ref)) <= 2e-4 * (abs(float(u_ref)) + 1.0)
+    assert float(jnp.max(jnp.abs(f + g))) <= 2e-4 * f_scale
+
+
+def test_replace_reaction_field_unshifts_and_switches():
+    """After replace_reaction_field the pair energy must go to zero
+    continuously at the cutoff (c_rf = 0 + whole-energy switch)."""
+    from openmmtools_tpu.forces import replace_reaction_field
+    from openmmtools_tpu.system import System, no_constraints
+
+    q = jnp.asarray([0.4, -0.4], jnp.float32)
+    sig = jnp.full((2,), 0.3, jnp.float32)
+    eps = jnp.full((2,), 0.5, jnp.float32)
+    zero2 = jnp.zeros((0, 2), jnp.int32)
+    zero = jnp.zeros((0,), jnp.float32)
+    term = NonbondedTerm(charge=q, sigma=sig, epsilon=eps,
+                         exception_index=zero2, exception_chargeprod=zero,
+                         exception_sigma=zero, exception_epsilon=zero,
+                         method="cutoff_periodic", cutoff=1.0,
+                         switch_width=0.2)
+    box = jnp.diag(jnp.full((3,), 5.0, jnp.float32))
+    system = System(masses=jnp.ones((2,), jnp.float32), terms=(term,),
+                    constraints=no_constraints(), default_box=box,
+                    periodic=True)
+    rf = replace_reaction_field(system)
+    new_term = rf.terms[0]
+    assert new_term.shift_rf is False and new_term.switch_coulomb is True
+
+    def u_at(r, t):
+        x = jnp.asarray([[0.0, 0.0, 0.0], [r, 0.0, 0.0]], jnp.float32)
+        return float(t.energy(x, box, {}))
+
+    # unshifted switched RF: the whole-energy switch takes U -> 0 at rc
+    assert abs(u_at(0.999, new_term)) < 1e-4
+    # well inside the cutoff, c_rf = 0 raises the energy by c_rf*qq
+    from openmmtools_tpu.ops.nonbonded import reaction_field_constants
+    from openmmtools_tpu.constants import ONE_4PI_EPS0
+
+    _, c_rf = reaction_field_constants(1.0, 78.3)
+    # removing the -c_rf*kqq shift raises the energy by +c_rf*kqq
+    expected = ONE_4PI_EPS0 * float(q[0] * q[1]) * c_rf
+    d = u_at(0.5, new_term) - u_at(0.5, term)
+    assert abs(d - expected) < 1e-3 * abs(expected)
+
+
 def test_scales_match_autodiff():
     x, box, q, sig, eps = _random_config(seed=3)
     kw = dict(method="cutoff_periodic", cutoff=1.0, switch_width=0.25,
