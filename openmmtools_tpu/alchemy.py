@@ -487,6 +487,19 @@ class AbsoluteAlchemicalFactory:
                 terms.append(term.replace(
                     alch_mask=jnp.asarray((region_id >= 0).astype(np.float32)),
                     lambda_name=f"lambda_electrostatics{suffix(regions[0])}"))
+            elif type(term).__name__ in ("GBSAOBCTerm",):
+                # alchemically-modified GB (reference
+                # _alchemically_modify_GBSAOBCForce, alchemy.py:2144):
+                # lambda_electrostatics scales the alchemical atoms'
+                # charges, descreening and surface term (ops/gbsa.py)
+                if len(regions) > 1:
+                    raise AlchemyError(
+                        "multiple alchemical regions are not supported for "
+                        "GBSAOBCForce (reference alchemy.py:2168)")
+                mask = jnp.asarray((region_id >= 0).astype(np.float32))
+                terms.append(term.replace(
+                    alchemical=mask,
+                    lambda_name=f"lambda_electrostatics{suffix(regions[0])}"))
             elif isinstance(term, HarmonicBondTerm) and any(
                     r.alchemical_bonds for r in regions):
                 terms.append(self._alchemical_bonds(term, region_id, regions,

@@ -114,12 +114,33 @@ class MultiStateSamplerAnalyzer(PhaseAnalyzer):
     # -- effective energy & equilibration ------------------------------------
     def get_effective_energy_timeseries(self) -> np.ndarray:
         """u_n(t) = sum_replicas u_{n, s_n(t)} — the timeseries whose
-        equilibration governs the whole dataset (:1414-1477)."""
+        equilibration governs the whole dataset (:1414-1477).
+
+        For SAMS runs the per-iteration log weights enter the sampled
+        density, so the negative log deviance gains the correction
+        u_n += -sum_n log_w[s_n(t), t] + logsumexp(-f_l + log_w[:, t])
+        with f_l = -logZ at the final iteration (reference :1455-1475);
+        without it, changing weights masquerade as energy drift and
+        equilibration detection is wrong for SAMS analyses.
+        """
+        from scipy.special import logsumexp as _lse
+
         u, s = self._read_energies()
-        t_range = np.arange(u.shape[0])
-        total = np.empty(u.shape[0])
-        for t in t_range:
-            total[t] = u[t][np.arange(u.shape[1]), s[t]].sum()
+        n_iter, n_rep, _ = u.shape
+        rep_idx = np.arange(n_rep)
+        total = np.empty(n_iter)
+        for t in range(n_iter):
+            total[t] = u[t][rep_idx, s[t]].sum()
+
+        log_weights = None
+        if self._reporter is not None and \
+                getattr(self._reporter, "has_log_weights", lambda: False)():
+            log_weights = self._reporter.read_log_weights()  # (T_w, K)
+        if log_weights is not None and len(log_weights):
+            f_l = -np.asarray(self._reporter.read_logZ(iteration=-1))
+            for t in range(n_iter):
+                lw = log_weights[min(t, log_weights.shape[0] - 1)]
+                total[t] += -lw[s[t]].sum() + _lse(-f_l + lw)
         return total
 
     def _get_equilibration_data(self) -> Tuple[int, float, float]:
@@ -180,14 +201,13 @@ class MultiStateSamplerAnalyzer(PhaseAnalyzer):
             u_rest = self._restraint_energies_kT(t0, idx)
             if u_rest is not None:
                 keep = np.ones(u_rest.shape[0], dtype=bool)
-                cutoff = self.restraint_energy_cutoff
-                if cutoff == "auto":
-                    cutoff = 16.0  # kT; reference picks from the histogram
-                if cutoff is not None:
-                    keep &= u_rest <= float(cutoff)
-                if self.restraint_distance_cutoff is not None:
-                    d = self._cache["restraint_distances"]
-                    keep &= d <= float(self.restraint_distance_cutoff)
+                d = self._cache.get("restraint_distances")
+                e_cut, d_cut = self._resolve_restraint_cutoffs(
+                    u_rest, d, s_flat)
+                if e_cut is not None:
+                    keep &= u_rest <= float(e_cut)
+                if d_cut is not None and d is not None:
+                    keep &= d <= float(d_cut)
                 u_ln = u_ln[:, keep]
                 u_rest = u_rest[keep]
                 s_flat = s_flat[keep]
@@ -201,6 +221,37 @@ class MultiStateSamplerAnalyzer(PhaseAnalyzer):
 
         self._cache["mbar_input"] = (u_ln, n_k)
         return u_ln, n_k
+
+    def _resolve_restraint_cutoffs(self, u_rest, distances, s_flat):
+        """Resolve 'auto' restraint cutoffs from the bound-state (state 0)
+        sample distribution: the 99.9th percentile of the restraint
+        energies/distances of samples drawn in state 0 (reference
+        _determine_automatic_restraint_cutoff, multistateanalyzer.py:1865).
+        When both cutoffs are 'auto' the distance cutoff wins (:1827-1834)
+        if distances are available.
+        """
+        e_spec = self.restraint_energy_cutoff
+        d_spec = self.restraint_distance_cutoff
+        have_d = distances is not None and np.all(np.isfinite(distances))
+        bound = s_flat == 0
+
+        def auto(values, what):
+            v0 = values[bound]
+            if v0.size == 0:
+                logger.warning(
+                    "state 0 has no samples; cannot determine the automatic "
+                    "restraint %s cutoff — no cutoff applied", what)
+                return None
+            return float(np.percentile(v0, 99.9))
+
+        if e_spec == "auto" and d_spec == "auto":
+            if have_d:
+                return None, auto(distances, "distance")
+            return auto(u_rest, "energy"), None
+        e_cut = auto(u_rest, "energy") if e_spec == "auto" else e_spec
+        d_cut = (auto(distances, "distance") if (d_spec == "auto" and have_d)
+                 else (d_spec if d_spec != "auto" else None))
+        return e_cut, d_cut
 
     def _restraint_energies_kT(self, t0, idx):
         """Restraint energies (kT) per flattened decorrelated sample, from

@@ -78,14 +78,29 @@ class MultiStateReporter:
     def is_open(self) -> bool:
         return self._analysis is not None
 
+    @staticmethod
+    def _robust_open(h5py, path, mode, n_attempts=4, sleep=0.5):
+        """Open with retries (reference multistatereporter.py:390: NetCDF
+        opens can fail transiently on networked filesystems)."""
+        import time as _time
+
+        for attempt in range(n_attempts):
+            try:
+                return h5py.File(path, mode)
+            except OSError:
+                if attempt == n_attempts - 1:
+                    raise
+                _time.sleep(sleep * (attempt + 1))
+
     def open(self, mode: str = "r"):
         h5py = _require_h5py()
         if self.is_open:
             self.close()
         os.makedirs(os.path.dirname(os.path.abspath(self._storage_analysis)),
                     exist_ok=True)
-        self._analysis = h5py.File(self._storage_analysis, mode)
-        self._checkpoint = h5py.File(self._storage_checkpoint, mode)
+        self._analysis = self._robust_open(h5py, self._storage_analysis, mode)
+        self._checkpoint = self._robust_open(h5py, self._storage_checkpoint,
+                                             mode)
         if mode == "w":
             shared_uuid = str(uuid_module.uuid4())
             self._analysis.attrs["UUID"] = shared_uuid
@@ -119,15 +134,32 @@ class MultiStateReporter:
     # -- static metadata ----------------------------------------------------
     def write_thermodynamic_states(self, states: List[ThermodynamicState],
                                    unsampled: List[ThermodynamicState] = ()):
-        """Dedup scheme of :612: the (shared, compatible) system is stored
-        once; per-state scalars (T, p, global params) per state."""
+        """Dedup scheme of :612: each unique *standard system* is stored
+        once; states reference their system group and store per-state
+        scalars (T, p, global params). Mixed protocols whose states carry
+        incompatible systems (e.g. expanded-cutoff unsampled endpoints)
+        round-trip correctly because every distinct serialized system gets
+        its own group."""
         grp = self._analysis.require_group("thermodynamic_states")
         grp.attrs["n_states"] = len(states)
         grp.attrs["n_unsampled"] = len(unsampled)
         all_states = list(states) + list(unsampled)
-        grp.attrs["system_json"] = json.dumps(serialize(all_states[0].system))
+        system_jsons: List[str] = []
+        system_of_state: List[int] = []
+        for s in all_states:
+            sj = json.dumps(serialize(s.system))
+            try:
+                idx = system_jsons.index(sj)
+            except ValueError:
+                idx = len(system_jsons)
+                system_jsons.append(sj)
+            system_of_state.append(idx)
+        grp.attrs["n_systems"] = len(system_jsons)
+        for g, sj in enumerate(system_jsons):
+            grp.attrs[f"system_json_{g}"] = sj
         for i, s in enumerate(all_states):
             sg = grp.require_group(f"state_{i}")
+            sg.attrs["system_index"] = system_of_state[i]
             sg.attrs["temperature"] = float(s.temperature)
             sg.attrs["pressure"] = (
                 "null" if s.pressure is None else float(s.pressure))
@@ -138,7 +170,11 @@ class MultiStateReporter:
         grp = self._analysis["thermodynamic_states"]
         n_states = int(grp.attrs["n_states"])
         n_unsampled = int(grp.attrs.get("n_unsampled", 0))
-        system = deserialize(json.loads(grp.attrs["system_json"]))
+        if "n_systems" in grp.attrs:
+            systems = [deserialize(json.loads(grp.attrs[f"system_json_{g}"]))
+                       for g in range(int(grp.attrs["n_systems"]))]
+        else:  # pre-dedup-groups layout: one shared system
+            systems = [deserialize(json.loads(grp.attrs["system_json"]))]
         import jax.numpy as jnp
 
         def build(i):
@@ -147,7 +183,7 @@ class MultiStateReporter:
             pressure = None if pressure == "null" else jnp.asarray(
                 float(pressure))
             return ThermodynamicState(
-                system=system,
+                system=systems[int(sg.attrs.get("system_index", 0))],
                 temperature=jnp.asarray(float(sg.attrs["temperature"])),
                 pressure=pressure,
                 global_params={k: jnp.asarray(v) for k, v in
@@ -340,6 +376,52 @@ class MultiStateReporter:
         return {"iteration": it,
                 "f_k": np.asarray(sub.attrs["f_k"]),
                 "err_free_energy": float(sub.attrs["err_free_energy"])}
+
+    # -- SAMS adaptation state (sams.py:237-289 _StoredProperty analog) ------
+    def write_sams_data(self, iteration: int, logZ, log_weights, histogram,
+                        stage: int, t0: int):
+        """Per-iteration SAMS adaptation state: logZ_k and log_weights_k
+        histories (also consumed by the analyzer's effective-energy
+        correction, multistateanalyzer.py:1414-1477) plus histogram/stage/
+        t0 for exact resume."""
+        self._write_frame(self._analysis, "logZ", iteration,
+                          np.asarray(logZ, dtype=np.float64))
+        self._write_frame(self._analysis, "log_weights", iteration,
+                          np.asarray(log_weights, dtype=np.float64))
+        self._write_frame(self._analysis, "sams_histogram", iteration,
+                          np.asarray(histogram, dtype=np.int64))
+        self._write_frame(self._analysis, "sams_stage_t0", iteration,
+                          np.asarray([stage, t0], dtype=np.int64))
+        self._analysis.flush()
+
+    def has_log_weights(self) -> bool:
+        return "log_weights" in self._analysis
+
+    def read_log_weights(self, iterations=None):
+        """(T, K) per-iteration SAMS log weights (None if not a SAMS run)."""
+        ds = self._analysis.get("log_weights")
+        if ds is None:
+            return None
+        return ds[...] if iterations is None else ds[iterations]
+
+    def read_logZ(self, iteration=-1):
+        ds = self._analysis.get("logZ")
+        if ds is None:
+            return None
+        return ds[iteration]
+
+    def read_sams_data(self, iteration=None):
+        if "logZ" not in self._analysis:
+            return None
+        idx = -1 if iteration is None else iteration
+        n_rows = self._analysis["logZ"].shape[0]
+        if iteration is not None and iteration >= n_rows:
+            idx = n_rows - 1
+        stage, t0 = self._analysis["sams_stage_t0"][idx]
+        return {"logZ": self._analysis["logZ"][idx],
+                "log_weights": self._analysis["log_weights"][idx],
+                "histogram": self._analysis["sams_histogram"][idx],
+                "stage": int(stage), "t0": int(t0)}
 
     def write_timing(self, iteration: int, timing: Dict[str, float]):
         """Real-time YAML telemetry (:1353; multistatesampler.py:1608-1620)."""

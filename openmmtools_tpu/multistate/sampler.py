@@ -280,14 +280,21 @@ class MultiStateSampler:
     # ------------------------------------------------------------------
     @classmethod
     def from_storage(cls, reporter):
+        import inspect
+
         reporter.open(mode="r")
         options = reporter.read_options()
         moves = reporter.read_mcmc_moves()
+        # accept any stored option the class constructor understands, so
+        # subclass options (e.g. SAMS schemes) survive the round trip
+        accepted = set()
+        for klass in cls.__mro__:
+            init = klass.__dict__.get("__init__")
+            if init is not None:
+                accepted |= set(inspect.signature(init).parameters)
+        accepted -= {"self", "args", "kwargs", "mcmc_moves", "rng_seed"}
         sampler = cls(mcmc_moves=moves, **{
-            k: v for k, v in options.items()
-            if k in ("number_of_iterations", "online_analysis_interval",
-                     "online_analysis_target_error",
-                     "online_analysis_minimum_iterations", "locality")})
+            k: v for k, v in options.items() if k in accepted})
         sampler._rng_seed = options.get("rng_seed", 0)
         thermo_states, unsampled = reporter.read_thermodynamic_states()
         it = reporter.read_last_iteration()
@@ -310,7 +317,12 @@ class MultiStateSampler:
         if acc is not None:
             sampler._carry = sampler._carry.replace(
                 n_accepted=jnp.asarray(acc), n_proposed=jnp.asarray(prop))
+        sampler._restore_adaptation(reporter, it)
         return sampler
+
+    def _restore_adaptation(self, reporter, iteration):
+        """Subclass hook: restore adaptive state (SAMS logZ/histogram/
+        stage) from storage on resume. Base sampler has none."""
 
     @staticmethod
     def read_status(reporter):

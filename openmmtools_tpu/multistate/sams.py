@@ -92,6 +92,43 @@ class SAMSSampler(MultiStateSampler):
         self._histogram = np.zeros(k, dtype=np.int64)
         self._stage = 0 if self.update_stages == "two-stage" else 1
         self._t0 = 0
+        if self._reporter is not None:
+            # iteration-0 row keeps the sams arrays aligned with energies
+            self._write_sams_data()
+
+    def _stored_options(self):
+        options = super()._stored_options()
+        options.update({
+            "state_update_scheme": self.state_update_scheme,
+            "update_stages": self.update_stages,
+            "flatness_criteria": self.flatness_criteria,
+            "flatness_threshold": self.flatness_threshold,
+            "weight_update_method": self.weight_update_method,
+            "gamma0": self.gamma0,
+            "minimum_visits": self.minimum_visits,
+        })
+        return options
+
+    def _write_sams_data(self):
+        if self._reporter is None:
+            return
+        self._reporter.write_sams_data(
+            self._iteration, self._logZ, self.log_weights,
+            self._histogram, self._stage, self._t0)
+
+    def _restore_adaptation(self, reporter, iteration):
+        """Resume the logZ adaptation instead of restarting it
+        (reference persists via online data + _StoredProperty,
+        sams.py:237-289, multistatesampler.py:1225-1260)."""
+        data = reporter.read_sams_data(iteration)
+        if data is None:
+            logger.warning("no stored SAMS adaptation state at iteration "
+                           "%d; adaptation restarts from zero", iteration)
+            return
+        self._logZ = np.asarray(data["logZ"], dtype=np.float64)
+        self._histogram = np.asarray(data["histogram"], dtype=np.int64)
+        self._stage = int(data["stage"])
+        self._t0 = int(data["t0"])
 
     # ------------------------------------------------------------------
     # on-device state jump kernel
@@ -157,6 +194,7 @@ class SAMSSampler(MultiStateSampler):
             s = _np.asarray(self._carry.replica_states)
             self._check_nan_energy(u, s)
             self._report_iteration(u, s)
+            self._write_sams_data()
             self._update_analysis()
             self._update_timing(_time.perf_counter() - t0)
             self._velocities_initialized = True
@@ -172,26 +210,29 @@ class SAMSSampler(MultiStateSampler):
         return 1.0 / max(t - self._t0 + 1.0 / self.gamma0, 1.0)
 
     def _update_logZ_estimates(self):
+        """Vectorized over replicas (the reference loops in Python per
+        replica, sams.py:648-666; at 128 replicas that host loop would
+        dominate the fused device iteration). log_weights are frozen at
+        iteration start, matching the reference's single end-of-iteration
+        weight refresh (sams.py:683)."""
+        from scipy.special import logsumexp as _lse
+
         k = self.n_states
-        states = self.replica_states
-        u = self.energies_last_iteration[:, :k]
-        log_w = self.log_weights
+        states = np.asarray(self.replica_states)
         gamma = self._gamma()
         log_pi = self.log_target_probabilities
-
-        for n in range(states.shape[0]):
-            s = int(states[n])
-            self._histogram[s] += 1
-            if self.weight_update_method == "optimal":
-                # delta logZ_k = gamma delta_{k,s} / pi_s (sams.py:648)
-                self._logZ[s] += gamma / np.exp(log_pi[s])
-            else:
-                # rao-blackwellized: spread over the conditional state
-                # distribution of this configuration (sams.py:655-666)
-                logp = log_w - u[n]
-                logp = logp - jax.scipy.special.logsumexp(jnp.asarray(logp))
-                p = np.exp(np.asarray(logp))
-                self._logZ += gamma * p / np.exp(log_pi)
+        np.add.at(self._histogram, states, 1)
+        if self.weight_update_method == "optimal":
+            # delta logZ_k = gamma sum_n delta_{k,s_n} / pi_k (sams.py:648)
+            np.add.at(self._logZ, states, gamma / np.exp(log_pi[states]))
+        else:
+            # rao-blackwellized: spread each replica's update over its
+            # conditional state distribution (sams.py:655-666)
+            u = np.asarray(self.energies_last_iteration[:, :k])  # (N, K)
+            logp = self.log_weights[None, :] - u
+            logp = logp - _lse(logp, axis=1, keepdims=True)
+            p_total = np.exp(logp).sum(axis=0)                   # (K,)
+            self._logZ += gamma * p_total / np.exp(log_pi)
 
         self._logZ -= self._logZ[0]
 

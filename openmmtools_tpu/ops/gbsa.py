@@ -59,14 +59,36 @@ class GBSAOBCTerm:
     # HCT (igb=1): Born radii directly from the descreening integral with
     # no tanh rescaling (OpenMM GBSAHCTForce / reference TolueneImplicitHCT)
     hct: bool = static_field(default=False)
+    # Alchemical softening (reference _alchemically_modify_GBSAOBCForce,
+    # alchemy.py:2144): with per-particle flag a_i (``alchemical``) and
+    # g_i = lambda a_i + (1 - a_i),
+    #   * descreening contributions of atom j scale by g_j,
+    #   * pair polar energy uses g_i q_i * g_j q_j,
+    #   * the Born SELF energy scales LINEARLY: g_i q_i^2 / B_i,
+    #   * the ACE surface term scales by g_i.
+    # ``alchemical`` is None for non-alchemical terms; when the factory
+    # marks the whole system it is an all-ones mask.
     lambda_name: Optional[str] = static_field(default=None)
+    alchemical: Optional[jax.Array] = None   # (N,) 1.0 = alchemical atom
     force_group: int = static_field(default=0)
 
     @property
     def global_defaults(self) -> Dict[str, float]:
         return {} if self.lambda_name is None else {self.lambda_name: 1.0}
 
-    def born_radii(self, x):
+    def _g(self, params):
+        """Per-particle alchemical scale g_i (None when not alchemical)."""
+        if self.lambda_name is None or params is None \
+                or self.lambda_name not in params:
+            return None
+        lam = params[self.lambda_name]
+        if self.alchemical is None:
+            a = jnp.ones_like(self.charge)
+        else:
+            a = self.alchemical
+        return lam * a + (1.0 - a)
+
+    def born_radii(self, x, g=None):
         n = x.shape[0]
         or_i = self.radius - OFFSET
         s_j = self.scale * or_i  # screened radii (per j)
@@ -93,7 +115,15 @@ class GBSAOBCTerm:
                 + 0.25 * (r_safe - sj * sj / r_safe)
                 * (inv_u * inv_u - inv_l * inv_l)
                 + 0.5 * jnp.log(l_safe / u_safe) / r_safe)
-        i_sum = 0.5 * jnp.sum(jnp.where(active, term, 0.0), axis=1)
+        # close-contact correction when the descreening sphere engulfs
+        # atom i entirely (OpenMM/reference: C = 2(1/or1 - 1/L)
+        # * step(sr2 - r - or1); alchemy.py:2196)
+        term = term + jnp.where(sj - r_safe - oi > 0.0,
+                                2.0 * (1.0 / oi - inv_l), 0.0)
+        pair = jnp.where(active, term, 0.0)
+        if g is not None:
+            pair = pair * g[None, :]
+        i_sum = 0.5 * jnp.sum(pair, axis=1)
 
         if self.hct:
             inv_b = 1.0 / or_i - i_sum
@@ -106,7 +136,8 @@ class GBSAOBCTerm:
 
     def energy(self, x, box, params=None):
         n = x.shape[0]
-        b = self.born_radii(x)
+        g = self._g(params)
+        b = self.born_radii(x, g=g)
         q = self.charge
         d = x[:, None, :] - x[None, :, :]
         r2 = jnp.sum(d * d, axis=-1)
@@ -114,13 +145,21 @@ class GBSAOBCTerm:
         f_gb = jnp.sqrt(r2 + bb * jnp.exp(-r2 / (4.0 * bb)))
         prefactor = -0.5 * ONE_4PI_EPS0 * (
             1.0 / self.solute_dielectric - 1.0 / self.solvent_dielectric)
-        e_pol = prefactor * jnp.sum(q[:, None] * q[None, :] / f_gb)
+        qg = q if g is None else q * g
+        qq = qg[:, None] * qg[None, :]
+        if g is not None:
+            # the self (diagonal) polar term scales linearly in g, not
+            # quadratically (reference alchemy.py:2204)
+            row = jax.lax.broadcasted_iota(jnp.int32, (n, n), 0)
+            col = jax.lax.broadcasted_iota(jnp.int32, (n, n), 1)
+            qq = jnp.where(row == col, (g * q * q)[:, None]
+                           * jnp.ones((1, n), q.dtype), qq)
+        e_pol = prefactor * jnp.sum(qq / f_gb)
         e = e_pol
         if self.surface_area_energy:
-            e_np = jnp.sum(SURFACE_TENSION * (self.radius + PROBE) ** 2
-                           * (self.radius / b) ** 6)
-            e = e + e_np
-        if self.lambda_name is not None and params is not None \
-                and self.lambda_name in params:
-            e = e * params[self.lambda_name]
+            e_np = SURFACE_TENSION * (self.radius + PROBE) ** 2 \
+                * (self.radius / b) ** 6
+            if g is not None:
+                e_np = e_np * g
+            e = e + jnp.sum(e_np)
         return e

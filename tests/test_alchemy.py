@@ -265,3 +265,80 @@ def test_exact_pme_treatment():
     predicted = c0 + 0.25 * c1 + 0.0625 * c2
     assert np.isclose(u(0.25), predicted, rtol=1e-3,
                       atol=0.05), (u(0.25), predicted)
+
+
+# ---------------------------------------------------------------------------
+# alchemically-modified GB (reference alchemy.py:2144-2223)
+# ---------------------------------------------------------------------------
+
+
+def _gb_system():
+    """Small charged cluster with an OBC-II GB term."""
+    from openmmtools_tpu.ops.gbsa import GBSAOBCTerm
+    from openmmtools_tpu.system import System, no_constraints
+
+    rng = np.random.default_rng(2)
+    n = 12
+    x = jnp.asarray(rng.uniform(0, 0.8, (n, 3)), jnp.float32)
+    q = jnp.asarray(rng.uniform(-0.4, 0.4, n), jnp.float32)
+    gb = GBSAOBCTerm(charge=q,
+                     radius=jnp.asarray(rng.uniform(0.1, 0.2, n), jnp.float32),
+                     scale=jnp.full((n,), 0.8, jnp.float32))
+    system = System(masses=jnp.ones((n,), jnp.float32), terms=(gb,),
+                    constraints=no_constraints())
+    return system, x
+
+
+def test_alchemical_gb_lambda_one_parity():
+    system, x = _gb_system()
+    factory = AbsoluteAlchemicalFactory()
+    region = AlchemicalRegion(alchemical_atoms=list(range(4)))
+    alch = factory.create_alchemical_system(system, region)
+    u_ref = float(system.terms[0].energy(x, None, None))
+    u_1 = float(alch.terms[0].energy(x, None,
+                                     {"lambda_electrostatics": 1.0}))
+    assert abs(u_1 - u_ref) < 1e-3 * abs(u_ref)
+
+
+def test_alchemical_gb_lambda_zero_is_environment_only():
+    """At lambda=0 the alchemical atoms vanish from the GB model: no
+    charge, no descreening, no surface term — the energy must equal a GB
+    term built from the environment atoms alone."""
+    from openmmtools_tpu.ops.gbsa import GBSAOBCTerm
+
+    system, x = _gb_system()
+    gb = system.terms[0]
+    alch_atoms = list(range(4))
+    factory = AbsoluteAlchemicalFactory()
+    alch = factory.create_alchemical_system(
+        system, AlchemicalRegion(alchemical_atoms=alch_atoms))
+    u_0 = float(alch.terms[0].energy(x, None,
+                                     {"lambda_electrostatics": 0.0}))
+    env = jnp.asarray([i for i in range(x.shape[0]) if i not in alch_atoms])
+    gb_env = GBSAOBCTerm(charge=gb.charge[env], radius=gb.radius[env],
+                         scale=gb.scale[env])
+    u_env = float(gb_env.energy(x[env], None, None))
+    assert abs(u_0 - u_env) < max(1e-4 * abs(u_env), 1e-3), (u_0, u_env)
+
+
+def test_alchemical_gb_full_region_vanishes():
+    system, x = _gb_system()
+    factory = AbsoluteAlchemicalFactory()
+    alch = factory.create_alchemical_system(
+        system, AlchemicalRegion(alchemical_atoms=list(range(12))))
+    u_0 = float(alch.terms[0].energy(x, None,
+                                     {"lambda_electrostatics": 0.0}))
+    assert abs(u_0) < 1e-4
+    # intermediate lambda is finite and between the endpoints' magnitudes
+    u_half = float(alch.terms[0].energy(x, None,
+                                        {"lambda_electrostatics": 0.5}))
+    assert np.isfinite(u_half)
+
+
+def test_alchemical_gb_multi_region_raises():
+    system, x = _gb_system()
+    factory = AbsoluteAlchemicalFactory()
+    regions = [AlchemicalRegion(alchemical_atoms=[0], name="a"),
+               AlchemicalRegion(alchemical_atoms=[1], name="b")]
+    with pytest.raises(AlchemyError):
+        factory.create_alchemical_system(system, regions)

@@ -316,8 +316,9 @@ def test_restraint_unbiasing(tmp_path):
 
 
 def test_locality_windowed_energies():
-    """locality=L: only the |k - s_n| <= L neighborhood is computed; other
-    entries are +inf (multistatesampler.py:1263-1281 semantics)."""
+    """locality=L: exactly the clipped 2L+1 window around each replica's
+    state is computed; every other entry is +inf
+    (multistatesampler.py:1263-1281 semantics)."""
     ho, states = _make_states()
     sampler = ReplicaExchangeSampler(
         mcmc_moves=_move(n_steps=5), number_of_iterations=3,
@@ -327,12 +328,185 @@ def test_locality_windowed_energies():
     sampler.run()
     u = sampler.energies_last_iteration
     s = sampler.replica_states
+    k_states, window = 4, 3
     for n in range(4):
-        for k in range(4):
-            near = abs(k - s[n]) <= 1 or (
-                # clipped window at the edges still spans 2L+1 states
-                (s[n] <= 1 and k <= 2) or (s[n] >= 2 and k >= 1))
-            if abs(k - s[n]) <= 1:
-                assert np.isfinite(u[n, k])
-    # something is inf (distant states skipped)
+        start = int(np.clip(s[n] - 1, 0, k_states - window))
+        for k in range(k_states):
+            if start <= k < start + window:
+                assert np.isfinite(u[n, k]), (n, k, s[n])
+            else:
+                assert u[n, k] == np.inf, (n, k, s[n])
+    # at least one replica's window is clipped away from some state
     assert np.any(~np.isfinite(u))
+
+
+def test_swap_all_mixing_chi2_uniform():
+    """Under zero energies the swap-all kernel's stationary distribution
+    over (replica, state) assignments is uniform — chi^2 test mirroring
+    reference tests/test_mixing.py:78-96."""
+    from openmmtools_tpu.multistate.replicaexchange import _mix_all
+    from scipy.stats import chi2
+
+    n = 5
+    u = jnp.zeros((n, n))
+    states = jnp.arange(n, dtype=jnp.int32)
+    counts = np.zeros((n, n))
+    n_trials = 400
+    acc = jnp.zeros((n, n), jnp.int32)
+    key = jax.random.PRNGKey(0)
+    mix = jax.jit(_mix_all)
+    for t in range(n_trials):
+        key, sub = jax.random.split(key)
+        states, acc, _ = mix(sub, states, u, acc, acc)
+        counts[np.arange(n), np.asarray(states)] += 1
+    expected = n_trials / n
+    chi2_stat = float(((counts - expected) ** 2 / expected).sum())
+    dof = n * (n - 1)
+    threshold = chi2.ppf(0.999, dof)
+    assert chi2_stat < threshold, (chi2_stat, threshold, counts)
+
+
+def test_sams_adaptation_persistence_and_resume(tmp_path):
+    """SAMS logZ/histogram/stage survive checkpoint/resume — adaptation
+    continues instead of restarting (reference persists via online data +
+    _StoredProperty, sams.py:237-289)."""
+    from openmmtools_tpu.multistate import MultiStateReporter, SAMSSampler
+
+    ho, states = _make_states()
+    reporter = MultiStateReporter(str(tmp_path / "sams.h5"),
+                                  checkpoint_interval=1)
+    sampler = SAMSSampler(
+        mcmc_moves=_move(n_steps=5), number_of_iterations=8,
+        state_update_scheme="global-jump", gamma0=2.0,
+        flatness_criteria="minimum-visits", minimum_visits=2,
+        online_analysis_interval=None, rng_seed=3)
+    sampler.create(states, SamplerState(positions=ho.positions),
+                   storage=reporter)
+    sampler.run(5)
+    logZ_before = sampler.logZ.copy()
+    hist_before = sampler._histogram.copy()
+    stage_before = sampler._stage
+    reporter.close()
+
+    reporter2 = MultiStateReporter(str(tmp_path / "sams.h5"),
+                                   checkpoint_interval=1)
+    resumed = SAMSSampler.from_storage(reporter2)
+    assert resumed._iteration == 5
+    # adaptation state restored, options too
+    np.testing.assert_allclose(resumed.logZ, logZ_before, atol=1e-12)
+    np.testing.assert_array_equal(resumed._histogram, hist_before)
+    assert resumed._stage == stage_before
+    assert resumed.gamma0 == 2.0
+    assert resumed.flatness_criteria == "minimum-visits"
+    # and it continues adapting from there
+    resumed.run(3)
+    assert resumed._histogram.sum() > hist_before.sum()
+    reporter2.close()
+
+
+def test_sams_vectorized_rb_update_matches_loop():
+    """The vectorized rao-blackwellized logZ update equals the reference's
+    per-replica loop (sams.py:655-666) with iteration-start weights."""
+    from scipy.special import logsumexp
+
+    rng = np.random.default_rng(4)
+    k, n_rep = 6, 5
+    u = rng.normal(0, 2, (n_rep, k))
+    log_w = rng.normal(0, 1, k)
+    log_pi = np.full(k, -np.log(k))
+    gamma = 0.3
+    # loop version
+    logZ_loop = np.zeros(k)
+    for n in range(n_rep):
+        logp = log_w - u[n]
+        logp = logp - logsumexp(logp)
+        logZ_loop += gamma * np.exp(logp) / np.exp(log_pi)
+    # vectorized version (as in SAMSSampler._update_logZ_estimates)
+    logp = log_w[None, :] - u
+    logp = logp - logsumexp(logp, axis=1, keepdims=True)
+    logZ_vec = gamma * np.exp(logp).sum(axis=0) / np.exp(log_pi)
+    np.testing.assert_allclose(logZ_vec, logZ_loop, rtol=1e-12)
+
+
+def test_analyzer_sams_log_weight_correction(tmp_path):
+    """get_effective_energy_timeseries applies the SAMS log-weight
+    correction (multistateanalyzer.py:1414-1477) when weights are stored."""
+    from openmmtools_tpu.multistate import MultiStateReporter, SAMSSampler
+    from openmmtools_tpu.multistate.analyzer import SAMSAnalyzer
+    from scipy.special import logsumexp
+
+    ho, states = _make_states()
+    reporter = MultiStateReporter(str(tmp_path / "sams2.h5"),
+                                  checkpoint_interval=2)
+    sampler = SAMSSampler(
+        mcmc_moves=_move(n_steps=5), number_of_iterations=6,
+        state_update_scheme="global-jump", online_analysis_interval=None,
+        rng_seed=5)
+    sampler.create(states, SamplerState(positions=ho.positions),
+                   storage=reporter)
+    sampler.run()
+    reporter.close()
+
+    reporter.open("r")
+    analyzer = SAMSAnalyzer(reporter)
+    series = analyzer.get_effective_energy_timeseries()
+    # recompute expected: plain sum + correction
+    u, s = reporter.read_energies()
+    lw = reporter.read_log_weights()
+    f_l = -np.asarray(reporter.read_logZ(-1))
+    for t in (0, 3, u.shape[0] - 1):
+        plain = u[t][np.arange(u.shape[1]), s[t]].sum()
+        lw_t = lw[min(t, lw.shape[0] - 1)]
+        expected = plain - lw_t[s[t]].sum() + logsumexp(-f_l + lw_t)
+        assert abs(series[t] - expected) < 1e-8
+    reporter.close()
+
+
+def test_auto_restraint_cutoff_percentile():
+    """'auto' restraint cutoffs = 99.9th percentile of the bound-state
+    distribution (multistateanalyzer.py:1865)."""
+    from openmmtools_tpu.multistate.analyzer import MultiStateSamplerAnalyzer
+
+    analyzer = MultiStateSamplerAnalyzer.__new__(MultiStateSamplerAnalyzer)
+    analyzer.restraint_energy_cutoff = "auto"
+    analyzer.restraint_distance_cutoff = None
+    rng = np.random.default_rng(0)
+    u_rest = rng.exponential(2.0, 5000)
+    s_flat = np.zeros(5000, dtype=int)
+    s_flat[2500:] = 1
+    e_cut, d_cut = analyzer._resolve_restraint_cutoffs(u_rest, None, s_flat)
+    assert d_cut is None
+    assert abs(e_cut - np.percentile(u_rest[:2500], 99.9)) < 1e-12
+    # both auto with distances available -> distance cutoff wins
+    analyzer.restraint_distance_cutoff = "auto"
+    d = rng.uniform(0, 1, 5000)
+    e_cut, d_cut = analyzer._resolve_restraint_cutoffs(u_rest, d, s_flat)
+    assert e_cut is None
+    assert abs(d_cut - np.percentile(d[:2500], 99.9)) < 1e-12
+
+
+def test_reporter_multi_system_dedup(tmp_path):
+    """States carrying different systems round-trip through the dedup
+    storage (multistatereporter.py:612 analog)."""
+    from openmmtools_tpu.forces import replace_reaction_field
+    from openmmtools_tpu.models import LennardJonesFluid
+    from openmmtools_tpu.multistate import MultiStateReporter
+    from openmmtools_tpu.states import ThermodynamicState
+
+    f = LennardJonesFluid(nparticles=8)
+    sys_a = f.system
+    sys_b = replace_reaction_field(sys_a, switch_width=0.05)
+    states = [ThermodynamicState(system=sys_a, temperature=120.0),
+              ThermodynamicState(system=sys_a, temperature=130.0)]
+    unsampled = [ThermodynamicState(system=sys_b, temperature=120.0)]
+    reporter = MultiStateReporter(str(tmp_path / "dedup.h5"))
+    reporter.open("w")
+    reporter.write_thermodynamic_states(states, unsampled)
+    got, got_uns = reporter.read_thermodynamic_states()
+    reporter.close()
+    assert len(got) == 2 and len(got_uns) == 1
+    # dedup: the two sampled states share one system object
+    assert got[0].system is got[1].system
+    assert got_uns[0].system is not got[0].system
+    assert got_uns[0].system.terms[0].switch_width == 0.05
+    assert float(got[1].temperature) == 130.0
