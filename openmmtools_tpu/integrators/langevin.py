@@ -231,12 +231,21 @@ class BoundIntegrator:
         self.ou_a = math.exp(-gamma * self.h_O)
         self.ou_b = math.sqrt(1.0 - math.exp(-2.0 * gamma * self.h_O))
 
-        # analytic SETTLE when all constraints are rigid isosceles triangles
-        # (rigid water); otherwise iterative SHAKE/RATTLE
-        from openmmtools_tpu.ops.constraints import analyze_settle
+        # constraint solver dispatch (fastest applicable first):
+        # analytic SETTLE for rigid isosceles triangles (rigid water);
+        # cluster-direct M-SHAKE for small independent clusters (h-bonds);
+        # iterative Jacobi SHAKE/RATTLE as the general fallback
+        from openmmtools_tpu.ops.constraints import (
+            analyze_clusters,
+            analyze_settle,
+        )
 
         self._settle = (analyze_settle(system.constraints, system.masses)
                         if system.constraints.n_constraints > 0 else None)
+        self._clusters = None
+        if self._settle is None and system.constraints.n_constraints > 0:
+            self._clusters = analyze_clusters(system.constraints,
+                                              system.masses)
 
         self._neighbor_setup()
         self._fused = None
@@ -409,19 +418,31 @@ class BoundIntegrator:
 
     # -- constraint dispatch: analytic SETTLE for rigid water, else SHAKE --
     def _constrain_positions(self, x_new, x_old):
-        from openmmtools_tpu.ops.constraints import settle_positions
+        from openmmtools_tpu.ops.constraints import (
+            mshake_positions,
+            settle_positions,
+        )
 
         if self._settle is not None:
             return settle_positions(x_new, x_old, self._settle, self.masses)
+        if self._clusters is not None:
+            return mshake_positions(x_new, x_old, self.system.constraints,
+                                    self._clusters, self.masses)
         return shake_positions(x_new, x_old, self.system.constraints,
                                self.masses,
                                tol=self.integrator.constraint_tolerance)
 
     def _constrain_velocities(self, x, v):
-        from openmmtools_tpu.ops.constraints import settle_velocities
+        from openmmtools_tpu.ops.constraints import (
+            mrattle_velocities,
+            settle_velocities,
+        )
 
         if self._settle is not None:
             return settle_velocities(x, v, self._settle, self.masses)
+        if self._clusters is not None:
+            return mrattle_velocities(x, v, self.system.constraints,
+                                      self._clusters, self.masses)
         return rattle_velocities(x, v, self.system.constraints, self.masses,
                                  tol=self.integrator.constraint_tolerance)
 

@@ -94,6 +94,108 @@ def gradient_descent_minimize(system: System, x, box=None, params=None, *,
     return x_min, u_min
 
 
+def lbfgs_minimize(system: System, x, box=None, params=None, *,
+                   max_steps=200, history=10, tolerance=10.0,
+                   max_backtracks=25):
+    """L-BFGS with two-loop recursion and Armijo backtracking, fully under
+    jit with bounded loops.
+
+    The analog of OpenMM's ``LocalEnergyMinimizer`` (L-BFGS), which the
+    reference uses as the fallback when FIRE produces NaN
+    (multistatesampler.py:1414-1420). ``tolerance`` is the RMS force
+    (kJ/mol/nm) below which iterations become no-ops (static shapes: the
+    scan always runs max_steps, converged steps carry through unchanged).
+    Returns (x_min, U_min).
+    """
+    u_fn = make_energy_fn(system)
+    vg = jax.value_and_grad(u_fn)
+    m = int(history)
+    shape = x.shape
+    n = x.size
+    dtype = x.dtype
+
+    def flat_vg(xf):
+        u, g = vg(xf.reshape(shape), box, params)
+        return u, g.reshape(-1)
+
+    def body(carry, _):
+        xf, g, u, S, Y, rho, valid = carry
+        # two-loop recursion: rows are oldest..newest
+        q = g
+        alphas = [None] * m
+        for i in reversed(range(m)):
+            a = jnp.where(valid[i], rho[i] * jnp.dot(S[i], q), 0.0)
+            q = q - a * Y[i]
+            alphas[i] = a
+        sy = jnp.dot(S[m - 1], Y[m - 1])
+        yy = jnp.dot(Y[m - 1], Y[m - 1])
+        gamma = jnp.where(valid[m - 1], sy / jnp.maximum(yy, 1e-30), 1.0)
+        r = gamma * q
+        for i in range(m):
+            b = jnp.where(valid[i], rho[i] * jnp.dot(Y[i], r), 0.0)
+            r = r + S[i] * (alphas[i] - b)
+        d = -r  # descent direction
+
+        g_dot_d = jnp.dot(g, d)
+        # safeguard: if not a descent direction, fall back to -g
+        bad = g_dot_d >= 0.0
+        d = jnp.where(bad, -g, d)
+        g_dot_d = jnp.where(bad, -jnp.dot(g, g), g_dot_d)
+        # trust region: cap the largest per-atom displacement at 0.05 nm
+        # per iteration so bare-charge singularities (zero-vdW hydrogens)
+        # aren't reachable in one jump; mirrors the local character of
+        # OpenMM's LocalEnergyMinimizer steps
+        max_disp = jnp.max(jnp.sqrt(jnp.sum(
+            d.reshape(shape) ** 2, axis=-1)))
+        cap = jnp.minimum(1.0, 0.05 / jnp.maximum(max_disp, 1e-12))
+        d = d * cap
+        g_dot_d = g_dot_d * cap
+
+        # Armijo backtracking, bounded
+        def ls_cond(state):
+            t, u_try, it = state
+            return (u_try > u + 1e-4 * t * g_dot_d) & (it < max_backtracks)
+
+        def ls_body(state):
+            t, _, it = state
+            t = t * 0.5
+            u_try = u_fn((xf + t * d).reshape(shape), box, params)
+            return t, u_try, it + 1
+
+        t0 = jnp.asarray(1.0, dtype)
+        u_try0 = u_fn((xf + t0 * d).reshape(shape), box, params)
+        t, u_try, _ = jax.lax.while_loop(ls_cond, ls_body, (t0, u_try0,
+                                                            jnp.int32(0)))
+        accept = jnp.isfinite(u_try) & (u_try <= u)
+        x_new = jnp.where(accept, xf + t * d, xf)
+        u_new2, g_new = flat_vg(x_new)
+        u_new = jnp.where(accept, u_try, u)
+
+        s_vec = x_new - xf
+        y_vec = g_new - g
+        sy_new = jnp.dot(s_vec, y_vec)
+        ok = accept & (sy_new > 1e-10)
+        S2 = jnp.where(ok, jnp.roll(S, -1, axis=0).at[m - 1].set(s_vec), S)
+        Y2 = jnp.where(ok, jnp.roll(Y, -1, axis=0).at[m - 1].set(y_vec), Y)
+        rho2 = jnp.where(
+            ok, jnp.roll(rho, -1).at[m - 1].set(1.0 / jnp.maximum(sy_new,
+                                                                  1e-30)),
+            rho)
+        valid2 = jnp.where(ok, jnp.roll(valid, -1).at[m - 1].set(True), valid)
+
+        return (x_new, g_new, u_new, S2, Y2, rho2, valid2), None
+
+    u0, g0 = flat_vg(x.reshape(-1))
+    S0 = jnp.zeros((m, n), dtype)
+    Y0 = jnp.zeros((m, n), dtype)
+    rho0 = jnp.zeros((m,), dtype)
+    valid0 = jnp.zeros((m,), bool)
+    (xf, _, u_min, *_), _ = jax.lax.scan(
+        body, (x.reshape(-1), g0, u0, S0, Y0, rho0, valid0), None,
+        length=max_steps)
+    return xf.reshape(shape), u_min
+
+
 def minimize(thermodynamic_state: ThermodynamicState,
              sampler_state: SamplerState, tolerance: float = 1.0,
              max_iterations: int = 500) -> SamplerState:
@@ -114,6 +216,12 @@ def minimize(thermodynamic_state: ThermodynamicState,
     x_min, u_min = jax.jit(
         lambda x: fire_minimize(system, x, box, params,
                                 max_steps=max_iterations))(x0)
+    if not bool(jnp.isfinite(u_min)):
+        # reference fallback chain: FIRE -> L-BFGS
+        # (multistatesampler.py:1414-1420)
+        x_min, u_min = jax.jit(
+            lambda x: lbfgs_minimize(system, x, box, params,
+                                     max_steps=max_iterations))(x0)
     if not bool(jnp.isfinite(u_min)):
         x_min, u_min = jax.jit(
             lambda x: gradient_descent_minimize(system, x, box, params,

@@ -62,7 +62,7 @@ class ParallelTemperingSampler(ReplicaExchangeSampler):
         integrator = move._get_integrator(self._thermodynamic_states[0])
         bound = integrator.bind(system)
         n_steps = move.n_steps
-        reassign = move.reassign_velocities or not self._velocities_initialized
+        reassign = move.reassign_velocities
         u_fn = make_energy_fn(system)
         betas = 1.0 / (kB * stacked.temperature)  # (K,)
         pressure = stacked.pressure  # (K,) or None (same p across ladder)
@@ -108,6 +108,7 @@ class ParallelTemperingSampler(ReplicaExchangeSampler):
                 positions=xs, velocities=vs, replica_states=states,
                 energies=u, n_accepted=n_acc, n_proposed=n_prop, rng_key=key)
 
+        self._iteration_program = iteration_fn  # raw, for batched scans
         if self._sharding is not None:
             from jax.sharding import NamedSharding, PartitionSpec as P
 

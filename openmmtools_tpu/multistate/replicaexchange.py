@@ -68,26 +68,44 @@ def _mix_all(key, states, u, n_acc, n_prop):
         independent=True)
     log_us = jnp.log(jax.random.uniform(ka, (n_sweeps, n_half),
                                         dtype=u.dtype))
-    one = jnp.ones((n_half,), jnp.int32)
 
-    def sweep(carry, xs):
-        states, n_acc, n_prop = carry
+    k_states = u.shape[1]
+    u_flat = u.reshape(-1)
+
+    def sweep(states, xs):
+        # the body is latency-bound (32k sequential sweeps at n=128), so
+        # it carries ONLY the state vector; acceptance bookkeeping is
+        # emitted as per-sweep outputs and histogrammed in one vectorized
+        # scatter after the scan (4 tiny 2D scatters per sweep used to
+        # double the whole mixing cost)
         perm, log_u = xs
         i = perm[:n_half]
         j = perm[n_half:2 * n_half]
         s_i = states[i]
         s_j = states[j]
-        log_p = -(u[i, s_j] + u[j, s_i]) + u[i, s_i] + u[j, s_j]
+        log_p = (-(u_flat[i * k_states + s_j] + u_flat[j * k_states + s_i])
+                 + u_flat[i * k_states + s_i] + u_flat[j * k_states + s_j])
         accept = log_u < log_p
         states = states.at[i].set(jnp.where(accept, s_j, s_i))
         states = states.at[j].set(jnp.where(accept, s_i, s_j))
-        inc = accept.astype(jnp.int32)
-        n_prop = n_prop.at[s_i, s_j].add(one).at[s_j, s_i].add(one)
-        n_acc = n_acc.at[s_i, s_j].add(inc).at[s_j, s_i].add(inc)
-        return (states, n_acc, n_prop), None
+        return states, (s_i, s_j, accept)
 
-    (states, n_acc, n_prop), _ = jax.lax.scan(
-        sweep, (states, n_acc, n_prop), (perms, log_us))
+    states, (s_is, s_js, accepts) = jax.lax.scan(
+        sweep, states, (perms, log_us))
+    # bookkeeping matrices span only the SAMPLED states (K_s, K_s) — u may
+    # carry extra unsampled-endpoint columns beyond K_s
+    k_s = n_prop.shape[0]
+    pair_idx = (s_is * k_s + s_js).reshape(-1)
+    pair_idx_t = (s_js * k_s + s_is).reshape(-1)
+    ones = jnp.ones(pair_idx.shape, jnp.int32)
+    accs = accepts.reshape(-1).astype(jnp.int32)
+    kk = k_s * k_s
+    n_prop = n_prop + (
+        jnp.zeros((kk,), jnp.int32).at[pair_idx].add(ones)
+        .at[pair_idx_t].add(ones)).reshape(k_s, k_s)
+    n_acc = n_acc + (
+        jnp.zeros((kk,), jnp.int32).at[pair_idx].add(accs)
+        .at[pair_idx_t].add(accs)).reshape(k_s, k_s)
     return states, n_acc, n_prop
 
 

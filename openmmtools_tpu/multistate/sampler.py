@@ -71,7 +71,7 @@ class MultiStateSampler:
                  online_analysis_interval=200,
                  online_analysis_target_error=0.0,
                  online_analysis_minimum_iterations=200,
-                 locality=None, rng_seed=0):
+                 locality=None, rng_seed=0, iterations_per_sync=1):
         self._mcmc_moves = mcmc_moves
         self.number_of_iterations = number_of_iterations
         self.online_analysis_interval = online_analysis_interval
@@ -79,6 +79,12 @@ class MultiStateSampler:
         self.online_analysis_minimum_iterations = online_analysis_minimum_iterations
         self.locality = locality
         self._rng_seed = rng_seed
+        # iterations_per_sync > 1 scans several whole iterations
+        # (mix -> propagate -> energies) inside ONE device program before
+        # the host syncs for reporting/analysis — each host<->device sync
+        # costs ~0.1 s through the TPU relay. Convergence checks and
+        # checkpoints then happen at sync points only.
+        self.iterations_per_sync = int(iterations_per_sync)
 
         self._thermodynamic_states: List[ThermodynamicState] = []
         self._unsampled_states: List[ThermodynamicState] = []
@@ -273,6 +279,7 @@ class MultiStateSampler:
                 self.online_analysis_minimum_iterations,
             "locality": self.locality,
             "rng_seed": self._rng_seed,
+            "iterations_per_sync": self.iterations_per_sync,
         }
 
     # ------------------------------------------------------------------
@@ -458,6 +465,7 @@ class MultiStateSampler:
                 positions=xs, velocities=vs, replica_states=states,
                 energies=u, n_accepted=n_acc, n_proposed=n_prop, rng_key=key)
 
+        self._iteration_program = iteration_fn  # raw, for batched scans
         if self._sharding is not None:
             from jax.sharding import NamedSharding, PartitionSpec as P
 
@@ -468,6 +476,31 @@ class MultiStateSampler:
                            in_shardings=(self._sharding, mix_shardings),
                            out_shardings=self._sharding)
         return jax.jit(iteration_fn)
+
+    def _build_batched_fn(self, k: int):
+        """One device program advancing k whole iterations; returns the
+        final carry plus per-iteration (energies, states, accepted,
+        proposed) stacks for host-side reporting."""
+        program = self._iteration_program
+
+        def batched(carry, mix_params):
+            def body(c, _):
+                c = program(c, mix_params)
+                return c, (c.energies, c.replica_states, c.n_accepted,
+                           c.n_proposed)
+
+            carry, outs = jax.lax.scan(body, carry, None, length=k)
+            return carry, outs
+
+        if self._sharding is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            replicated = NamedSharding(self._sharding.rng_key.mesh, P())
+            mix_shardings = jax.tree.map(lambda _: replicated,
+                                         self._mix_params())
+            return jax.jit(batched,
+                           in_shardings=(self._sharding, mix_shardings))
+        return jax.jit(batched)
 
     # subclass hooks: the mix kernel is traced with ``mix_params`` (host-side
     # adaptation state like SAMS log weights) passed as a *traced* argument —
@@ -512,20 +545,49 @@ class MultiStateSampler:
         if self._iteration_fn is None:
             self._iteration_fn = self._build_iteration_fn()
 
+        batched_cache: Dict[int, Any] = getattr(self, "_batched_cache", None)
+        if batched_cache is None:
+            batched_cache = self._batched_cache = {}
+
         while not self._is_completed(iteration_limit):
             t0 = time.perf_counter()
-            self._iteration += 1
-            self._carry = self._iteration_fn(self._carry, self._mix_params())
-            # host-side phases of the reference loop: pull the (small)
-            # energy matrix + state vector ONCE — each device->host sync
-            # costs ~0.1 s through the TPU relay, and check/report/analysis
-            # all need the same two arrays
-            u = np.asarray(self._carry.energies)
-            s = np.asarray(self._carry.replica_states)
-            self._check_nan_energy(u, s)
-            self._report_iteration(u, s)
-            self._update_analysis()
-            self._update_timing(time.perf_counter() - t0)
+            k = min(max(1, self.iterations_per_sync),
+                    iteration_limit - self._iteration)
+            if k <= 1:
+                self._iteration += 1
+                self._carry = self._iteration_fn(self._carry,
+                                                 self._mix_params())
+                # host-side phases of the reference loop: pull the (small)
+                # energy matrix + state vector ONCE — each device->host
+                # sync costs ~0.1 s through the TPU relay, and check/
+                # report/analysis all need the same two arrays
+                u = np.asarray(self._carry.energies)
+                s = np.asarray(self._carry.replica_states)
+                self._check_nan_energy(u, s)
+                self._report_iteration(u, s)
+                self._update_analysis()
+                self._update_timing(time.perf_counter() - t0)
+            else:
+                fn = batched_cache.get(k)
+                if fn is None:
+                    batched_cache[k] = fn = self._build_batched_fn(k)
+                self._carry, (us, ss, accs, props) = fn(self._carry,
+                                                        self._mix_params())
+                us = np.asarray(us)
+                ss = np.asarray(ss)
+                accs = np.asarray(accs)
+                props = np.asarray(props)
+                per_iter = (time.perf_counter() - t0) / k
+                for i in range(k):
+                    self._iteration += 1
+                    self._check_nan_energy(us[i], ss[i])
+                    # checkpoints store the live carry positions, which
+                    # correspond only to the batch's FINAL iteration
+                    self._report_iteration(
+                        us[i], ss[i], mixing=(accs[i], props[i]),
+                        allow_checkpoint=(i == k - 1))
+                    self._update_analysis()
+                self._update_timing(per_iter)
             self._velocities_initialized = True
 
     def extend(self, n_iterations: int):
@@ -575,7 +637,8 @@ class MultiStateSampler:
                 f"NaN energy for replicas {nan_replicas.tolist()} at "
                 f"iteration {self._iteration}")
 
-    def _report_iteration(self, u=None, s=None):
+    def _report_iteration(self, u=None, s=None, mixing=None,
+                          allow_checkpoint=True):
         if u is None:
             u = self.energies_last_iteration
         if s is None:
@@ -585,15 +648,21 @@ class MultiStateSampler:
         if self._reporter is not None:
             analysis_positions = None
             idx = getattr(self._reporter, "analysis_particle_indices", None)
-            if idx is not None and len(idx):
+            if idx is not None and len(idx) and allow_checkpoint:
+                # the live carry positions only match the final iteration
+                # of a batched sync window — skip mid-batch frames rather
+                # than store wrong coordinates
                 analysis_positions = np.asarray(
                     self._carry.positions)[:, np.asarray(idx)]
+            if mixing is None:
+                mixing = (np.asarray(self._carry.n_accepted),
+                          np.asarray(self._carry.n_proposed))
             self._reporter.write_iteration(
                 iteration=self._iteration, energies=u, replica_states=s,
-                n_accepted=np.asarray(self._carry.n_accepted),
-                n_proposed=np.asarray(self._carry.n_proposed),
+                n_accepted=mixing[0], n_proposed=mixing[1],
                 analysis_positions=analysis_positions)
-            if self._iteration % self._checkpoint_interval() == 0:
+            if allow_checkpoint and \
+                    self._iteration % self._checkpoint_interval() == 0:
                 self._reporter.write_checkpoint(
                     iteration=self._iteration,
                     positions=np.asarray(self._carry.positions),

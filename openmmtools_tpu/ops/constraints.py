@@ -116,6 +116,188 @@ def rattle_velocities(x, v, constraints: Constraints, masses,
 
 
 # ---------------------------------------------------------------------------
+# Cluster M-SHAKE: direct per-cluster matrix solves.
+#
+# The Jacobi while_loop above is latency-bound on TPU: every iteration is a
+# handful of tiny gather/scatter ops with multi-microsecond op latency, and
+# the data-dependent trip count defeats pipelining (measured: 962 us per
+# projection for 12 constraints at 128 vmapped replicas on v5e — 2x per MD
+# step, dominating 22-atom replica-exchange propagation). But h-bond
+# constraint graphs decompose into tiny independent clusters (CH3 -> 3
+# constraints sharing the carbon, NH2 -> 2, X-H -> 1): the same structural
+# fact OpenMM's CCMA exploits. Solving each cluster's coupled Lagrange
+# system DIRECTLY (batched (n_clusters, B, B) solve, B = max cluster size)
+# gives a fixed-cost, fully-vectorized projection: a few Newton iterations
+# with a constant per-step matrix, no while_loop at all (measured: ~60 us).
+# ---------------------------------------------------------------------------
+
+
+class ClusterSpec:
+    """Static topology for cluster-direct M-SHAKE.
+
+    cons (n_comp, B): constraint index per cluster slot (0-padded);
+    valid (n_comp, B): slot mask; w (n_comp, B, B): mass-coupling matrix
+    w_cd = sum_{shared atom a} (+-1/m_a) with +1 when the shared atom has
+    the same role (i-i or j-j) in both constraints, -1 otherwise.
+    """
+
+    def __init__(self, cons, valid, w, block):
+        self.cons = cons
+        self.valid = valid
+        self.w = w
+        self.block = block
+
+
+def analyze_clusters(constraints: Constraints, masses, max_block=8):
+    """Partition the constraint graph into connected components; return a
+    ClusterSpec when every component has <= max_block constraints (the
+    h-bond case), else None (callers fall back to Jacobi SHAKE)."""
+    import numpy as np
+
+    n_c = constraints.n_constraints
+    if n_c == 0:
+        return None
+    idx = np.asarray(constraints.index)
+    m = np.asarray(masses)
+
+    parent = {}
+
+    def find(a):
+        parent.setdefault(a, a)
+        while parent[a] != a:
+            parent[a] = parent[parent[a]]
+            a = parent[a]
+        return a
+
+    def union(a, b):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[ra] = rb
+
+    for k in range(n_c):
+        union(int(idx[k, 0]), int(idx[k, 1]))
+    comp_of = {}
+    for k in range(n_c):
+        comp_of.setdefault(find(int(idx[k, 0])), []).append(k)
+    comps = list(comp_of.values())
+    block = max(len(c) for c in comps)
+    if block > max_block:
+        return None
+
+    n_comp = len(comps)
+    cons = np.zeros((n_comp, block), np.int32)
+    valid = np.zeros((n_comp, block), np.float32)
+    w = np.zeros((n_comp, block, block), np.float32)
+    inv_m = np.where(m > 0, 1.0 / np.maximum(m, 1e-30), 0.0)
+    for g, comp in enumerate(comps):
+        for a, ka in enumerate(comp):
+            cons[g, a] = ka
+            valid[g, a] = 1.0
+            ia, ja = int(idx[ka, 0]), int(idx[ka, 1])
+            for b, kb in enumerate(comp):
+                ib, jb = int(idx[kb, 0]), int(idx[kb, 1])
+                val = 0.0
+                if ia == ib:
+                    val += inv_m[ia]
+                if ja == jb:
+                    val += inv_m[ja]
+                if ia == jb:
+                    val -= inv_m[ia]
+                if ja == ib:
+                    val -= inv_m[ja]
+                w[g, a, b] = val
+        # padded slots: identity rows keep the solve nonsingular
+        for a in range(len(comp), block):
+            w[g, a, a] = 1.0
+    return ClusterSpec(jnp.asarray(cons), jnp.asarray(valid),
+                       jnp.asarray(w), block)
+
+
+def _inv_small(A, n):
+    """Batched inverse of small (.., n, n) matrices via unrolled
+    Gauss-Jordan (no pivoting — the constraint coupling matrices are
+    diagonally dominant). Pure elementwise ops: no batched-LU lowering,
+    vmap- and TPU-friendly, deterministic compile."""
+    eye = jnp.broadcast_to(jnp.eye(n, dtype=A.dtype), A.shape)
+    aug = jnp.concatenate([A, eye], axis=-1)           # (.., n, 2n)
+    row_is_k = jnp.arange(n)[:, None]
+    for k in range(n):
+        pivot_row = aug[..., k:k + 1, :] / aug[..., k:k + 1, k:k + 1]
+        factors = aug[..., :, k:k + 1]
+        eliminated = aug - factors * pivot_row
+        aug = jnp.where(row_is_k == k, pivot_row, eliminated)
+    return aug[..., :, n:]
+
+
+def mshake_positions(x, x_ref, constraints: Constraints, spec: ClusterSpec,
+                     masses, n_iter=6):
+    """SHAKE projection along reference directions via per-cluster direct
+    solves. Fixed n_iter Newton iterations with the (constant per step)
+    coupling matrix A_cd = 2 w_cd (s_c . s_d); quadratic residual decay
+    reaches f32 tolerance in <= 4 iterations for MD-sized displacements."""
+    i = constraints.index[:, 0]
+    j = constraints.index[:, 1]
+    d0sq = constraints.distance ** 2
+    inv_m = _inv_mass(masses)
+    imi = inv_m[i][:, None]
+    imj = inv_m[j][:, None]
+    s = x_ref[i] - x_ref[j]                     # (C, 3) reference directions
+
+    s_blk = s[spec.cons]                        # (G, B, 3)
+    A = 2.0 * spec.w * jnp.einsum("gbi,gdi->gbd", s_blk, s_blk)
+    # padded slots stay nonsingular via spec.w's identity rows
+    A_inv = _inv_small(A, spec.block)
+
+    n_c = constraints.n_constraints
+
+    def body(k, xc):
+        r = xc[i] - xc[j]
+        g = jnp.sum(r * r, axis=-1) - d0sq      # (C,)
+        g_blk = g[spec.cons] * spec.valid       # (G, B)
+        lam_blk = -jnp.einsum("gbd,gd->gb", A_inv, g_blk) * spec.valid
+        lam = jnp.zeros((n_c,), x.dtype).at[spec.cons.reshape(-1)].add(
+            lam_blk.reshape(-1))
+        xc = xc.at[i].add((lam[:, None] * imi) * s)
+        xc = xc.at[j].add(-(lam[:, None] * imj) * s)
+        return xc
+
+    return jax.lax.fori_loop(0, n_iter, body, x)
+
+
+def mrattle_velocities(x, v, constraints: Constraints, spec: ClusterSpec,
+                       masses):
+    """Exact RATTLE velocity projection: the tangency conditions are linear,
+    so one per-cluster solve of w_cd (r_c . r_d) mu = rhs removes all
+    violations at once."""
+    i = constraints.index[:, 0]
+    j = constraints.index[:, 1]
+    inv_m = _inv_mass(masses)
+    imi = inv_m[i][:, None]
+    imj = inv_m[j][:, None]
+    r = x[i] - x[j]                             # (C, 3) current directions
+
+    r_blk = r[spec.cons]
+    A = spec.w * jnp.einsum("gbi,gdi->gbd", r_blk, r_blk)
+    # pad diagonal: spec.w identity rows give A = |r_pad|^2 on the diagonal
+    # only if r_pad != 0; guard by adding identity on invalid slots
+    eye = jnp.eye(spec.block, dtype=x.dtype)
+    pad = (1.0 - spec.valid)[:, :, None] * eye[None]
+    A = A * (spec.valid[:, :, None] * spec.valid[:, None, :]) + pad
+
+    dv = v[i] - v[j]
+    rhs = jnp.sum(dv * r, axis=-1)              # (C,)
+    rhs_blk = rhs[spec.cons] * spec.valid
+    mu_blk = jnp.einsum("gbd,gd->gb", _inv_small(A, spec.block),
+                        rhs_blk) * spec.valid
+    n_c = constraints.n_constraints
+    mu = jnp.zeros((n_c,), v.dtype).at[spec.cons.reshape(-1)].add(
+        mu_blk.reshape(-1))
+    v = v.at[i].add(-(mu[:, None] * imi) * r)
+    v = v.at[j].add((mu[:, None] * imj) * r)
+    return v
+
+
+# ---------------------------------------------------------------------------
 # SETTLE: analytic constraints for rigid isosceles 3-site molecules (water).
 # Replaces the iterative SHAKE/RATTLE loops with a closed-form rotation
 # (Miyamoto & Kollman, J. Comput. Chem. 13:952, 1992) — one fixed-cost,

@@ -216,3 +216,24 @@ def test_minimize(ho):
     out = minimize(state, ss, max_iterations=200)
     assert float(state.potential_energy(out)) < 1e-2 * float(
         state.potential_energy(ss))
+
+
+def test_lbfgs_minimizer():
+    """L-BFGS (the OpenMM LocalEnergyMinimizer analog / FIRE fallback,
+    multistatesampler.py:1414-1420) lowers the energy and stays finite."""
+    from openmmtools_tpu.integrators.minimize import (
+        fire_minimize,
+        lbfgs_minimize,
+    )
+    from openmmtools_tpu.models import LennardJonesCluster
+
+    ts = LennardJonesCluster()
+    x0 = ts.sampler_state().positions
+    u0 = float(ts.system.energy(x0))
+    x_l, u_l = jax.jit(
+        lambda x: lbfgs_minimize(ts.system, x, max_steps=150))(x0)
+    assert np.isfinite(float(u_l)) and float(u_l) < u0
+    # comparable to FIRE on a well-behaved landscape
+    _, u_f = jax.jit(
+        lambda x: fire_minimize(ts.system, x, max_steps=150))(x0)
+    assert float(u_l) <= float(u_f) + 1.0

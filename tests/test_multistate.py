@@ -510,3 +510,31 @@ def test_reporter_multi_system_dedup(tmp_path):
     assert got_uns[0].system is not got[0].system
     assert got_uns[0].system.terms[0].switch_width == 0.05
     assert float(got[1].temperature) == 130.0
+
+
+def test_batched_iterations_match_single(tmp_path):
+    """iterations_per_sync=k scans k iterations in one device program;
+    the RNG chain is identical, so the trajectory must match the
+    per-iteration path bit-for-bit."""
+    ho, states = _make_states()
+
+    def run(k_sync, tag):
+        reporter = MultiStateReporter(str(tmp_path / f"b{tag}.h5"),
+                                      checkpoint_interval=4)
+        sampler = ReplicaExchangeSampler(
+            mcmc_moves=_move(n_steps=5), number_of_iterations=8,
+            online_analysis_interval=None, rng_seed=7,
+            iterations_per_sync=k_sync)
+        sampler.create(states, SamplerState(positions=ho.positions),
+                       storage=reporter)
+        sampler.run()
+        u = np.stack(sampler._energy_history)
+        s = np.stack(sampler._state_history)
+        reporter.close()
+        return u, s, sampler
+
+    u1, s1, _ = run(1, "one")
+    u4, s4, smp4 = run(4, "four")
+    np.testing.assert_array_equal(s1, s4)
+    np.testing.assert_allclose(u1, u4, rtol=0, atol=0)
+    assert smp4.iteration == 8
