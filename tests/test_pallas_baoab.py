@@ -104,3 +104,55 @@ def test_bound_integrator_does_not_fuse_on_cpu():
     bound = BAOABIntegrator(temperature=120.0, collision_rate=1.0,
                             timestep=0.002).bind(f.system)
     assert bound._fused is None
+
+
+@pytest.mark.parametrize("n", [256, 200])
+def test_sorted_kernel_forces_match_dense(n):
+    """FusedSortedBAOAB (the production fused path): energy/force parity
+    vs the analytic dense kernel, incl. ring padding at N=200."""
+    from openmmtools_tpu.ops.pallas_baoab import FusedSortedBAOAB
+
+    f, p = _fluid(n)
+    box = f.system.default_box
+    x = f.sampler_state().positions
+    t = f.system.terms[0]
+    k = FusedSortedBAOAB(n, p["cutoff"], p["switch_width"], p["sigma"],
+                         p["epsilon"], p["mass"], timestep=0.002,
+                         collision_rate=0.0, interpret=True)
+    _, _, F, U, _ = k.run(x, jnp.zeros((n, 3), jnp.float32), box, 1.0,
+                          jax.random.PRNGKey(0), 0)
+    U_ref, F_ref = dense_pair_energy_forces(
+        x, box, None, t.sigma, t.epsilon, method="cutoff_periodic",
+        cutoff=p["cutoff"], switch_width=p["switch_width"], periodic=True)
+    f_scale = float(jnp.max(jnp.abs(F_ref)))
+    assert abs(float(U - U_ref)) <= 2e-4 * abs(float(U_ref))
+    assert float(jnp.max(jnp.abs(F - F_ref))) <= 2e-4 * f_scale
+
+
+def test_sorted_kernel_trajectory_matches_dense_kernel():
+    """gamma=0 trajectories of the sorted/bounded kernel and the dense
+    kernel agree (the bound + adaptive rebuild change nothing physical;
+    the particle permutation is restored on exit)."""
+    from openmmtools_tpu.ops.pallas_baoab import FusedSortedBAOAB
+
+    n = 256
+    f, p = _fluid(n)
+    box = f.system.default_box
+    from openmmtools_tpu.integrators.minimize import fire_minimize
+
+    xmin = fire_minimize(f.system, f.sampler_state().positions, box)
+    if isinstance(xmin, tuple):
+        xmin = xmin[0]
+    common = dict(timestep=0.002, collision_rate=0.0, interpret=True)
+    kd = FusedDenseBAOAB(n, p["cutoff"], p["switch_width"], p["sigma"],
+                         p["epsilon"], p["mass"], **common)
+    ks = FusedSortedBAOAB(n, p["cutoff"], p["switch_width"], p["sigma"],
+                          p["epsilon"], p["mass"], sort_interval=16,
+                          **common)
+    v0 = jnp.zeros((n, 3), jnp.float32)
+    kT = 0.008314462618 * 120.0
+    xd, vd, fd, ud, _ = kd.run(xmin, v0, box, kT, jax.random.PRNGKey(0), 30)
+    xs, vs, fs, us, _ = ks.run(xmin, v0, box, kT, jax.random.PRNGKey(0), 30)
+    assert float(jnp.max(jnp.abs(xd - xs))) < 1e-5
+    assert float(jnp.max(jnp.abs(vd - vs))) < 1e-4
+    assert abs(float(ud - us)) <= 1e-4 * abs(float(ud))
