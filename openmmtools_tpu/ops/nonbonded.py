@@ -184,7 +184,11 @@ def pair_list_energy(
     """
     if pairs.shape[0] == 0:
         return jnp.zeros((), dtype=x.dtype)
-    d = x[pairs[:, 0]] - x[pairs[:, 1]]
+    # barrier: keep the row gathers un-fused from the pair-energy chain —
+    # XLA's fused gather+compute loops serialize on TPU (33 ms vs 0.04 ms
+    # for 35k rows measured on v5e)
+    xi, xj = jax.lax.optimization_barrier((x[pairs[:, 0]], x[pairs[:, 1]]))
+    d = xi - xj
     if periodic:
         d = minimum_image(d, box)
     r2 = jnp.maximum(jnp.sum(d * d, axis=-1), 1e-12)
