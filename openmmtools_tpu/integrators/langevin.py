@@ -135,6 +135,13 @@ class IntegratorState:
     nbr_idx: Optional[jax.Array] = None      # (N, K_max) int32
     nbr_mask: Optional[jax.Array] = None     # (N, K_max) bool
     nbr_overflow: Optional[jax.Array] = None  # () bool, sticky
+    # bounded-sweep state (ops/sweep_nb.py; None when inactive)
+    sweep_perm: Optional[jax.Array] = None   # (N,) sorted slot -> orig index
+    sweep_inv: Optional[jax.Array] = None    # (N,) orig index -> sorted slot
+    sweep_snap: Optional[jax.Array] = None   # (N, 3) sorted coords at rebuild
+    sweep_nblk: Optional[jax.Array] = None   # () int32; -1 forces rebuild
+    sweep_excl: Optional[jax.Array] = None   # (mask_rows, n_pad) int32
+    sweep_overflow: Optional[jax.Array] = None  # () bool, sticky
 
     @property
     def temperature(self):
@@ -175,6 +182,7 @@ class _Env:
         self.step_count = None
         self.box = None
         self.nbr = None
+        self.sweep = None
         self.stash = None
 
 
@@ -231,23 +239,30 @@ class BoundIntegrator:
         self.ou_a = math.exp(-gamma * self.h_O)
         self.ou_b = math.sqrt(1.0 - math.exp(-2.0 * gamma * self.h_O))
 
-        # constraint solver dispatch (fastest applicable first):
-        # analytic SETTLE for rigid isosceles triangles (rigid water);
-        # cluster-direct M-SHAKE for small independent clusters (h-bonds);
-        # iterative Jacobi SHAKE/RATTLE as the general fallback
+        # constraint solver dispatch (OpenMM's SETTLE + CCMA architecture):
+        # analytic SETTLE for rigid isosceles triangles (rigid water) and
+        # cluster-direct M-SHAKE for the remaining small clusters (protein
+        # h-bonds) applied together on their disjoint atom sets; iterative
+        # Jacobi SHAKE/RATTLE as the general fallback when clustering fails
         from openmmtools_tpu.ops.constraints import (
             analyze_clusters,
-            analyze_settle,
+            partition_constraints,
         )
 
-        self._settle = (analyze_settle(system.constraints, system.masses)
-                        if system.constraints.n_constraints > 0 else None)
+        self._settle = None
         self._clusters = None
-        if self._settle is None and system.constraints.n_constraints > 0:
-            self._clusters = analyze_clusters(system.constraints,
-                                              system.masses)
+        self._rest_constraints = None
+        if system.constraints.n_constraints > 0:
+            self._settle, rest = partition_constraints(system.constraints,
+                                                       system.masses)
+            if rest is not None:
+                self._rest_constraints = rest
+                self._clusters = analyze_clusters(rest, system.masses)
+            if self._settle is None and self._clusters is None:
+                self._rest_constraints = system.constraints
 
         self._neighbor_setup()
+        self._sweep_setup()
         self._fused = None
         self._fused_setup()
         self._step_fn = self._build_step()
@@ -317,6 +332,171 @@ class BoundIntegrator:
 
         self._vg_nbr = jax.value_and_grad(u_total)
 
+    # -- bounded-sweep production path (large heterogeneous systems) -------
+    def _sweep_setup(self):
+        """Enable the bounded-sweep Pallas direct-space kernel
+        (ops/sweep_nb.py) for large periodic systems with real force
+        fields (DHFR scale).  The kernel replaces the NonbondedTerm's
+        standard pair sum (exception pairs masked, added back in XLA);
+        bonded terms, reciprocal space, constraints and the splitting DSL
+        run in XLA around it.  Replaces OpenMM's neighbor-list direct
+        space (SURVEY.md §2.2 row 1) above ~8k atoms, where the dense
+        O(N^2) path stops being practical."""
+        from openmmtools_tpu.system import NonbondedTerm
+
+        self.sweep_mode = False
+        integ = self.integrator
+        policy = getattr(integ, "sweep", "auto")
+        if policy is None:
+            return
+        system = self.system
+        if len(self.groups) != 1 or self.groups[0] is not None:
+            return
+        if system.default_box is None:
+            return
+        nb_terms = [t for t in system.terms if type(t) is NonbondedTerm]
+        if len(nb_terms) != 1:
+            return
+        term = nb_terms[0]
+        if (term.method not in ("pme", "ewald", "cutoff_periodic")
+                or term.cutoff is None
+                or term.charge_scale_param is not None
+                or term.lj_scale_param is not None):
+            return
+        min_n = 8192 if policy == "auto" else 0
+        if policy == "auto" and jax.default_backend() != "tpu":
+            return
+        if system.n_particles < min_n:
+            return
+        import numpy as _np
+
+        diag = _np.diagonal(_np.asarray(system.default_box))
+        if float(term.cutoff) > 0.5 * float(diag.min()):
+            return
+        from openmmtools_tpu.ops.sweep_nb import SweepNonbonded
+
+        n_pad = -(-system.n_particles // 128) * 128
+        mask_shells = min(2048, max(32, (n_pad // 2 // 32) * 32))
+        kernel = SweepNonbonded(
+            system.n_particles, term.method, float(term.cutoff),
+            switch_width=term.switch_width, dielectric=term.dielectric,
+            ewald_alpha=term.ewald_alpha, shift_rf=term.shift_rf,
+            switch_coulomb=term.switch_coulomb,
+            skin=getattr(integ, "neighbor_skin", None) or 0.1,
+            mask_shells=mask_shells,
+            interpret=(policy == "interpret"))
+        self.sweep_mode = True
+        self.neighbor_mode = False   # the sweep replaces the list path
+        self._sweep_kernel = kernel
+        self._sweep_term = term
+        self._sweep_sqrt_eps = jnp.sqrt(term.epsilon)
+        self.sweep_sort_interval = getattr(
+            integ, "sweep_sort_interval", None) or 100
+        # dispersion tail: the pair-averaged integral is configuration-
+        # independent — precompute it host-side in chunks (the jnp version
+        # materializes (N, N) matrices: 2.2 GB at DHFR scale)
+        self._sweep_disp_avg = None
+        if term.use_dispersion_correction:
+            sig = _np.asarray(term.sigma, dtype=_np.float64)
+            eps = _np.asarray(term.epsilon, dtype=_np.float64)
+            rc3 = float(term.cutoff) ** 3
+            rc9 = rc3 ** 3
+            total = 0.0
+            n_p = sig.shape[0]
+            chunk = max(1, (1 << 22) // n_p)
+            for lo in range(0, n_p, chunk):
+                s_ij = 0.5 * (sig[lo:lo + chunk, None] + sig[None, :])
+                e_ij = _np.sqrt(eps[lo:lo + chunk, None] * eps[None, :])
+                s3 = s_ij ** 3
+                s6 = s3 * s3
+                total += float(_np.sum(
+                    4.0 * e_ij * (s6 * s6 / (9.0 * rc9)
+                                  - s6 / (3.0 * rc3))))
+            self._sweep_disp_avg = total / (n_p * n_p)
+
+    def _resort_sweep(self, state: "IntegratorState") -> "IntegratorState":
+        """Re-sort the sweep ring by current x; invalidates the block
+        bound (next force eval rebuilds) and re-scatters the exception
+        bitfield for the new permutation."""
+        from openmmtools_tpu.ops.sweep_nb import (
+            build_exclusion_bitfield,
+            sort_for_sweep,
+        )
+
+        k = self._sweep_kernel
+        box = state.box if state.box is not None else self.system.default_box
+        perm, inv = sort_for_sweep(state.positions, box, k.n_pad)
+        excl, max_sep = build_exclusion_bitfield(
+            self._sweep_term.exception_index, inv, k.n_pad, k.mask_rows)
+        overflow = max_sep > k.mask_shells
+        if state.sweep_overflow is not None:
+            overflow = overflow | state.sweep_overflow
+        return state.replace(
+            sweep_perm=perm, sweep_inv=inv,
+            sweep_snap=jnp.zeros_like(state.positions),
+            sweep_nblk=jnp.int32(-1), sweep_excl=excl,
+            sweep_overflow=overflow)
+
+    def _sweep_eval(self, x, box, params, sw):
+        """Group energy/forces via the sweep kernel + XLA remainder.
+
+        ``sw`` is a dict-like pytree of the sweep state fields; returns
+        (u, F, new_sw).  The kernel covers the NonbondedTerm's standard
+        pairs (exceptions masked); exceptions (plain no-cutoff LJ+Coulomb,
+        OpenMM semantics system.py:163), all other terms, and the
+        dispersion correction evaluate in XLA with autodiff forces.
+        """
+        from openmmtools_tpu.ops import nonbonded
+        from openmmtools_tpu.ops.geometry import minimum_image
+
+        k = self._sweep_kernel
+        term = self._sweep_term
+        n = self.system.n_particles
+        L = jnp.diagonal(box)
+        xw = x - L * jnp.floor(x / L)
+        y = xw[sw["perm"]]                                   # (N, 3) sorted
+        disp = minimum_image(y - sw["snap"], box)
+        moved = jnp.max(jnp.sum(disp * disp, axis=-1)) \
+            > (0.5 * k.skin) ** 2
+        rebuild = (sw["nblk"] < 0) | moved
+
+        pad = k.n_pad - n
+        y_pad = jnp.concatenate(
+            [y, jnp.full((pad, 3), 1e6, y.dtype)]) if pad else y
+        par = jnp.stack([term.sigma[sw["perm"]],
+                         self._sweep_sqrt_eps[sw["perm"]],
+                         term.charge[sw["perm"]]], axis=1)
+        par_pad = jnp.concatenate(
+            [par, jnp.zeros((pad, 3), par.dtype)]) if pad else par
+        F_s, u_s, nblk = k.forces(y_pad, par_pad, box, sw["excl"],
+                                  rebuild, jnp.maximum(sw["nblk"], 0))
+        F_direct = jnp.zeros_like(x).at[sw["perm"]].set(F_s[:n])
+        snap_new = jnp.where(rebuild, y, sw["snap"])
+
+        other_terms = tuple(t for t in self.system.terms if t is not term)
+
+        def u_rest(xx):
+            tot = jnp.zeros((), xx.dtype)
+            if term.exception_index.shape[0] > 0:
+                tot = tot + nonbonded.pair_list_energy(
+                    xx, box, term.exception_index,
+                    term.exception_chargeprod, term.exception_sigma,
+                    term.exception_epsilon,
+                    method="no_cutoff", periodic=term.periodic)
+            for t in other_terms:
+                tot = tot + t.energy(xx, box, params)
+            return tot
+
+        u_r, g_r = jax.value_and_grad(u_rest)(x)
+        u = u_s + u_r
+        if self._sweep_disp_avg is not None:
+            volume = jnp.prod(L)
+            u = u + (2.0 * jnp.pi * n * n / volume) * self._sweep_disp_avg
+        new_sw = dict(sw)
+        new_sw["snap"] = snap_new
+        new_sw["nblk"] = nblk
+        return u, F_direct - g_r, new_sw
+
     def _fused_setup(self):
         """Enable the fully-fused dense-pair Pallas MD kernel for the
         production case: plain BAOAB on a monodisperse uncharged periodic
@@ -371,6 +551,7 @@ class BoundIntegrator:
             return  # minimum image invalid
         from openmmtools_tpu.ops.pallas_baoab import FusedSortedBAOAB
 
+        self.sweep_mode = False   # the fused kernel supersedes the sweep
         self._fused_term = term
         # the sorted/bounded-sweep kernel: identical physics to the dense
         # half-shell kernel but sweeps only the measured interaction
@@ -406,8 +587,12 @@ class BoundIntegrator:
     def _ensure_forces(self, env: _Env, groups=None):
         for g in (self.groups if groups is None else groups):
             if env.F[g] is None:
-                u, f = self._eval_group(g, env.x, env.box, env.params,
-                                        nbr=env.nbr)
+                if self.sweep_mode and getattr(env, "sweep", None) is not None:
+                    u, f, env.sweep = self._sweep_eval(
+                        env.x, env.box, env.params, env.sweep)
+                else:
+                    u, f = self._eval_group(g, env.x, env.box, env.params,
+                                            nbr=env.nbr)
                 env.U[g] = u
                 env.F[g] = f
 
@@ -421,7 +606,7 @@ class BoundIntegrator:
     def _kinetic(self, env: _Env):
         return 0.5 * jnp.sum(self.masses[:, None] * env.v * env.v)
 
-    # -- constraint dispatch: analytic SETTLE for rigid water, else SHAKE --
+    # -- constraint dispatch: SETTLE + M-SHAKE on disjoint partitions -----
     def _constrain_positions(self, x_new, x_old):
         from openmmtools_tpu.ops.constraints import (
             mshake_positions,
@@ -429,13 +614,17 @@ class BoundIntegrator:
         )
 
         if self._settle is not None:
-            return settle_positions(x_new, x_old, self._settle, self.masses)
-        if self._clusters is not None:
-            return mshake_positions(x_new, x_old, self.system.constraints,
-                                    self._clusters, self.masses)
-        return shake_positions(x_new, x_old, self.system.constraints,
-                               self.masses,
-                               tol=self.integrator.constraint_tolerance)
+            x_new = settle_positions(x_new, x_old, self._settle, self.masses)
+        if self._rest_constraints is not None:
+            if self._clusters is not None:
+                x_new = mshake_positions(x_new, x_old,
+                                         self._rest_constraints,
+                                         self._clusters, self.masses)
+            else:
+                x_new = shake_positions(
+                    x_new, x_old, self._rest_constraints, self.masses,
+                    tol=self.integrator.constraint_tolerance)
+        return x_new
 
     def _constrain_velocities(self, x, v):
         from openmmtools_tpu.ops.constraints import (
@@ -444,12 +633,16 @@ class BoundIntegrator:
         )
 
         if self._settle is not None:
-            return settle_velocities(x, v, self._settle, self.masses)
-        if self._clusters is not None:
-            return mrattle_velocities(x, v, self.system.constraints,
-                                      self._clusters, self.masses)
-        return rattle_velocities(x, v, self.system.constraints, self.masses,
-                                 tol=self.integrator.constraint_tolerance)
+            v = settle_velocities(x, v, self._settle, self.masses)
+        if self._rest_constraints is not None:
+            if self._clusters is not None:
+                v = mrattle_velocities(x, v, self._rest_constraints,
+                                       self._clusters, self.masses)
+            else:
+                v = rattle_velocities(
+                    x, v, self._rest_constraints, self.masses,
+                    tol=self.integrator.constraint_tolerance)
+        return v
 
     # -- substep emitters (trace-time; reference integrators.py:1404-1557) --
     def _emit_R(self, env: _Env):
@@ -554,6 +747,12 @@ class BoundIntegrator:
                 env.nbr = NeighborList(idx=state.nbr_idx, mask=state.nbr_mask,
                                        overflow=state.nbr_overflow,
                                        r_list=self.neighbor_r_list)
+            if self.sweep_mode and state.sweep_perm is not None:
+                env.sweep = {"perm": state.sweep_perm,
+                             "inv": state.sweep_inv,
+                             "snap": state.sweep_snap,
+                             "nblk": state.sweep_nblk,
+                             "excl": state.sweep_excl}
 
             self._pre_step(env)
             for tok in self.tokens:
@@ -574,7 +773,7 @@ class BoundIntegrator:
             self._post_step(env)
             # leave caches valid for the next step
             self._ensure_forces(env)
-            return state.replace(
+            out = state.replace(
                 positions=env.x, velocities=env.v, rng_key=env.key,
                 kT=env.kT,
                 global_params=env.params,
@@ -586,6 +785,10 @@ class BoundIntegrator:
                 lambda_=env.lambda_, lambda_step=env.lambda_step,
                 step_count=state.step_count + 1,
             )
+            if env.sweep is not None:
+                out = out.replace(sweep_snap=env.sweep["snap"],
+                                  sweep_nblk=env.sweep["nblk"])
+            return out
 
         return step
 
@@ -623,9 +826,31 @@ class BoundIntegrator:
         nbr = None
         if self.neighbor_mode:
             nbr = self._build_nbr(x, box)
+        sw = None
+        if self.sweep_mode:
+            from openmmtools_tpu.ops.sweep_nb import (
+                build_exclusion_bitfield,
+                sort_for_sweep,
+            )
+
+            k = self._sweep_kernel
+            perm, inv = sort_for_sweep(x, box, k.n_pad)
+            excl, max_sep = build_exclusion_bitfield(
+                self._sweep_term.exception_index, inv, k.n_pad, k.mask_rows)
+            sw = {"perm": perm, "inv": inv,
+                  "snap": jnp.zeros_like(x),
+                  "nblk": jnp.int32(-1), "excl": excl}
+            sweep_overflow = max_sep > k.mask_shells
         forces, potentials = [], []
         for g in self.groups:
-            u, f = self._eval_group(g, x, box, params, nbr=nbr)
+            if sw is not None:
+                # jit: the eager per-op path costs minutes at DHFR scale
+                fn = getattr(self, "_sweep_eval_jit", None)
+                if fn is None:
+                    self._sweep_eval_jit = fn = jax.jit(self._sweep_eval)
+                u, f, sw = fn(x, box, params, sw)
+            else:
+                u, f = self._eval_group(g, x, box, params, nbr=nbr)
             potentials.append(u)
             forces.append(f)
         return IntegratorState(
@@ -639,6 +864,12 @@ class BoundIntegrator:
             nbr_idx=None if nbr is None else nbr.idx,
             nbr_mask=None if nbr is None else nbr.mask,
             nbr_overflow=None if nbr is None else nbr.overflow,
+            sweep_perm=None if sw is None else sw["perm"],
+            sweep_inv=None if sw is None else sw["inv"],
+            sweep_snap=None if sw is None else sw["snap"],
+            sweep_nblk=None if sw is None else sw["nblk"],
+            sweep_excl=None if sw is None else sw["excl"],
+            sweep_overflow=None if sw is None else sweep_overflow,
         )
 
     def run_program(self, n_steps: int):
@@ -654,6 +885,24 @@ class BoundIntegrator:
 
             out, _ = jax.lax.scan(body, s, None, length=length)
             return out
+
+        if self.sweep_mode:
+            interval = self.sweep_sort_interval
+            n_chunks, remainder = divmod(n_steps, interval)
+
+            def run_sweep(s):
+                if n_chunks > 0:
+                    def outer(carry, _):
+                        carry = self._resort_sweep(carry)
+                        return scan_steps(carry, interval), None
+
+                    s, _ = jax.lax.scan(outer, s, None, length=n_chunks)
+                if remainder:
+                    s = self._resort_sweep(s)
+                    s = scan_steps(s, remainder)
+                return s
+
+            return run_sweep
 
         if not self.neighbor_mode:
             return lambda s: scan_steps(s, n_steps)
@@ -743,7 +992,8 @@ class LangevinIntegrator:
                  splitting: Optional[str] = None, constraint_tolerance=1e-8,
                  measure_shadow_work=False, measure_heat=False,
                  neighborlist="auto", neighbor_skin=None,
-                 neighbor_rebuild_interval=None):
+                 neighbor_rebuild_interval=None, sweep="auto",
+                 sweep_sort_interval=None):
         self.temperature = temperature
         self.collision_rate = collision_rate
         self.timestep = timestep
@@ -756,6 +1006,11 @@ class LangevinIntegrator:
         self.neighborlist = neighborlist
         self.neighbor_skin = neighbor_skin
         self.neighbor_rebuild_interval = neighbor_rebuild_interval
+        # bounded-sweep policy: 'auto' enables the Pallas sweep kernel on
+        # TPU above ~8k atoms; 'force'/'interpret' enable unconditionally
+        # (interpret = CPU interpreter, for tests); None disables
+        self.sweep = sweep
+        self.sweep_sort_interval = sweep_sort_interval
         parse_splitting(self.splitting)  # fail fast
         self._bound: Dict[int, BoundIntegrator] = {}
 

@@ -509,3 +509,89 @@ def settle_velocities(x, v, spec: SettleSpec, masses):
     v = v.at[i_b].add(db)
     v = v.at[i_c].add(dc)
     return v
+
+
+def partition_constraints(constraints: "Constraints", masses):
+    """Split a mixed constraint topology into SETTLE-able rigid triangles
+    and the rest (OpenMM's SETTLE + CCMA architecture: rigid waters take
+    the analytic path, protein h-bond clusters the direct M-SHAKE path).
+
+    Returns (settle_spec | None, rest_constraints | None): either may be
+    None when its partition is empty.  ``analyze_settle``/-``_clusters``
+    remain the pure-topology fast paths.
+    """
+    import numpy as np
+
+    from openmmtools_tpu.system import Constraints
+
+    n_c = constraints.n_constraints
+    if n_c == 0:
+        return None, None
+    idx = np.asarray(constraints.index)
+    dist = np.asarray(constraints.distance)
+    m = np.asarray(masses)
+    adj = {}
+    for k in range(n_c):
+        i, j = int(idx[k, 0]), int(idx[k, 1])
+        adj.setdefault(i, []).append((j, k))
+        adj.setdefault(j, []).append((i, k))
+    seen = set()
+    a_l, b_l, c_l, ra_l, rb_l, rc_l = [], [], [], [], [], []
+    rest_edges = []
+    for start in adj:
+        if start in seen:
+            continue
+        comp, edges, stack = set(), set(), [start]
+        while stack:
+            u = stack.pop()
+            if u in comp:
+                continue
+            comp.add(u)
+            for v, k in adj[u]:
+                edges.add(k)
+                if v not in comp:
+                    stack.append(v)
+        seen |= comp
+        settled = False
+        if len(comp) == 3 and len(edges) == 3:
+            atoms = sorted(comp)
+            dmap = {}
+            for k in edges:
+                i, j = int(idx[k, 0]), int(idx[k, 1])
+                other = (comp - {i, j}).pop()
+                dmap[other] = dist[k]
+            apex = None
+            for cand in atoms:
+                rest = [t for t in atoms if t != cand]
+                d1, d2 = dmap[rest[1]], dmap[rest[0]]
+                if np.isclose(d1, d2, rtol=1e-5) and np.isclose(
+                        m[rest[0]], m[rest[1]], rtol=1e-5):
+                    apex = cand
+                    break
+            if apex is not None and m[apex] > 0:
+                sat = [t for t in atoms if t != apex]
+                if m[sat[0]] > 0:
+                    d_ab = float(dmap[sat[1]])
+                    d_bc = float(dmap[apex])
+                    t = math.sqrt(max(d_ab * d_ab - 0.25 * d_bc * d_bc, 0.0))
+                    ma, mh = float(m[apex]), float(m[sat[0]])
+                    ra = 2.0 * mh * t / (ma + 2.0 * mh)
+                    a_l.append(apex); b_l.append(sat[0]); c_l.append(sat[1])
+                    ra_l.append(ra); rb_l.append(t - ra)
+                    rc_l.append(0.5 * d_bc)
+                    settled = True
+        if not settled:
+            rest_edges.extend(sorted(edges))
+    settle = None
+    if a_l:
+        settle = SettleSpec(
+            jnp.asarray(a_l, jnp.int32), jnp.asarray(b_l, jnp.int32),
+            jnp.asarray(c_l, jnp.int32),
+            jnp.asarray(ra_l), jnp.asarray(rb_l), jnp.asarray(rc_l))
+    rest = None
+    if rest_edges:
+        rest_edges = np.asarray(rest_edges, np.int64)
+        rest = Constraints(
+            index=jnp.asarray(idx[rest_edges], jnp.int32),
+            distance=jnp.asarray(dist[rest_edges]))
+    return settle, rest

@@ -1,0 +1,391 @@
+"""Heterogeneous bounded-sweep nonbonded force kernel (Pallas, TPU).
+
+The production direct-space path for LARGE periodic systems (DHFR scale:
+23.5k atoms) — the role OpenMM's neighbor-list + direct-space kernels play
+(SURVEY.md §2.2 row 1; reference testsystems.py:3863 DHFRExplicit).
+
+Same architecture as the sorted bounded sweep of ops/pallas_baoab.py
+(x-sorted particles, half-shell roll sweep with a measured interaction-
+range bound, adaptive Verlet rebuild), generalized to real force fields:
+
+* per-particle LJ parameters with Lorentz–Berthelot combination
+  (sigma_ij = (s_i+s_j)/2, eps_ij = sqrt(e_i e_j) via pre-square-rooted
+  per-particle values) — parameter staircases ride the same static rolls
+  as the coordinates;
+* Coulomb: PME/Ewald direct space qq·erfc(a r)/r (Abramowitz–Stegun
+  7.1.26 rational erfc, |err| < 1.5e-7 — full-rate VPU ops instead of a
+  transcendental per pair) or reaction field qq(1/r + k_rf r^2 - c_rf)
+  (ops/nonbonded.py:61 semantics);
+* exception-pair masking via a per-shell bitfield: pair (i, i+s) in
+  sorted order is masked when bit (s-1) of the (mask_shells/32, N) int32
+  plane is set.  Exceptions REPLACE the standard interaction (OpenMM
+  semantics, system.py:146) and are added back by the caller from the
+  explicit exception list — masking instead of subtracting avoids the
+  catastrophic f32 cancellation of (sigma/r)^12 at bonded distances that
+  the dense path suffers;
+* padded ring lanes are poisoned to huge coordinates with zero
+  charge/epsilon instead of masked — no validity plane, no extra ops.
+
+The kernel is a FORCE EVALUATOR (one sweep per call), not an integrator:
+constraints, bonded terms, reciprocal space and the splitting DSL all run
+in XLA around it (integrators/langevin.py sweep mode), so any splitting /
+constraint combination works at production sizes.
+"""
+from __future__ import annotations
+
+import functools
+import math
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from openmmtools_tpu.constants import ONE_4PI_EPS0
+from openmmtools_tpu.ops.pallas_baoab import _fast_rsqrt, _round_up
+
+__all__ = ["SweepNonbonded", "build_exclusion_bitfield", "sort_for_sweep"]
+
+
+def _fast_recip_pos(w):
+    """1/w for w > 0 via rsqrt(w^2) (full-rate VPU ops)."""
+    return _fast_rsqrt(w * w)
+
+
+class SweepNonbonded:
+    """Compiled bounded-sweep force program for one NonbondedTerm config.
+
+    Static per instance: method, cutoff, switch, dielectric, alpha,
+    particle count.  Runtime inputs: sorted coordinates/parameters, box,
+    exclusion bitfield, rebuild flag and current block bound.
+    """
+
+    def __init__(self, n_particles, method, cutoff, switch_width=None,
+                 dielectric=78.3, ewald_alpha=None, shift_rf=True,
+                 switch_coulomb=False, shell_block=8, skin=0.1,
+                 mask_shells=2048, interpret=False):
+        if method not in ("pme", "ewald", "cutoff_periodic"):
+            raise ValueError(f"sweep kernel: unsupported method {method!r}")
+        self.n = int(n_particles)
+        self.n_pad = _round_up(self.n, 128)
+        self.method = method
+        self.rc = float(cutoff)
+        self.switch_width = (None if switch_width is None
+                             else float(switch_width))
+        self.dielectric = float(dielectric)
+        self.alpha = None if ewald_alpha is None else float(ewald_alpha)
+        self.shift_rf = bool(shift_rf)
+        self.switch_coulomb = bool(switch_coulomb)
+        self.bs = int(shell_block)
+        self.skin = float(skin)
+        self.mask_shells = int(mask_shells)
+        if self.mask_shells % 32:
+            raise ValueError("mask_shells must be a multiple of 32")
+        self.mask_rows = self.mask_shells // 32
+        self.interpret = bool(interpret)
+        self.n_blocks = -(-(self.n_pad // 2) // self.bs)
+        self._call = None
+
+    # -- in-kernel pair sweep ----------------------------------------------
+
+    def _sweep(self, x, par, L, excl_ref, n_blk, refs, track_activity):
+        n = self.n_pad
+        bs = self.bs
+        half = n // 2
+        n_blocks = self.n_blocks
+        rc2 = self.rc * self.rc
+        rc2_skin = (self.rc + self.skin) ** 2
+        dtype = x.dtype
+        ke = ONE_4PI_EPS0
+
+        Lc = [L[c, 0] for c in range(3)]
+        halfL = [0.5 * Lc[c] for c in range(3)]
+        xj_ref = refs["xj"]      # (3*bs, n) coordinate staircase
+        pj_ref = refs["pj"]      # (3*bs, n) parameter staircase (sig, se, q)
+        accP = refs["accP"]
+        accA = refs["accA"]
+        accE = refs["accE"]
+
+        sig_row = par[0:1, :]
+        se_row = par[1:2, :]
+        q_row = par[2:3, :]
+
+        # seed staircases at the TOP block (the sweep's only dynamic rolls)
+        s0_top = 1 + (n_blk - 1) * bs
+        back_top = jnp.mod(n - s0_top, n)
+        for c in range(3):
+            row = x[c:c + 1, :]
+            stair_c = jnp.concatenate(
+                [pltpu.roll(row, (n - k) % n, axis=1) for k in range(bs)],
+                axis=0)
+            xj_ref[c * bs:(c + 1) * bs, :] = pltpu.roll(stair_c, back_top,
+                                                        axis=1)
+        for c in range(3):
+            row = par[c:c + 1, :]
+            stair_c = jnp.concatenate(
+                [pltpu.roll(row, (n - k) % n, axis=1) for k in range(bs)],
+                axis=0)
+            pj_ref[c * bs:(c + 1) * bs, :] = pltpu.roll(stair_c, back_top,
+                                                        axis=1)
+
+        accP[:, :] = jnp.zeros((3 * bs, n), dtype)
+        accA[:, :] = jnp.zeros((3 * bs, n), dtype)
+        accE[:, :] = jnp.zeros((bs, n), dtype)
+
+        row_iota = jax.lax.broadcasted_iota(jnp.int32, (bs, 1), 0)
+        mask_block_cap = self.mask_shells // bs  # blocks covered by bitfield
+        blocks_per_word = 32 // bs
+
+        if self.method in ("pme", "ewald"):
+            alpha = self.alpha
+        else:
+            k_rf = ((1.0 / self.rc ** 3) * (self.dielectric - 1.0)
+                    / (2.0 * self.dielectric + 1.0))
+            c_rf = ((1.0 / self.rc) * (3.0 * self.dielectric)
+                    / (2.0 * self.dielectric + 1.0)) if self.shift_rf else 0.0
+
+        def body(i, last_active):
+            it = n_blk - 1 - i
+            s0 = 1 + it * bs
+            srow = s0 + row_iota
+            wrow = jnp.where(
+                srow < half, jnp.ones((), dtype),
+                jnp.where(srow == half, jnp.full((), 0.5, dtype),
+                          jnp.zeros((), dtype)))
+
+            d = []
+            r2 = None
+            for c in range(3):
+                dc = x[c:c + 1, :] - xj_ref[c * bs:(c + 1) * bs, :]
+                dc = dc + jnp.where(dc < -halfL[c], Lc[c],
+                                    jnp.zeros((), dtype))
+                dc = dc - jnp.where(dc > halfL[c], Lc[c],
+                                    jnp.zeros((), dtype))
+                d.append(dc)
+                r2 = dc * dc if r2 is None else r2 + dc * dc
+
+            pair_ok = r2 > 1e-12
+            mask = (r2 < rc2) & pair_ok
+
+            # exception-pair bits for this block's shells (s0 .. s0+bs-1):
+            # word row (s0-1)//32, bit offset (s0-1)%32 + k
+            word_idx = jnp.minimum((s0 - 1) // 32, self.mask_rows - 1)
+            word = excl_ref[pl.ds(word_idx, 1), :]          # (1, n) int32
+            bit_off = (s0 - 1) % 32 + row_iota              # (bs, 1)
+            bits = jax.lax.shift_right_logical(
+                jnp.broadcast_to(word, (bs, n)),
+                jnp.broadcast_to(bit_off, (bs, n))) & 1
+            excluded = (bits == 1) & (it < mask_block_cap)
+            mask = mask & jnp.logical_not(excluded)
+
+            if track_activity:
+                active = jnp.any((r2 < rc2_skin) & pair_ok & (wrow > 0))
+                last_active = jnp.maximum(last_active,
+                                          jnp.where(active, it, -1))
+
+            inv_r = jnp.where(mask, _fast_rsqrt(r2), jnp.zeros((), dtype))
+            inv_r2 = inv_r * inv_r
+            r = r2 * inv_r
+
+            # LJ with Lorentz-Berthelot combination
+            sig = 0.5 * (sig_row + pj_ref[0 * bs:1 * bs, :])
+            eps = se_row * pj_ref[1 * bs:2 * bs, :]
+            s2 = (sig * sig) * inv_r2
+            s6 = s2 * s2 * s2
+            s12 = s6 * s6
+            e_lj = 4.0 * eps * (s12 - s6)
+            w_lj = eps * (48.0 * s12 - 24.0 * s6) * inv_r2
+
+            # Coulomb
+            qq = (ke * q_row) * pj_ref[2 * bs:3 * bs, :]
+            if self.method in ("pme", "ewald"):
+                z = alpha * r
+                ez = jnp.exp(-z * z)
+                t = _fast_recip_pos(1.0 + 0.3275911 * z)
+                poly = t * (0.254829592 + t * (-0.284496736 + t * (
+                    1.421413741 + t * (-1.453152027 + t * 1.061405429))))
+                erfc = poly * ez
+                e_c = qq * erfc * inv_r
+                w_c = qq * inv_r2 * (erfc * inv_r
+                                     + (2.0 * alpha / math.sqrt(math.pi)) * ez)
+            else:
+                e_c = qq * (inv_r + k_rf * r2 - c_rf)
+                w_c = qq * (inv_r2 * inv_r - 2.0 * k_rf)
+
+            if self.switch_width is not None:
+                rs = self.rc - self.switch_width
+                inv_span = 1.0 / self.switch_width
+                tt = jnp.clip((r - rs) * inv_span, 0.0, 1.0)
+                S = 1.0 + tt * tt * tt * (-10.0 + tt * (15.0 - 6.0 * tt))
+                omt = 1.0 - tt
+                dS = (-30.0 * inv_span) * (tt * tt) * (omt * omt)
+                if self.switch_coulomb:
+                    e_sw = e_lj + e_c
+                    w_sw = w_lj + w_c
+                    w = w_sw * S - e_sw * dS * inv_r
+                    e = e_sw * S
+                else:
+                    w = w_lj * S - e_lj * dS * inv_r + w_c
+                    e = e_lj * S + e_c
+            else:
+                e = e_lj + e_c
+                w = w_lj + w_c
+            # inv_r == 0 on masked slots kills LJ/1/r terms but NOT the
+            # r2-polynomial RF part — apply the mask to e/w explicitly
+            zero = jnp.zeros((), dtype)
+            e = jnp.where(mask, e, zero) * wrow
+            w = jnp.where(mask, w, zero) * wrow
+
+            accE[:, :] = accE[:, :] + e
+            for c in range(3):
+                sl = slice(c * bs, (c + 1) * bs)
+                g = w * d[c]
+                accP[sl, :] = accP[sl, :] + g
+            accA[:, :] = pltpu.roll(accA[:, :], bs, axis=1) + jnp.concatenate(
+                [w * d[c] for c in range(3)], axis=0)
+            xj_ref[:, :] = pltpu.roll(xj_ref[:, :], bs, axis=1)
+            pj_ref[:, :] = pltpu.roll(pj_ref[:, :], bs, axis=1)
+            return last_active
+
+        last_active = jax.lax.fori_loop(0, n_blk, body, jnp.int32(-1))
+
+        refs["u_sm"][0] = jnp.sum(accE[:, :])
+        F_rows = []
+        for c in range(3):
+            sl = slice(c * bs, (c + 1) * bs)
+            fplus = jnp.sum(accP[sl, :], axis=0, keepdims=True)
+            fminus = jnp.zeros((1, n), dtype)
+            for k in range(bs):
+                fminus = fminus + pltpu.roll(
+                    accA[c * bs + k:c * bs + k + 1, :], k + 1, axis=1)
+            F_rows.append(fplus - fminus)
+        refs["F"][:, :] = jnp.concatenate(F_rows, axis=0)
+        if track_activity:
+            refs["nblk_sm"][0] = last_active + 1
+
+    # -- kernel body --------------------------------------------------------
+
+    def _kernel(self, meta_ref, L_ref, x_in, par_in, excl_in,
+                f_out, u_out, nblk_out,
+                xj, pj, accP, accA, accE, u_sm, nblk_sm):
+        n = self.n_pad
+        refs = {"xj": xj, "pj": pj, "accP": accP, "accA": accA,
+                "accE": accE, "F": f_out, "u_sm": u_sm, "nblk_sm": nblk_sm}
+        L = L_ref[:]
+        x = x_in[:]
+        par = par_in[:]
+        rebuild = meta_ref[0] != 0
+        bound_in = meta_ref[1]
+        nblk_sm[0] = bound_in
+
+        @pl.when(rebuild)
+        def _():
+            self._sweep(x, par, L, excl_in, jnp.int32(self.n_blocks), refs,
+                        track_activity=True)
+
+        @pl.when(jnp.logical_not(rebuild))
+        def _():
+            self._sweep(x, par, L, excl_in, bound_in, refs,
+                        track_activity=False)
+
+        u_out[:, :] = u_sm[0][None, None]
+        nblk_out[:, :] = nblk_sm[0].astype(jnp.float32)[None, None]
+
+    def _build(self):
+        if self._call is not None:
+            return self._call
+        n = self.n_pad
+        bs = self.bs
+        call = pl.pallas_call(
+            self._kernel,
+            out_shape=(
+                jax.ShapeDtypeStruct((3, n), jnp.float32),   # F
+                jax.ShapeDtypeStruct((1, 1), jnp.float32),   # U direct
+                jax.ShapeDtypeStruct((1, 1), jnp.float32),   # nblk out
+            ),
+            in_specs=[
+                pl.BlockSpec(memory_space=pltpu.SMEM),   # meta (flag, bound)
+                pl.BlockSpec(memory_space=pltpu.VMEM),   # L (3,1)
+                pl.BlockSpec(memory_space=pltpu.VMEM),   # x (3,n)
+                pl.BlockSpec(memory_space=pltpu.VMEM),   # par (3,n)
+                pl.BlockSpec(memory_space=pltpu.VMEM),   # excl (R,n) int32
+            ],
+            out_specs=tuple(pl.BlockSpec(memory_space=pltpu.VMEM)
+                            for _ in range(3)),
+            scratch_shapes=[
+                pltpu.VMEM((3 * bs, n), jnp.float32),    # xj
+                pltpu.VMEM((3 * bs, n), jnp.float32),    # pj
+                pltpu.VMEM((3 * bs, n), jnp.float32),    # accP
+                pltpu.VMEM((3 * bs, n), jnp.float32),    # accA
+                pltpu.VMEM((bs, n), jnp.float32),        # accE
+                pltpu.SMEM((1,), jnp.float32),           # u_sm
+                pltpu.SMEM((1,), jnp.int32),             # nblk_sm
+            ],
+            interpret=self.interpret,
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=100 * 1024 * 1024),
+        )
+        self._call = call
+        return call
+
+    # -- traceable host-facing op ------------------------------------------
+
+    def forces(self, x_sorted, par_sorted, box, excl, rebuild, bound):
+        """One force evaluation (traceable; call inside jit).
+
+        x_sorted: (n_pad, 3) sorted+wrapped positions with poisoned pad
+        par_sorted: (n_pad, 3) [sigma, sqrt_eps, charge] sorted, 0 pad
+        excl: (mask_rows, n_pad) int32 exception bitfield
+        rebuild: () bool — sweep all shells and re-measure the bound
+        bound: () int32 — current block bound (used when not rebuilding)
+
+        Returns (F (n_pad, 3), U (), new_bound ()).
+        """
+        call = self._build()
+        meta = jnp.stack([rebuild.astype(jnp.int32),
+                          bound.astype(jnp.int32)])
+        L = jnp.diagonal(box).astype(jnp.float32).reshape(3, 1)
+        f, u, nb = call(meta, L, x_sorted.T.astype(jnp.float32),
+                        par_sorted.T.astype(jnp.float32), excl)
+        new_bound = jnp.where(rebuild, nb[0, 0].astype(jnp.int32), bound)
+        return f.T, u[0, 0], new_bound
+
+
+# ---------------------------------------------------------------------------
+# host/XLA-side helpers (traceable)
+# ---------------------------------------------------------------------------
+
+
+def sort_for_sweep(x, box, n_pad):
+    """Wrap + x-sort positions; returns (perm, inv_perm).
+
+    perm maps sorted slot -> original index; inv_perm the reverse.
+    """
+    n = x.shape[0]
+    L = jnp.diagonal(box)
+    xw = x - L * jnp.floor(x / L)
+    perm = jnp.argsort(xw[:, 0]).astype(jnp.int32)
+    inv = jnp.zeros((n,), jnp.int32).at[perm].set(
+        jnp.arange(n, dtype=jnp.int32))
+    return perm, inv
+
+
+def build_exclusion_bitfield(pairs, inv_perm, n_pad, mask_rows):
+    """Scatter exception pairs into the per-shell bitfield for the current
+    sorted order.  Returns (bitfield (mask_rows, n_pad) int32, max_sep ())
+    — the caller must check max_sep <= 32*mask_rows (it cannot exceed it
+    for physically bonded pairs at sane densities; checked once per run).
+    """
+    si = inv_perm[pairs[:, 0]]
+    sj = inv_perm[pairs[:, 1]]
+    sep = jnp.mod(sj - si, n_pad)
+    flip = sep > n_pad // 2
+    lane = jnp.where(flip, sj, si)
+    sep = jnp.where(flip, n_pad - sep, sep)
+    word = jnp.minimum((sep - 1) // 32, mask_rows - 1)
+    bit = (sep - 1) % 32
+    field = jnp.zeros((mask_rows, n_pad), jnp.int32)
+    field = field.at[word, lane].add(
+        jax.lax.shift_left(jnp.int32(1), bit))
+    return field, jnp.max(sep)

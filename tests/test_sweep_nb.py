@@ -1,0 +1,64 @@
+"""Bounded-sweep heterogeneous nonbonded kernel (ops/sweep_nb.py):
+interpret-mode validation on CPU against the dense path.
+
+The sweep path is the production direct-space engine for DHFR-scale
+systems (reference role: OpenMM neighbor-list + direct-space kernels,
+SURVEY.md §2.2 row 1).  Tolerances reflect that the DENSE path subtracts
+exception pairs with f32 cancellation at bonded distances while the sweep
+masks them (the sweep is the more accurate of the two).
+"""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from openmmtools_tpu.integrators import BAOABIntegrator
+from openmmtools_tpu.models import WaterBox
+from openmmtools_tpu.states import SamplerState
+
+
+@pytest.fixture(scope="module")
+def water():
+    return WaterBox()   # 1536 atoms, TIP3P, PME, SETTLE-rigid
+
+
+def _bind(water, sweep, **kw):
+    integ = BAOABIntegrator(temperature=300.0, collision_rate=kw.pop(
+        "collision_rate", 1.0), timestep=kw.pop("timestep", 0.002),
+        sweep=sweep, neighborlist=None)
+    return integ.bind(water.system)
+
+
+def test_sweep_energy_force_parity(water):
+    bd = _bind(water, None)
+    bs = _bind(water, "interpret")
+    assert bs.sweep_mode and not bd.sweep_mode
+    ss = water.sampler_state()
+    sd = bd.initial_state(ss, jax.random.PRNGKey(0), temperature=300.0)
+    s2 = bs.initial_state(ss, jax.random.PRNGKey(0), temperature=300.0)
+    u_d, u_s = float(sd.potentials[0]), float(s2.potentials[0])
+    assert abs(u_d - u_s) < 2e-3 * abs(u_d)
+    fd = np.asarray(sd.forces[0])
+    fs = np.asarray(s2.forces[0])
+    assert np.abs(fd - fs).max() < 1e-4 * np.abs(fd).max()
+    assert not bool(s2.sweep_overflow)
+
+
+def test_sweep_trajectory_parity(water):
+    """Deterministic (gamma=0) short trajectories agree with the dense
+    path to within chaotic amplification of the f32 force differences."""
+    b0 = _bind(water, None, collision_rate=0.0, timestep=0.001)
+    b1 = _bind(water, "interpret", collision_rate=0.0, timestep=0.001)
+    ss = water.sampler_state()
+    st0 = b0.initial_state(ss, jax.random.PRNGKey(1))
+    st1 = b1.initial_state(ss, jax.random.PRNGKey(1))
+    st0 = b0.run(st0, 10)
+    st1 = b1.run(st1, 10)
+    dx = np.abs(np.asarray(st0.positions) - np.asarray(st1.positions)).max()
+    assert np.isfinite(dx) and dx < 1e-3
+    # resort path: run through a sort boundary
+    b1.sweep_sort_interval = 5
+    st2 = b1.initial_state(ss, jax.random.PRNGKey(1))
+    st2 = b1.run(st2, 10)
+    dx2 = np.abs(np.asarray(st0.positions) - np.asarray(st2.positions)).max()
+    assert np.isfinite(dx2) and dx2 < 1e-3
