@@ -515,8 +515,8 @@ class BoundIntegrator:
             return
         if jax.default_backend() != "tpu":
             return
-        if self.tokens != ["V", "R", "O", "R", "V"]:
-            return
+        if not set(self.tokens) <= {"R", "V", "O"}:
+            return   # Metropolization/MTS/H need the XLA emitters
         if integ.measure_shadow_work or integ.measure_heat:
             return
         system = self.system
@@ -561,7 +561,8 @@ class BoundIntegrator:
         self._fused = FusedSortedBAOAB(
             system.n_particles, float(term.cutoff), term.switch_width,
             float(sig[0]), float(eps[0]), float(mass[0]),
-            integ.timestep, integ.collision_rate, sort_interval=100)
+            integ.timestep, integ.collision_rate, sort_interval=100,
+            tokens=tuple(self.tokens))
 
     def _build_nbr(self, x, box):
         from openmmtools_tpu.ops.neighborlist import build_neighbor_list

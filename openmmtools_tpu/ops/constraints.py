@@ -20,6 +20,11 @@ import math
 import jax
 import jax.numpy as jnp
 
+# Row gathers feeding arithmetic pass through optimization_barrier: the
+# TPU backend serializes fused gather+compute loops (33 ms vs 0.04 ms at
+# 35k rows, measured) while standalone gathers take the fast path.
+from jax.lax import optimization_barrier as _barrier
+
 from openmmtools_tpu.system import Constraints
 
 
@@ -46,7 +51,8 @@ def shake_positions(x, x_ref, constraints: Constraints, masses,
     inv_m = _inv_mass(masses)
     imi = inv_m[i][:, None]
     imj = inv_m[j][:, None]
-    s = x_ref[i] - x_ref[j]  # reference directions
+    xri, xrj = _barrier((x_ref[i], x_ref[j]))
+    s = xri - xrj  # reference directions
 
     def violation(xc):
         r = xc[i] - xc[j]
@@ -88,7 +94,8 @@ def rattle_velocities(x, v, constraints: Constraints, masses,
     inv_m = _inv_mass(masses)
     imi = inv_m[i][:, None]
     imj = inv_m[j][:, None]
-    r = x[i] - x[j]
+    xi, xj = _barrier((x[i], x[j]))
+    r = xi - xj
     r2 = jnp.sum(r * r, axis=-1)
 
     # velocity scale for the relative tolerance (avoids 0/0 for v = 0)
@@ -241,7 +248,8 @@ def mshake_positions(x, x_ref, constraints: Constraints, spec: ClusterSpec,
     inv_m = _inv_mass(masses)
     imi = inv_m[i][:, None]
     imj = inv_m[j][:, None]
-    s = x_ref[i] - x_ref[j]                     # (C, 3) reference directions
+    xri, xrj = _barrier((x_ref[i], x_ref[j]))
+    s = xri - xrj                               # (C, 3) reference directions
 
     s_blk = s[spec.cons]                        # (G, B, 3)
     A = 2.0 * spec.w * jnp.einsum("gbi,gdi->gbd", s_blk, s_blk)
@@ -274,7 +282,8 @@ def mrattle_velocities(x, v, constraints: Constraints, spec: ClusterSpec,
     inv_m = _inv_mass(masses)
     imi = inv_m[i][:, None]
     imj = inv_m[j][:, None]
-    r = x[i] - x[j]                             # (C, 3) current directions
+    xi, xj = _barrier((x[i], x[j]))
+    r = xi - xj                                 # (C, 3) current directions
 
     r_blk = r[spec.cons]
     A = spec.w * jnp.einsum("gbi,gdi->gbd", r_blk, r_blk)
@@ -284,7 +293,8 @@ def mrattle_velocities(x, v, constraints: Constraints, spec: ClusterSpec,
     pad = (1.0 - spec.valid)[:, :, None] * eye[None]
     A = A * (spec.valid[:, :, None] * spec.valid[:, None, :]) + pad
 
-    dv = v[i] - v[j]
+    vi, vj = _barrier((v[i], v[j]))
+    dv = vi - vj
     rhs = jnp.sum(dv * r, axis=-1)              # (C,)
     rhs_blk = rhs[spec.cons] * spec.valid
     mu_blk = jnp.einsum("gbd,gd->gb", _inv_small(A, spec.block),
@@ -400,8 +410,9 @@ def settle_positions(x, x_ref, spec: SettleSpec, masses):
     ma = masses[spec.a][:, None]
     mh = masses[spec.b][:, None]
     M = ma + 2.0 * mh
-    a0, b0, c0 = x_ref[spec.a], x_ref[spec.b], x_ref[spec.c]
-    a1, b1, c1 = x[spec.a], x[spec.b], x[spec.c]
+    a0, b0, c0, a1, b1, c1 = _barrier(
+        (x_ref[spec.a], x_ref[spec.b], x_ref[spec.c],
+         x[spec.a], x[spec.b], x[spec.c]))
     com = (ma * a1 + mh * (b1 + c1)) / M
     a1p, b1p, c1p = a1 - com, b1 - com, c1 - com
 
@@ -473,9 +484,9 @@ def settle_velocities(x, v, spec: SettleSpec, masses):
         r = p - q
         return r / jnp.linalg.norm(r, axis=-1, keepdims=True)
 
-    xa, xb, xc = x[i_a], x[i_b], x[i_c]
+    xa, xb, xc, va, vb, vc = _barrier(
+        (x[i_a], x[i_b], x[i_c], v[i_a], v[i_b], v[i_c]))
     e = jnp.stack([unit(xa, xb), unit(xa, xc), unit(xb, xc)], axis=1)
-    va, vb, vc = v[i_a], v[i_b], v[i_c]
     dv = jnp.stack([va - vb, va - vc, vb - vc], axis=1)
     rhs = jnp.sum(dv * e, axis=-1)                      # (W, 3)
 

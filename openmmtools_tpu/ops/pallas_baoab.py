@@ -50,7 +50,8 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-__all__ = ["FusedDenseBAOAB", "FusedSortedBAOAB"]
+__all__ = ["FusedDenseBAOAB", "FusedSortedLangevin",
+           "FusedSortedBAOAB"]
 
 
 def _round_up(x, m):
@@ -381,19 +382,28 @@ class FusedDenseBAOAB:
 # ---------------------------------------------------------------------------
 
 
-class FusedSortedBAOAB:
-    """Fused BAOAB+LJ chunk program over spatially-sorted particles.
+class FusedSortedLangevin:
+    """Fused Langevin-splitting + LJ chunk program over spatially-sorted
+    particles, for ANY R/V/O splitting string (BAOAB, g-BAOAB, VVVR,
+    OBABO, velocity Verlet, ... — the reference presets of
+    integrators.py:2125-2242 minus Metropolization).
 
     Same physics/contract as FusedDenseBAOAB (monodisperse uncharged LJ,
-    cutoff+switch, minimum-image orthorhombic PBC, V R O R V) with two
-    additions: the particle order is a free permutation (LJ fluids are
-    exchange-symmetric; the public ``run`` restores the caller's order),
-    and the shell sweep is bounded by the measured interaction range.
+    cutoff+switch, minimum-image orthorhombic PBC) with two additions:
+    the particle order is a free permutation (LJ fluids are exchange-
+    symmetric; the public ``run`` restores the caller's order), and the
+    shell sweep is bounded by the measured interaction range.
+
+    Token emission mirrors integrators/langevin.py: per-token substep
+    sizes dt/n_R, dt/n_V, dt/n_O; a force sweep runs lazily before the
+    first V following any R (and at step end if positions moved), so
+    every standard splitting costs exactly one sweep per step.
     """
 
     def __init__(self, n_particles, cutoff, switch_width, sigma, epsilon,
                  mass, timestep, collision_rate, shell_block=8,
-                 skin=None, sort_interval=500, interpret=False):
+                 skin=None, sort_interval=500, interpret=False,
+                 tokens=("V", "R", "O", "R", "V")):
         self.n = int(n_particles)
         self.n_pad = _round_up(self.n, 128)
         self.rc = float(cutoff)
@@ -408,8 +418,17 @@ class FusedSortedBAOAB:
         self.skin = float(skin) if skin is not None else 0.3 * self.sigma
         self.sort_interval = int(sort_interval)
         self.interpret = bool(interpret)
-        self.ou_a = math.exp(-self.gamma * self.dt)
-        self.ou_b = math.sqrt(1.0 - math.exp(-2.0 * self.gamma * self.dt))
+        self.tokens = tuple(t.upper() for t in tokens)
+        if not set(self.tokens) <= {"R", "V", "O"}:
+            raise ValueError("fused kernel supports R/V/O tokens only")
+        n_R = max(1, self.tokens.count("R"))
+        n_V = max(1, self.tokens.count("V"))
+        n_O = max(1, self.tokens.count("O"))
+        self.h_R = self.dt / n_R
+        self.h_V = self.dt / n_V
+        h_O = self.dt / n_O
+        self.ou_a = math.exp(-self.gamma * h_O)
+        self.ou_b = math.sqrt(1.0 - math.exp(-2.0 * self.gamma * h_O))
         self._run_cache = {}
         self._kernel_cache = {}
 
@@ -589,32 +608,14 @@ class FusedSortedBAOAB:
                 rows.append(xc - Lc * jnp.floor(xc * (1.0 / Lc)))
             return jnp.concatenate(rows, axis=0)
 
-        # chunk start: wrap, snapshot, full tracked sweep
-        x0 = wrap(x_in[:])
-        xs[:, :] = x0
-        vs[:, :] = v_in[:]
-        snap[:, :] = x0
-        reb_sm[0] = jnp.int32(1)
-        self._sweep(x0, L, valid, jnp.int32(n_blocks), refs,
-                    track_activity=True)
-
-        def body(step, _):
-            x = xs[:, :]
-            v = vs[:, :]
-            v = v + (h2 * inv_m) * Fs[:, :]    # V
-            x = x + h2 * v                     # R
-            if self.ou_b != 0.0:               # O
-                v = self.ou_a * v + (self.ou_b * sig_noise) * draw_noise()
-            elif self.ou_a != 1.0:
-                v = self.ou_a * v
-            x = x + h2 * v                     # R
+        def dispatch_sweep(x):
+            """Wrap positions, apply the Verlet validity check, run the
+            bounded (or, on rebuild, full tracked) sweep. Returns the
+            wrapped positions; forces land in Fs."""
             x = wrap(x)
-            xs[:, :] = x
-            vs[:, :] = v
-
-            # Verlet validity: rebuild as soon as any particle has moved
-            # more than skin/2 (min-image: wrap() can jump a coord by L)
-            # from the snapshot the current bound was measured at
+            # rebuild as soon as any particle has moved more than skin/2
+            # (min-image: wrap() can jump a coordinate by L) from the
+            # snapshot the current bound was measured at
             disp2 = jnp.zeros((1, n), dtype)
             for c in range(3):
                 dc = x[c:c + 1, :] - snap[c:c + 1, :]
@@ -639,7 +640,43 @@ class FusedSortedBAOAB:
                 self._sweep(x, L, valid, nblk_sm[0], refs,
                             track_activity=False)
 
-            vs[:, :] = v + (h2 * inv_m) * Fs[:, :]   # V
+            return x
+
+        # chunk start: wrap, snapshot, full tracked sweep
+        x0 = wrap(x_in[:])
+        xs[:, :] = x0
+        vs[:, :] = v_in[:]
+        snap[:, :] = x0
+        reb_sm[0] = jnp.int32(1)
+        self._sweep(x0, L, valid, jnp.int32(n_blocks), refs,
+                    track_activity=True)
+
+        h_R = self.h_R
+        h_V = self.h_V
+
+        def body(step, _):
+            x = xs[:, :]
+            v = vs[:, :]
+            stale = False
+            for tok in self.tokens:
+                if tok == "R":
+                    x = x + h_R * v
+                    stale = True
+                elif tok == "O":
+                    if self.ou_b != 0.0:
+                        v = (self.ou_a * v
+                             + (self.ou_b * sig_noise) * draw_noise())
+                    elif self.ou_a != 1.0:
+                        v = self.ou_a * v
+                else:  # V
+                    if stale:
+                        x = dispatch_sweep(x)
+                        stale = False
+                    v = v + (h_V * inv_m) * Fs[:, :]
+            if stale:
+                x = dispatch_sweep(x)
+            xs[:, :] = x
+            vs[:, :] = v
             return 0
 
         jax.lax.fori_loop(0, n_steps, body, 0)
@@ -788,3 +825,7 @@ class FusedSortedBAOAB:
         xo, vo, fo, uo, stats = fn(x, v, box, kT, seed)
         self.last_stats = stats  # (rebuild count, summed window bounds)
         return xo, vo, fo, uo, key
+
+
+# backward-compatible name (tokens default to BAOAB)
+FusedSortedBAOAB = FusedSortedLangevin

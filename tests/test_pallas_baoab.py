@@ -156,3 +156,47 @@ def test_sorted_kernel_trajectory_matches_dense_kernel():
     assert float(jnp.max(jnp.abs(xd - xs))) < 1e-5
     assert float(jnp.max(jnp.abs(vd - vs))) < 1e-4
     assert abs(float(ud - us)) <= 1e-4 * abs(float(ud))
+
+
+@pytest.mark.parametrize("splitting", ["O V R V O", "V R R O R R V",
+                                       "V R V"])
+def test_sorted_kernel_generic_splittings(splitting):
+    """The generalized fused kernel reproduces the XLA splitting program
+    for VVVR / g-BAOAB / velocity-Verlet token sequences (gamma=0 for
+    determinism; one sweep per step regardless of splitting)."""
+    from openmmtools_tpu.ops.pallas_baoab import FusedSortedLangevin
+    from openmmtools_tpu.integrators import LangevinIntegrator
+    from openmmtools_tpu.integrators.minimize import fire_minimize
+
+    n = 256
+    f, p = _fluid(n)
+    box = f.system.default_box
+    L = float(np.asarray(box)[0, 0])
+    xmin = fire_minimize(f.system, f.sampler_state().positions, box)
+    if isinstance(xmin, tuple):
+        xmin = xmin[0]
+    v0 = jnp.zeros((n, 3), jnp.float32)
+    kT = 0.008314462618 * 120.0
+
+    integ = LangevinIntegrator(temperature=120.0, collision_rate=0.0,
+                               timestep=0.002, splitting=splitting,
+                               neighborlist=None, sweep=None)
+    bound = integ.bind(f.system)
+    st = bound.initial_state(
+        SamplerState(positions=xmin, velocities=v0, box_vectors=box),
+        jax.random.PRNGKey(0))
+    st = bound.run(st, 25)
+
+    k = FusedSortedLangevin(n, p["cutoff"], p["switch_width"], p["sigma"],
+                            p["epsilon"], p["mass"], timestep=0.002,
+                            collision_rate=0.0, interpret=True,
+                            tokens=tuple(splitting.split()))
+    xo, vo, _, U, _ = k.run(xmin, v0, box, kT, jax.random.PRNGKey(0), 25)
+    dxa = jnp.abs((xo % L) - (st.positions % L))
+    dx = float(jnp.min(jnp.stack([dxa, jnp.abs(dxa - L)]), axis=0).max())
+    dv = float(jnp.max(jnp.abs(vo - st.velocities)))
+    v_scale = float(jnp.max(jnp.abs(st.velocities))) + 1e-6
+    assert dx < 5e-4, (splitting, dx)
+    assert dv < 5e-3 * v_scale, (splitting, dv)
+    assert abs(float(U - st.potentials[0])) <= \
+        2e-4 * abs(float(st.potentials[0]))

@@ -110,3 +110,39 @@ def test_ideal_gas_volume_expectation():
     v_expected = gas.get_volume_expectation(state)
     # <V> = (N+1) kT / p should be close to the initialized V = N kT / p
     assert np.isclose(v_expected, gas.volume0 * (64 + 1) / 64, rtol=1e-6)
+
+
+# ---------------------------------------------------------------------------
+# energy-pin regressions for the molecular prmtop systems
+# ---------------------------------------------------------------------------
+
+# Initial-configuration total potential energies (kJ/mol), pinned from this
+# framework's own CPU f32 evaluation. These are REGRESSION pins (catching
+# force-field/loader/energy-path changes), not external oracles — the
+# environment ships no OpenMM to cross-validate against; TPU evaluation of
+# the same systems agrees within ~1e-3 rel (matmul rounding).
+_ENERGY_PINS = {
+    "AlanineDipeptideVacuum": -88.35,
+    "AlanineDipeptideImplicit": -137.71,
+    "AlanineDipeptideExplicit": -24654.43,
+    "TolueneImplicit": 10.72,
+    "HostGuestVacuum": -2506.99,
+    "HostGuestImplicit": -3088.39,
+    "LysozymeImplicit": -25583.18,
+    "MethanolBox": 1277.07,
+}
+
+
+@pytest.mark.parametrize("name", sorted(_ENERGY_PINS))
+def test_energy_pins(name):
+    cls = getattr(models.testsystems, name)
+    ts = cls()
+    ss = ts.sampler_state()
+    box = ss.box_vectors if ss.box_vectors is not None \
+        else ts.system.default_box
+    import jax
+
+    u = float(jax.jit(lambda x, b, s: s.energy(x, b))(
+        ss.positions, box, ts.system))
+    pin = _ENERGY_PINS[name]
+    assert abs(u - pin) < max(2e-3 * abs(pin), 1.0), (name, u, pin)
