@@ -55,7 +55,8 @@ class MultiStateReporter:
 
     def __init__(self, storage: str, checkpoint_interval: int = 50,
                  checkpoint_storage: Optional[str] = None,
-                 analysis_particle_indices=()):
+                 analysis_particle_indices=(),
+                 analysis_velocities: bool = False):
         base, ext = os.path.splitext(storage)
         if not ext:
             storage = base + ".h5"
@@ -66,6 +67,9 @@ class MultiStateReporter:
         self.checkpoint_interval = checkpoint_interval
         self.analysis_particle_indices = np.asarray(
             analysis_particle_indices, dtype=np.int64)
+        # also store per-iteration velocities of the analysis subset
+        # (reference multistatereporter velocity storage option)
+        self.analysis_velocities = bool(analysis_velocities)
         self._analysis = None
         self._checkpoint = None
 
@@ -205,6 +209,13 @@ class MultiStateReporter:
 
         def describe(move):
             d = {"type": type(move).__name__}
+            # container moves serialize recursively (reference stores
+            # nested move dicts, multistatereporter.py:795-824)
+            if hasattr(move, "move_list"):
+                d["move_list"] = [describe(m) for m in move.move_list]
+            if hasattr(move, "move_set"):
+                d["move_set"] = [[describe(m), float(w)]
+                                 for m, w in move.move_set]
             for attr in ("n_steps", "timestep", "collision_rate", "splitting",
                          "reassign_velocities", "n_restart_attempts",
                          "n_inner_steps", "displacement_sigma"):
@@ -229,6 +240,10 @@ class MultiStateReporter:
             import inspect
 
             cls = getattr(mcmc_module, d.pop("type"))
+            if "move_list" in d:
+                d["move_list"] = [build(m) for m in d["move_list"]]
+            if "move_set" in d:
+                d["move_set"] = [(build(m), w) for m, w in d["move_set"]]
             accepted = set()
             for klass in cls.__mro__:
                 init = klass.__dict__.get("__init__")
@@ -258,13 +273,20 @@ class MultiStateReporter:
         return ds
 
     def write_iteration(self, iteration: int, energies, replica_states,
-                        n_accepted, n_proposed, analysis_positions=None):
+                        n_accepted, n_proposed, analysis_positions=None,
+                        analysis_velocities=None):
         """energies[iteration, replica, state] in kT + states + mixing
-        statistics (:865-930 schema). ``analysis_positions``: per-iteration
-        coordinates of the analysis particle subset (:111)."""
+        statistics (:865-930 schema). ``analysis_positions``/
+        ``analysis_velocities``: per-iteration coordinates/velocities of
+        the analysis particle subset (:111)."""
         if analysis_positions is not None:
             self._write_frame(self._analysis, "analysis_positions", iteration,
                               np.asarray(analysis_positions, dtype=np.float32))
+        if analysis_velocities is not None:
+            self._write_frame(self._analysis, "analysis_velocities",
+                              iteration,
+                              np.asarray(analysis_velocities,
+                                         dtype=np.float32))
         self._write_frame(self._analysis, "energies", iteration,
                           np.asarray(energies, dtype=np.float64))
         self._write_frame(self._analysis, "states", iteration,
@@ -284,6 +306,12 @@ class MultiStateReporter:
 
     def read_replica_states(self, iteration):
         return self._analysis["states"][iteration]
+
+    def read_analysis_velocities(self, iterations=None):
+        ds = self._analysis.get("analysis_velocities")
+        if ds is None:
+            return None
+        return ds[...] if iterations is None else ds[iterations]
 
     def read_analysis_positions(self, iterations=None):
         ds = self._analysis.get("analysis_positions")

@@ -647,6 +647,7 @@ class MultiStateSampler:
         self._state_history.append(s.copy())
         if self._reporter is not None:
             analysis_positions = None
+            analysis_velocities = None
             idx = getattr(self._reporter, "analysis_particle_indices", None)
             if idx is not None and len(idx) and allow_checkpoint:
                 # the live carry positions only match the final iteration
@@ -654,13 +655,17 @@ class MultiStateSampler:
                 # than store wrong coordinates
                 analysis_positions = np.asarray(
                     self._carry.positions)[:, np.asarray(idx)]
+                if getattr(self._reporter, "analysis_velocities", False):
+                    analysis_velocities = np.asarray(
+                        self._carry.velocities)[:, np.asarray(idx)]
             if mixing is None:
                 mixing = (np.asarray(self._carry.n_accepted),
                           np.asarray(self._carry.n_proposed))
             self._reporter.write_iteration(
                 iteration=self._iteration, energies=u, replica_states=s,
                 n_accepted=mixing[0], n_proposed=mixing[1],
-                analysis_positions=analysis_positions)
+                analysis_positions=analysis_positions,
+                analysis_velocities=analysis_velocities)
             if allow_checkpoint and \
                     self._iteration % self._checkpoint_interval() == 0:
                 self._reporter.write_checkpoint(

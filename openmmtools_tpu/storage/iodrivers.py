@@ -166,6 +166,19 @@ class HDF5IODriver(StorageIODriver):
     def __contains__(self, path: str):
         return path in self._h5
 
+    def set_metadata(self, path: str, name: str, value):
+        """Attach metadata to a variable or group (reference
+        iodrivers.py add_metadata semantics; HDF5 attributes)."""
+        node = self._h5[path] if path in self._h5 else \
+            self._h5.require_group(path)
+        node.attrs[name] = value
+
+    def get_metadata(self, path: str, name: Optional[str] = None):
+        node = self._h5[path]
+        if name is None:
+            return dict(node.attrs)
+        return node.attrs[name]
+
     def sync(self):
         self._h5.flush()
 

@@ -42,6 +42,12 @@ class _StorageNode:
     def read(self):
         return self._interface.storage_driver.read(self._path)
 
+    def add_metadata(self, name: str, value):
+        self._interface.storage_driver.set_metadata(self._path, name, value)
+
+    def get_metadata(self, name: Optional[str] = None):
+        return self._interface.storage_driver.get_metadata(self._path, name)
+
     def read_appended(self, index: Optional[int] = None):
         return self._interface.storage_driver.read_appended(self._path, index)
 

@@ -342,3 +342,115 @@ def test_alchemical_gb_multi_region_raises():
                AlchemicalRegion(alchemical_atoms=[1], name="b")]
     with pytest.raises(AlchemyError):
         factory.create_alchemical_system(system, regions)
+
+
+# ---------------------------------------------------------------------------
+# energy dissection against an independent numpy oracle
+# (reference tests/test_alchemy.py:275 dissect_nonbonded_energy analog)
+# ---------------------------------------------------------------------------
+
+
+def _charged_cluster():
+    """6-particle vacuum cluster with LJ + charges, no cutoff."""
+    from openmmtools_tpu.system import NonbondedTerm, System, no_constraints
+
+    rng = np.random.default_rng(7)
+    n = 6
+    x = jnp.asarray(rng.uniform(0.0, 1.2, (n, 3)).astype(np.float32))
+    q = np.array([0.3, -0.3, 0.25, -0.25, 0.2, -0.2], np.float32)
+    sig = np.full(n, 0.31, np.float32)
+    eps = np.full(n, 0.6, np.float32)
+    nb = NonbondedTerm(
+        charge=jnp.asarray(q), sigma=jnp.asarray(sig),
+        epsilon=jnp.asarray(eps),
+        exception_index=jnp.zeros((0, 2), jnp.int32),
+        exception_chargeprod=jnp.zeros((0,), jnp.float32),
+        exception_sigma=jnp.zeros((0,), jnp.float32),
+        exception_epsilon=jnp.zeros((0,), jnp.float32),
+        method="no_cutoff")
+    system = System(masses=jnp.ones((n,), jnp.float32), terms=(nb,),
+                    constraints=no_constraints())
+    return system, x, q, sig, eps
+
+
+def _oracle_pair(r, qq, sig, eps, lam_st, lam_el, alpha=0.5):
+    """Reference softcore forms (alchemy.py:1383-1424), numpy f64.
+
+    sterics U = lam 4 eps x(x-1), x = 1/(alpha(1-lam) + (r/sig)^6);
+    electrostatics (beta=0): U = lam ke qq / r.
+    """
+    ke = 138.93545764438198
+    x6 = 1.0 / (alpha * (1.0 - lam_st) + (r / sig) ** 6)
+    u_lj = lam_st * 4.0 * eps * x6 * (x6 - 1.0)
+    return u_lj + lam_el * ke * qq / r
+
+
+@pytest.mark.parametrize("lam", [0.0, 0.3, 0.7, 1.0])
+def test_energy_dissection_single_region(lam):
+    """The unified lambda-matrix term equals a per-pair-class numpy sum:
+    nn standard, na softcore(lam), aa-same-region sterics FULL
+    (annihilate_sterics=False default) + electrostatics softcore(lam)
+    (annihilate_electrostatics=True default)."""
+    system, x, q, sig, eps = _charged_cluster()
+    alch = _alchemical(system, [2, 3])
+    params = {"lambda_sterics": lam, "lambda_electrostatics": lam}
+    u = float(alch.energy(x, None, params))
+
+    xn = np.asarray(x, np.float64)
+    expected = 0.0
+    alch_set = {2, 3}
+    for i in range(6):
+        for j in range(i + 1, 6):
+            r = float(np.linalg.norm(xn[i] - xn[j]))
+            s_ij = 0.5 * (sig[i] + sig[j])
+            e_ij = float(np.sqrt(eps[i] * eps[j]))
+            qq = float(q[i] * q[j])
+            n_alch = (i in alch_set) + (j in alch_set)
+            if n_alch == 0:
+                l_st = l_el = 1.0
+            elif n_alch == 1:
+                l_st = l_el = lam
+            else:  # aa same region
+                l_st, l_el = 1.0, lam
+            expected += _oracle_pair(r, qq, s_ij, e_ij, l_st, l_el)
+    assert np.isclose(u, expected, rtol=5e-5), (lam, u, expected)
+
+
+@pytest.mark.parametrize("lams", [(0.5, 0.8), (0.2, 1.0), (1.0, 1.0)])
+def test_energy_dissection_two_regions_cross_rule(lams):
+    """Cross-region pairs scale with lambda_A * lambda_B when interactions
+    are declared (alchemy.py:1693-1720 suffix-product rule)."""
+    lam_a, lam_b = lams
+    system, x, q, sig, eps = _charged_cluster()
+    factory = AbsoluteAlchemicalFactory()
+    regions = [AlchemicalRegion(alchemical_atoms=[2, 3], name="a"),
+               AlchemicalRegion(alchemical_atoms=[4, 5], name="b")]
+    alch = factory.create_alchemical_system(
+        system, regions, alchemical_region_interactions={("a", "b")})
+    params = {"lambda_sterics_a": lam_a, "lambda_electrostatics_a": lam_a,
+              "lambda_sterics_b": lam_b, "lambda_electrostatics_b": lam_b}
+    u = float(alch.energy(x, None, params))
+
+    xn = np.asarray(x, np.float64)
+    region = {2: "a", 3: "a", 4: "b", 5: "b"}
+    lam_of = {"a": lam_a, "b": lam_b}
+    expected = 0.0
+    for i in range(6):
+        for j in range(i + 1, 6):
+            r = float(np.linalg.norm(xn[i] - xn[j]))
+            s_ij = 0.5 * (sig[i] + sig[j])
+            e_ij = float(np.sqrt(eps[i] * eps[j]))
+            qq = float(q[i] * q[j])
+            ri, rj = region.get(i), region.get(j)
+            if ri is None and rj is None:
+                l_st = l_el = 1.0
+            elif ri is None or rj is None:
+                l = lam_of[ri or rj]
+                l_st = l_el = l
+            elif ri == rj:
+                l_st, l_el = 1.0, lam_of[ri]
+            else:  # cross-region: product rule
+                l = lam_of[ri] * lam_of[rj]
+                l_st = l_el = l
+            expected += _oracle_pair(r, qq, s_ij, e_ij, l_st, l_el)
+    assert np.isclose(u, expected, rtol=5e-5), (lams, u, expected)

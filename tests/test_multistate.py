@@ -538,3 +538,79 @@ def test_batched_iterations_match_single(tmp_path):
     np.testing.assert_array_equal(s1, s4)
     np.testing.assert_allclose(u1, u4, rtol=0, atol=0)
     assert smp4.iteration == 8
+
+
+def test_reporter_variable_type_round_trips(tmp_path):
+    """Every reporter variable family round-trips (reference
+    tests/test_sampling.py:488-1020 per-type reporter coverage)."""
+    from openmmtools_tpu.mcmc import (
+        LangevinDynamicsMove,
+        MCDisplacementMove,
+        SequenceMove,
+    )
+
+    rep = MultiStateReporter(str(tmp_path / "types.h5"),
+                             checkpoint_interval=2)
+    rep.open("w")
+    # options: heterogeneous python types
+    options = {"number_of_iterations": 7, "online_analysis_interval": None,
+               "locality": 3, "target_error": 0.25, "flag": True,
+               "name": "remd"}
+    rep.write_options(options)
+    got = rep.read_options()
+    for k, v in options.items():
+        assert got[k] == v, (k, got[k], v)
+
+    # mcmc moves (nested container) as yaml dicts
+    moves = SequenceMove([
+        LangevinDynamicsMove(timestep=0.002, collision_rate=5.0, n_steps=10),
+        MCDisplacementMove(displacement_sigma=0.1),
+    ])
+    rep.write_mcmc_moves(moves)
+    got_moves = rep.read_mcmc_moves()
+    assert type(got_moves).__name__ == "SequenceMove"
+    assert type(got_moves.move_list[0]).__name__ == "LangevinDynamicsMove"
+    assert got_moves.move_list[0].n_steps == 10
+    assert np.isclose(got_moves.move_list[1].displacement_sigma, 0.1)
+
+    # per-iteration arrays + slicing
+    for it in range(4):
+        rep.write_iteration(
+            iteration=it, energies=np.full((3, 4), float(it)),
+            replica_states=np.arange(3) + it,
+            n_accepted=np.eye(3, dtype=int) * it,
+            n_proposed=np.ones((3, 3), int))
+    u_all, s_all = rep.read_energies()
+    assert u_all.shape == (4, 3, 4) and s_all.shape == (4, 3)
+    u_slice, s_slice = rep.read_energies(slice(1, 3))
+    np.testing.assert_array_equal(u_slice, u_all[1:3])
+    acc, prop = rep.read_mixing_statistics(2)
+    assert acc[0, 0] == 2 and prop[1, 2] == 1
+
+    # checkpoint incl. box vectors + resume point
+    x = np.random.default_rng(0).normal(size=(3, 5, 3)).astype(np.float32)
+    v = x * 0.1
+    box = np.diag([2.0, 2.0, 2.0]).astype(np.float32)
+    rep.write_checkpoint(iteration=2, positions=x, velocities=v,
+                         box_vectors=np.stack([box] * 3))
+    rep.write_last_iteration(3)
+    ck = rep.read_checkpoint(3)
+    assert ck["iteration"] == 2
+    np.testing.assert_allclose(ck["positions"], x)
+    np.testing.assert_allclose(ck["velocities"], v)
+    assert rep.read_last_iteration() in (2, 3)
+
+    # online analysis arrays
+    rep.write_online_analysis(3, np.array([0.0, 1.5, 3.0, 4.2]), 0.07)
+    online = rep.read_online_analysis()
+    assert np.isclose(online["err_free_energy"], 0.07)
+    np.testing.assert_allclose(online["f_k"], [0.0, 1.5, 3.0, 4.2])
+
+    # real-time timing YAML
+    rep.write_timing(3, {"iteration_seconds": 0.5, "ns_per_day": 12.0})
+    import glob
+    import os
+
+    yamls = glob.glob(os.path.join(str(tmp_path), "*.yaml"))
+    assert yamls, "real-time YAML not written"
+    rep.close()

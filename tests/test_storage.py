@@ -69,3 +69,55 @@ def test_driver_introspection(tmp_path):
     assert sorted(d.variables("grp")) == ["a", "b"]
     assert "grp/a" in d
     d.close()
+
+
+def test_metadata_round_trip(tmp_path):
+    """Variable/group metadata (reference iodrivers add_metadata)."""
+    from openmmtools_tpu.storage import StorageInterface
+
+    si = StorageInterface(str(tmp_path / "meta.h5"))
+    si.data.myvar.write([1.0, 2.0, 3.0])
+    si.data.myvar.add_metadata("units", "kJ/mol")
+    si.data.add_metadata("created_by", "test")
+    assert si.data.myvar.get_metadata("units") == "kJ/mol"
+    assert si.data.get_metadata()["created_by"] == "test"
+    si.close()
+    si2 = StorageInterface(str(tmp_path / "meta.h5"))
+    assert si2.data.myvar.get_metadata("units") == "kJ/mol"
+    si2.close()
+
+
+def test_analysis_velocities_round_trip(tmp_path):
+    """Reporter stores per-iteration analysis-subset velocities when
+    requested (reference velocity-storage option)."""
+    import jax
+    import numpy as np
+
+    from openmmtools_tpu.mcmc import LangevinDynamicsMove
+    from openmmtools_tpu.models import HarmonicOscillator
+    from openmmtools_tpu.multistate import (
+        MultiStateReporter,
+        ReplicaExchangeSampler,
+    )
+    from openmmtools_tpu.states import (
+        SamplerState,
+        create_thermodynamic_state_protocol,
+    )
+
+    ho = HarmonicOscillator(K=100.0)
+    states = create_thermodynamic_state_protocol(
+        ho.thermodynamic_state(300.0),
+        protocol={"testsystems_HarmonicOscillator_K": [100.0, 200.0]})
+    rep = MultiStateReporter(str(tmp_path / "av.h5"), checkpoint_interval=10,
+                             analysis_particle_indices=[0],
+                             analysis_velocities=True)
+    sampler = ReplicaExchangeSampler(
+        mcmc_moves=LangevinDynamicsMove(timestep=0.002, collision_rate=5.0,
+                                        n_steps=2),
+        number_of_iterations=4, online_analysis_interval=None, rng_seed=3)
+    sampler.create(states, SamplerState(positions=ho.positions), storage=rep)
+    sampler.run()
+    v = rep.read_analysis_velocities()
+    assert v is not None and v.shape[0] >= 4 and v.shape[2] == 1
+    assert np.all(np.isfinite(v[1:]))
+    rep.close()
