@@ -25,12 +25,54 @@ logger = logging.getLogger(__name__)
 
 
 class ObservablesRegistry:
-    """Registry mapping observables to their error-propagation rules
-    (multistateanalyzer.py:106-355, simplified)."""
+    """Registry mapping observables to how they are defined and how their
+    errors propagate when phases are combined
+    (multistateanalyzer.py:106-355).
 
-    observables_defined_by_two_states = ("free_energy", "entropy", "enthalpy")
-    observables_defined_by_single_state = ()
-    observables_defined_by_phase = ()
+    Observables register under one of three definitions — two-state
+    (depends on a pair of thermodynamic states: ΔF), single-state (one
+    state: ⟨O⟩_k), or phase (one number for the whole phase) — with an
+    error class: 'quad' (independent errors add in quadrature, the MBAR
+    case) or 'linear' (correlated errors add linearly).
+    """
+
+    def __init__(self):
+        self._two_state: Dict[str, Optional[str]] = {}
+        self._one_state: Dict[str, Optional[str]] = {}
+        self._phase: Dict[str, Optional[str]] = {}
+        for name in ("free_energy", "entropy", "enthalpy"):
+            self.register_two_state_observable(name, error_class="quad")
+
+    # -- registration (multistateanalyzer.py:141-203) -----------------------
+    def register_two_state_observable(self, name, error_class=None):
+        self._check_error_class(error_class)
+        self._two_state[name] = error_class
+
+    def register_one_state_observable(self, name, error_class=None):
+        self._check_error_class(error_class)
+        self._one_state[name] = error_class
+
+    def register_phase_observable(self, name, error_class=None):
+        self._check_error_class(error_class)
+        self._phase[name] = error_class
+
+    @staticmethod
+    def _check_error_class(error_class):
+        if error_class not in (None, "quad", "linear"):
+            raise ValueError(f"unknown error class {error_class!r}")
+
+    # -- queries ------------------------------------------------------------
+    @property
+    def observables_defined_by_two_states(self):
+        return tuple(self._two_state)
+
+    @property
+    def observables_defined_by_single_state(self):
+        return tuple(self._one_state)
+
+    @property
+    def observables_defined_by_phase(self):
+        return tuple(self._phase)
 
     @property
     def observables(self):
@@ -38,8 +80,61 @@ class ObservablesRegistry:
                 + self.observables_defined_by_single_state
                 + self.observables_defined_by_phase)
 
+    @property
+    def observables_with_error(self):
+        return tuple(n for d in (self._two_state, self._one_state,
+                                 self._phase)
+                     for n, e in d.items() if e is not None)
+
+    def error_class(self, name):
+        for d in (self._two_state, self._one_state, self._phase):
+            if name in d:
+                return d[name]
+        raise KeyError(name)
+
+    def propagate_error(self, name, errors):
+        """Combine per-phase errors per the observable's error class."""
+        errors = [e for e in errors if e is not None]
+        if not errors:
+            return None
+        cls = self.error_class(name)
+        if cls == "linear":
+            return sum(errors)
+        return np.sqrt(sum(np.asarray(e) ** 2 for e in errors))
+
 
 default_observables_registry = ObservablesRegistry()
+
+
+class CachedProperty:
+    """Dependency-aware cached value descriptor
+    (multistateanalyzer.py:366-444): invalidating a node invalidates all
+    transitive dependents, so e.g. changing ``max_n_iterations`` discards
+    the energies AND everything computed from them, while invalidating
+    only the MBAR input keeps the (expensive) equilibration detection.
+    """
+
+    #: name -> direct dependencies (the analyzer's pipeline DAG)
+    DEPENDENCIES = {
+        "energies": (),
+        "equil": ("energies",),
+        "restraint_distances": ("energies",),
+        "mbar_input": ("equil", "restraint_distances"),
+        "mbar": ("mbar_input",),
+    }
+
+    @classmethod
+    def dependents_of(cls, name):
+        out = set()
+        frontier = {name}
+        while frontier:
+            nxt = set()
+            for key, deps in cls.DEPENDENCIES.items():
+                if key not in out and frontier & set(deps):
+                    nxt.add(key)
+            out |= nxt
+            frontier = nxt
+        return out
 
 
 class PhaseAnalyzer:
@@ -47,18 +142,37 @@ class PhaseAnalyzer:
 
     def __init__(self, reporter, name: Optional[str] = None,
                  max_n_iterations: Optional[int] = None,
-                 analysis_kwargs=None):
+                 analysis_kwargs=None,
+                 registry: Optional[ObservablesRegistry] = None):
         self._reporter = reporter
         self.name = name or "phase"
-        self.max_n_iterations = max_n_iterations
+        self._max_n_iterations = max_n_iterations
+        self.registry = registry or default_observables_registry
         self._cache: Dict[str, object] = {}
 
     @property
     def reporter(self):
         return self._reporter
 
+    @property
+    def max_n_iterations(self):
+        return self._max_n_iterations
+
+    @max_n_iterations.setter
+    def max_n_iterations(self, value):
+        if value != self._max_n_iterations:
+            self._max_n_iterations = value
+            self.invalidate("energies")
+
     def clear(self):
         self._cache.clear()
+
+    def invalidate(self, key):
+        """Drop ``key`` and every cache entry that depends on it
+        (CachedProperty invalidation graph, multistateanalyzer.py:366)."""
+        stale = {key} | CachedProperty.dependents_of(key)
+        for k in stale:
+            self._cache.pop(k, None)
 
     def _invalidate(self):
         self.clear()
@@ -380,20 +494,33 @@ class ParallelTemperingAnalyzer(MultiStateSamplerAnalyzer):
 
 
 class MultiPhaseAnalyzer:
-    """Combine phases with +/- signs (multistateanalyzer.py:2224, simplified):
-    observables sum over phases with the given signs and errors add in
-    quadrature."""
+    """Combine phases with +/- signs (multistateanalyzer.py:2224):
+    observables sum over phases with the given signs; error combination
+    follows the observable's registered error class (quadrature for
+    MBAR-class observables, linear for correlated ones)."""
 
     def __init__(self, phases: Dict[str, MultiStateSamplerAnalyzer],
-                 signs: Dict[str, int]):
+                 signs: Dict[str, int],
+                 registry: Optional[ObservablesRegistry] = None):
         self.phases = phases
         self.signs = signs
+        self.registry = registry or default_observables_registry
+
+    def _combine(self, observable):
+        total, errs = 0.0, []
+        getter = f"get_{observable}"
+        for name, phase in self.phases.items():
+            val, err = getattr(phase, getter)()
+            i, j = 0, val.shape[0] - 1
+            total += self.signs[name] * val[i, j]
+            errs.append(err[i, j])
+        return total, self.registry.propagate_error(observable, errs)
 
     def get_free_energy(self):
-        total, var = 0.0, 0.0
-        for name, phase in self.phases.items():
-            df, ddf = phase.get_free_energy()
-            i, j = 0, df.shape[0] - 1
-            total += self.signs[name] * df[i, j]
-            var += ddf[i, j] ** 2
-        return total, np.sqrt(var)
+        return self._combine("free_energy")
+
+    def get_enthalpy(self):
+        return self._combine("enthalpy")
+
+    def get_entropy(self):
+        return self._combine("entropy")

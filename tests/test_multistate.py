@@ -614,3 +614,52 @@ def test_reporter_variable_type_round_trips(tmp_path):
     yamls = glob.glob(os.path.join(str(tmp_path), "*.yaml"))
     assert yamls, "real-time YAML not written"
     rep.close()
+
+
+def test_observables_registry_and_cache_invalidation():
+    """Full ObservablesRegistry (registration, error classes, propagation)
+    + CachedProperty dependency-graph invalidation
+    (multistateanalyzer.py:106-444)."""
+    from openmmtools_tpu.multistate.analyzer import (
+        CachedProperty,
+        ObservablesRegistry,
+    )
+
+    reg = ObservablesRegistry()
+    assert set(reg.observables_defined_by_two_states) == {
+        "free_energy", "entropy", "enthalpy"}
+    reg.register_one_state_observable("volume", error_class="linear")
+    reg.register_phase_observable("standard_state_correction")
+    assert "volume" in reg.observables
+    assert reg.error_class("volume") == "linear"
+    assert np.isclose(reg.propagate_error("volume", [0.1, 0.2]), 0.3)
+    assert np.isclose(reg.propagate_error("free_energy", [3.0, 4.0]), 5.0)
+    assert "standard_state_correction" not in reg.observables_with_error
+    with pytest.raises(ValueError):
+        reg.register_phase_observable("bad", error_class="cubic")
+
+    # invalidation cascades along the pipeline DAG
+    deps = CachedProperty.dependents_of("energies")
+    assert {"equil", "mbar_input", "mbar"} <= deps
+    assert "energies" not in deps
+    assert CachedProperty.dependents_of("mbar_input") == {"mbar"}
+
+
+def test_analyzer_invalidate_on_max_iterations(tmp_path):
+    ho, states = _make_states()
+    reporter = MultiStateReporter(str(tmp_path / "inval.h5"),
+                                  checkpoint_interval=50)
+    sampler = ReplicaExchangeSampler(
+        mcmc_moves=_move(), number_of_iterations=40,
+        online_analysis_interval=None, rng_seed=5)
+    sampler.create(states, SamplerState(positions=ho.positions),
+                   storage=reporter)
+    sampler.run()
+    analyzer = MultiStateSamplerAnalyzer(reporter)
+    assert analyzer.n_iterations == 40
+    f_all, _ = analyzer.get_free_energy()
+    analyzer.max_n_iterations = 20          # invalidates the whole chain
+    assert analyzer.n_iterations == 20
+    f_half, _ = analyzer.get_free_energy()
+    assert f_half.shape == f_all.shape
+    reporter.close()
