@@ -160,6 +160,15 @@ class AlchemicalNonbondedTerm:
     # 'exact' PME treatment: electrostatics by per-particle linear charge
     # scaling (matching the reciprocal-space scaling) instead of softcore
     exact_electrostatics: bool = static_field(default=False)
+    # 'coulomb' PME treatment (alchemy.py pme_treatment='coulomb'):
+    # alchemically-involved pairs use the plain Coulomb kernel in direct
+    # space (reciprocal space sees zero alchemical charge)
+    coulomb_pme_treatment: bool = static_field(default=False)
+    # reaction-field variant: 'switched' uses the unshifted (c_rf=0) RF
+    # with the quintic switch on the whole pair energy
+    # (alchemy.py:750-752 replace_reaction_field semantics)
+    shift_rf: bool = static_field(default=True)
+    switch_coulomb: bool = static_field(default=False)
     # softcore constants (region 0's; shared across regions)
     softcore_alpha: float = static_field(default=0.5)
     softcore_a: float = static_field(default=1.0)
@@ -241,6 +250,7 @@ class AlchemicalNonbondedTerm:
         eps_ij = jnp.sqrt(self.epsilon[:, None] * self.epsilon[None, :])
         qq_ij = self.charge[:, None] * self.charge[None, :]
 
+        involved = (rid_i >= 0) | (rid_j >= 0)
         e_lj = self._sterics(r2, sig_ij, eps_ij, lam_s)
         if self.switch_width is not None and self.cutoff is not None:
             e_lj = e_lj * nb_ops.switch_factor(r, self.cutoff - self.switch_width,
@@ -255,7 +265,12 @@ class AlchemicalNonbondedTerm:
                 r, qq_scaled, self.method, cutoff=self.cutoff,
                 dielectric=self.dielectric, alpha=self.ewald_alpha)
         else:
-            e_coul = self._electrostatics(r, qq_ij, sig_ij, lam_e)
+            e_coul = self._electrostatics(r, qq_ij, sig_ij, lam_e,
+                                          involved=involved)
+        if (self.switch_coulomb and self.switch_width is not None
+                and self.cutoff is not None):
+            e_coul = e_coul * nb_ops.switch_factor(
+                r, self.cutoff - self.switch_width, self.cutoff)
         e = jnp.sum(jnp.where(mask, e_lj + e_coul, 0.0))
 
         # exceptions replace the combination-rule interaction (subtract the
@@ -313,12 +328,21 @@ class AlchemicalNonbondedTerm:
                               a=self.softcore_a, b=self.softcore_b,
                               c=self.softcore_c)
 
-    def _electrostatics(self, r, qq, sig, lam):
-        return sc.softcore_coulomb(
+    def _electrostatics(self, r, qq, sig, lam, involved=None):
+        e = sc.softcore_coulomb(
             r, qq, sig, lam, method=self.method, cutoff=self.cutoff,
             dielectric=self.dielectric, ewald_alpha=self.ewald_alpha,
             beta=self.softcore_beta, d=self.softcore_d, e=self.softcore_e,
-            f=self.softcore_f)
+            f=self.softcore_f, shift_rf=self.shift_rf)
+        if self.coulomb_pme_treatment and involved is not None:
+            # 'coulomb' treatment: alchemically-involved pairs use the
+            # plain Coulomb kernel instead of erfc direct space
+            e_plain = sc.softcore_coulomb(
+                r, qq, sig, lam, method="no_cutoff",
+                beta=self.softcore_beta, d=self.softcore_d,
+                e=self.softcore_e, f=self.softcore_f)
+            e = jnp.where(involved, e_plain, e)
+        return e
 
     def _dispersion_correction(self, box, lam_s):
         """Exact lambda-weighted analytic tail: softcore tail -> lam^a x
@@ -422,8 +446,12 @@ class AbsoluteAlchemicalFactory:
     (AbsoluteAlchemicalFactory, alchemy.py:496,637).
 
     Options mirror the reference (alchemy.py:626-635):
-    ``alchemical_pme_treatment`` in {'direct-space'} ('exact'/'coulomb'
-    pending PME reciprocal support), ``disable_alchemical_dispersion_
+    ``alchemical_pme_treatment`` in {'direct-space', 'exact', 'coulomb'}
+    (exact: linear per-particle charge scaling through reciprocal space;
+    coulomb: plain-Coulomb direct space for alchemical pairs, zero
+    alchemical charge in reciprocal space), ``alchemical_rf_treatment``
+    in {'switched', 'shifted'} (switched: c_rf = 0 RF + quintic switch
+    on the whole pair energy), ``disable_alchemical_dispersion_
     correction``, ``switch_width`` override, ``split_alchemical_forces``
     (maps to a separate force group for the alchemical term).
     """
@@ -433,6 +461,15 @@ class AbsoluteAlchemicalFactory:
                  alchemical_rf_treatment="switched",
                  disable_alchemical_dispersion_correction=False,
                  split_alchemical_forces=True, switch_width=None):
+        if alchemical_pme_treatment not in ("direct-space", "exact",
+                                            "coulomb"):
+            raise AlchemyError(
+                f"unknown alchemical_pme_treatment "
+                f"{alchemical_pme_treatment!r}")
+        if alchemical_rf_treatment not in ("switched", "shifted"):
+            raise AlchemyError(
+                f"unknown alchemical_rf_treatment "
+                f"{alchemical_rf_treatment!r}")
         self.consistent_exceptions = consistent_exceptions
         self.alchemical_pme_treatment = alchemical_pme_treatment
         self.alchemical_rf_treatment = alchemical_rf_treatment
@@ -477,6 +514,14 @@ class AbsoluteAlchemicalFactory:
             if isinstance(term, NonbondedTerm):
                 terms.append(self._alchemical_nonbonded(
                     term, region_id, regions, suffix, interactions))
+            elif (isinstance(term, EwaldReciprocalTerm)
+                    and self.alchemical_pme_treatment == "coulomb"):
+                # 'coulomb' treatment: alchemical electrostatics is handled
+                # entirely by the plain-Coulomb direct-space expression;
+                # reciprocal space sees ZERO alchemical charge at every
+                # lambda (reference pme_treatment='coulomb' semantics)
+                mask = jnp.asarray((region_id >= 0).astype(np.float32))
+                terms.append(term.replace(charge=term.charge * (1.0 - mask)))
             elif (isinstance(term, EwaldReciprocalTerm)
                     and self.alchemical_pme_treatment == "exact"):
                 # exact-PME: lambda_electrostatics scales alchemical charges
@@ -525,8 +570,23 @@ class AbsoluteAlchemicalFactory:
             switch_width = self.switch_width
         exact = (self.alchemical_pme_treatment == "exact"
                  and term.method in ("pme", "ewald"))
+        coulomb = (self.alchemical_pme_treatment == "coulomb"
+                   and term.method in ("pme", "ewald"))
+        # 'switched' RF treatment: unshifted (c_rf = 0) reaction field
+        # with the quintic switch on the pair energy, applied to the
+        # whole unified term (the reference applies
+        # replace_reaction_field to the full system, alchemy.py:750-752)
+        switched_rf = (self.alchemical_rf_treatment == "switched"
+                       and term.method in ("cutoff_periodic",
+                                           "cutoff_nonperiodic"))
+        if switched_rf and switch_width is None:
+            # reference default switch width: 1 A (forcefactories.py:34)
+            switch_width = 0.1
         return AlchemicalNonbondedTerm(
             exact_electrostatics=exact,
+            coulomb_pme_treatment=coulomb,
+            shift_rf=not switched_rf,
+            switch_coulomb=switched_rf,
             charge=term.charge, sigma=term.sigma, epsilon=term.epsilon,
             region_id=jnp.asarray(region_id),
             exception_index=term.exception_index,

@@ -498,6 +498,19 @@ class LennardJonesFluid(TestSystem):
                            dispersion_correction and switch_width is None)
         self.shift = shift
         terms = (nb,)
+        if charge is not None and charge != 0.0:
+            # charged fluid: full PME — erfc direct space (alpha on the
+            # term) + reciprocal/self/exclusion term (reference
+            # testsystems.py:1872 uses NonbondedMethod PME when charged)
+            from openmmtools_tpu.ops.pme import (
+                ewald_alpha,
+                make_ewald_reciprocal_term,
+            )
+
+            nb = nb.replace(ewald_alpha=ewald_alpha(float(cutoff)))
+            terms = (nb, make_ewald_reciprocal_term(
+                np.asarray(nb.charge), float(length), float(cutoff),
+                np.zeros((0, 2), np.int64)))
         self.system = System(
             masses=_f32(np.full(nparticles, mass)), terms=terms,
             constraints=no_constraints(), default_box=box, periodic=True)

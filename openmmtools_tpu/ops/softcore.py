@@ -50,15 +50,19 @@ def softcore_reff_electrostatics(r, sigma, lam, *, beta=0.0, e=1.0, f=2.0):
 
 def softcore_coulomb(r, qq, sigma, lam, *, method="no_cutoff", cutoff=None,
                      dielectric=78.3, ewald_alpha=None,
-                     beta=0.0, d=1.0, e=1.0, f=2.0):
+                     beta=0.0, d=1.0, e=1.0, f=2.0, shift_rf=True):
     """Softcore Coulomb with the method-dependent kernel of the reference
-    (alchemy.py:1473-1537): plain 1/reff, reaction field in reff, or
-    erfc(alpha*reff)/reff for PME direct space."""
+    (alchemy.py:1473-1537): plain 1/reff, reaction field in reff (shifted,
+    or the c_rf = 0 'unshifted' variant used by the switched RF
+    treatment, alchemy.py:1473-1508), or erfc(alpha*reff)/reff for PME
+    direct space."""
     reff = softcore_reff_electrostatics(r, sigma, lam, beta=beta, e=e, f=f)
     if method in ("no_cutoff", "cutoff_nonperiodic_nocoulombmod"):
         g = 1.0 / reff
     elif method in ("cutoff_periodic", "cutoff_nonperiodic"):
         k_rf, c_rf = reaction_field_constants(cutoff, dielectric)
+        if not shift_rf:
+            c_rf = 0.0
         g = 1.0 / reff + k_rf * reff * reff - c_rf
     elif method in ("pme", "ewald"):
         g = jax.scipy.special.erfc(ewald_alpha * reff) / reff

@@ -454,3 +454,122 @@ def test_energy_dissection_two_regions_cross_rule(lams):
                 l_st = l_el = l
             expected += _oracle_pair(r, qq, s_ij, e_ij, l_st, l_el)
     assert np.isclose(u, expected, rtol=5e-5), (lams, u, expected)
+
+
+# ---------------------------------------------------------------------------
+# alchemical_rf_treatment / alchemical_pme_treatment='coulomb'
+# (reference alchemy.py:626-635 options; :750-752 / :1473-1537 semantics)
+# ---------------------------------------------------------------------------
+
+
+def _rf_cluster():
+    """Charged periodic cluster with cutoff_periodic (reaction field)."""
+    from openmmtools_tpu.system import NonbondedTerm, System, no_constraints
+
+    rng = np.random.default_rng(11)
+    n = 8
+    box_edge = 3.0
+    x = jnp.asarray(rng.uniform(0.0, box_edge, (n, 3)).astype(np.float32))
+    q = (rng.normal(size=n) * 0.3).astype(np.float32)
+    q -= q.mean()
+    nb = NonbondedTerm(
+        charge=jnp.asarray(q), sigma=jnp.full((n,), 0.3, jnp.float32),
+        epsilon=jnp.full((n,), 0.5, jnp.float32),
+        exception_index=jnp.zeros((0, 2), jnp.int32),
+        exception_chargeprod=jnp.zeros((0,), jnp.float32),
+        exception_sigma=jnp.zeros((0,), jnp.float32),
+        exception_epsilon=jnp.zeros((0,), jnp.float32),
+        method="cutoff_periodic", cutoff=1.2, switch_width=None)
+    system = System(masses=jnp.ones((n,), jnp.float32), terms=(nb,),
+                    constraints=no_constraints(),
+                    default_box=jnp.diag(jnp.full((3,), box_edge,
+                                                  jnp.float32)),
+                    periodic=True)
+    return system, x
+
+
+def test_rf_treatment_switched_matches_replace_reaction_field():
+    """rf_treatment='switched' at lambda=1 equals replace_reaction_field
+    applied to the reference system (the reference converts the whole
+    system, alchemy.py:750-752)."""
+    from openmmtools_tpu.forces import replace_reaction_field
+
+    system, x = _rf_cluster()
+    factory = AbsoluteAlchemicalFactory(alchemical_rf_treatment="switched")
+    alch = factory.create_alchemical_system(
+        system, AlchemicalRegion(alchemical_atoms=[0, 1]))
+    u_alch = float(alch.energy(x, system.default_box))
+    u_rf = float(replace_reaction_field(system).energy(x,
+                                                       system.default_box))
+    assert np.isclose(u_alch, u_rf, rtol=1e-5), (u_alch, u_rf)
+    # and it differs from the shifted treatment (c_rf really changed)
+    alch_sh = AbsoluteAlchemicalFactory(
+        alchemical_rf_treatment="shifted").create_alchemical_system(
+        system, AlchemicalRegion(alchemical_atoms=[0, 1]))
+    u_sh = float(alch_sh.energy(x, system.default_box))
+    u_ref = float(system.energy(x, system.default_box))
+    assert np.isclose(u_sh, u_ref, rtol=1e-5)
+    assert not np.isclose(u_alch, u_sh, rtol=1e-4)
+
+
+def test_pme_treatment_coulomb_semantics():
+    """pme_treatment='coulomb': alchemically-involved pairs use plain
+    Coulomb in direct space; reciprocal space sees zero alchemical charge
+    at every lambda (alchemy.py pme_treatment='coulomb')."""
+    from openmmtools_tpu.models import LennardJonesFluid
+
+    fluid = LennardJonesFluid(nparticles=32, reduced_density=0.2,
+                              charge=0.15)
+    system = fluid.system
+    x = fluid.sampler_state().positions
+    box = system.default_box
+    alch_atoms = [0, 1, 2]
+    factory = AbsoluteAlchemicalFactory(alchemical_pme_treatment="coulomb")
+    alch = factory.create_alchemical_system(
+        system, AlchemicalRegion(alchemical_atoms=alch_atoms))
+    u1 = float(alch.energy(x, box))
+
+    # oracle: environment-only PME (alch charges zeroed everywhere)
+    # + plain-Coulomb for involved pairs within the cutoff
+    # + the (unchanged at lambda=1) LJ of all pairs
+    from openmmtools_tpu.ops.pme import EwaldReciprocalTerm
+    from openmmtools_tpu.system import NonbondedTerm
+
+    nb = [t for t in system.terms if isinstance(t, NonbondedTerm)][0]
+    rec = [t for t in system.terms if isinstance(t, EwaldReciprocalTerm)][0]
+    mask = np.zeros(system.n_particles, np.float32)
+    mask[alch_atoms] = 1.0
+    q_env = np.asarray(nb.charge) * (1.0 - mask)
+    env_sys = system.replace(terms=(
+        nb.replace(charge=jnp.asarray(q_env)),
+        rec.replace(charge=jnp.asarray(q_env))))
+    u_env = float(env_sys.energy(x, box))
+
+    ke = 138.93545764438198
+    xn = np.asarray(x, np.float64)
+    L = np.diagonal(np.asarray(box))
+    qn = np.asarray(nb.charge, np.float64)
+    extra = 0.0
+    rc = float(nb.cutoff)
+    for i in range(system.n_particles):
+        for j in range(i + 1, system.n_particles):
+            if not (mask[i] or mask[j]):
+                continue
+            d = xn[i] - xn[j]
+            d -= L * np.round(d / L)
+            r = np.linalg.norm(d)
+            if r < rc:
+                extra += ke * qn[i] * qn[j] / r
+    assert np.isclose(u1, u_env + extra, rtol=5e-4), (u1, u_env + extra)
+
+    # lambda=0 removes the involved-pair Coulomb AND the alchemical LJ
+    u0 = float(alch.energy(x, box, {"lambda_sterics": 0.0,
+                                    "lambda_electrostatics": 0.0}))
+    assert np.isfinite(u0)
+
+
+def test_factory_option_validation():
+    with pytest.raises(AlchemyError):
+        AbsoluteAlchemicalFactory(alchemical_pme_treatment="nope")
+    with pytest.raises(AlchemyError):
+        AbsoluteAlchemicalFactory(alchemical_rf_treatment="nope")
