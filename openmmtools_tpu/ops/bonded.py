@@ -16,9 +16,12 @@ from __future__ import annotations
 
 import jax.numpy as jnp
 
-from jax.lax import optimization_barrier as _barrier
-
-from openmmtools_tpu.ops.geometry import angle, dihedral, safe_norm
+from openmmtools_tpu.ops.geometry import (
+    angle,
+    dihedral,
+    gather_rows,
+    safe_norm,
+)
 
 # All row gathers below pass through optimization_barrier: XLA's fused
 # gather+compute loops serialize on TPU (measured 33 ms vs 0.04 ms for a
@@ -34,7 +37,8 @@ def harmonic_bond_energy(x, index, length, k, scale=None):
     """
     if index.shape[0] == 0:
         return jnp.zeros((), dtype=x.dtype)
-    xi, xj = _barrier((x[index[:, 0]], x[index[:, 1]]))
+    xi = gather_rows(x, index[:, 0])
+    xj = gather_rows(x, index[:, 1])
     r = safe_norm(xi - xj)
     e = 0.5 * k * (r - length) ** 2
     if scale is not None:
@@ -46,8 +50,9 @@ def harmonic_angle_energy(x, index, theta0, k, scale=None):
     """Sum of (k/2)(theta - theta0)^2 over angles. index: (A,3)."""
     if index.shape[0] == 0:
         return jnp.zeros((), dtype=x.dtype)
-    xi, xj, xk = _barrier((x[index[:, 0]], x[index[:, 1]],
-                           x[index[:, 2]]))
+    xi = gather_rows(x, index[:, 0])
+    xj = gather_rows(x, index[:, 1])
+    xk = gather_rows(x, index[:, 2])
     th = angle(xi, xj, xk)
     e = 0.5 * k * (th - theta0) ** 2
     if scale is not None:
@@ -59,8 +64,10 @@ def periodic_torsion_energy(x, index, periodicity, phase, k, scale=None):
     """Sum of k(1 + cos(n*phi - phase)) over torsions. index: (T,4)."""
     if index.shape[0] == 0:
         return jnp.zeros((), dtype=x.dtype)
-    xi, xj, xk, xl = _barrier((x[index[:, 0]], x[index[:, 1]],
-                               x[index[:, 2]], x[index[:, 3]]))
+    xi = gather_rows(x, index[:, 0])
+    xj = gather_rows(x, index[:, 1])
+    xk = gather_rows(x, index[:, 2])
+    xl = gather_rows(x, index[:, 3])
     phi = dihedral(xi, xj, xk, xl)
     e = k * (1.0 + jnp.cos(periodicity * phi - phase))
     if scale is not None:

@@ -326,6 +326,28 @@ class SettleSpec:
     def __init__(self, a, b, c, ra, rb, rc):
         self.a, self.b, self.c = a, b, c
         self.ra, self.rb, self.rc = ra, rb, rc
+        # contiguous-layout fast path: when molecules are laid out as
+        # (apex, sat, sat) runs of stride 3 (Amber water blocks), the
+        # per-molecule arrays are plain reshapes — no gathers/scatters,
+        # which the TPU backend runs at ~0.15 us/row inside scanned MD
+        # programs (measured: 3.2 ms/step for 7k waters via gathers)
+        import numpy as _cnp
+
+        self.contig = None
+        an = _cnp.asarray(a)
+        if an.size:
+            order = _cnp.argsort(an)
+            an_s = an[order]
+            bn_s = _cnp.asarray(b)[order]
+            cn_s = _cnp.asarray(c)[order]
+            if (an_s.size == 1 or (_cnp.diff(an_s) == 3).all()) and                     (bn_s == an_s + 1).all() and (cn_s == an_s + 2).all():
+                self.contig = (int(an_s[0]), int(an_s.size))
+                self.a = jnp.asarray(an_s, jnp.int32)
+                self.b = jnp.asarray(bn_s, jnp.int32)
+                self.c = jnp.asarray(cn_s, jnp.int32)
+                self.ra = jnp.asarray(_cnp.asarray(ra)[order])
+                self.rb = jnp.asarray(_cnp.asarray(rb)[order])
+                self.rc = jnp.asarray(_cnp.asarray(rc)[order])
 
 
 def analyze_settle(constraints: Constraints, masses):
@@ -410,9 +432,17 @@ def settle_positions(x, x_ref, spec: SettleSpec, masses):
     ma = masses[spec.a][:, None]
     mh = masses[spec.b][:, None]
     M = ma + 2.0 * mh
-    a0, b0, c0, a1, b1, c1 = _barrier(
-        (x_ref[spec.a], x_ref[spec.b], x_ref[spec.c],
-         x[spec.a], x[spec.b], x[spec.c]))
+    if spec.contig is not None:
+        start, w = spec.contig
+        blk0 = jax.lax.dynamic_slice_in_dim(x_ref, start, 3 * w
+                                            ).reshape(w, 3, 3)
+        blk1 = jax.lax.dynamic_slice_in_dim(x, start, 3 * w).reshape(w, 3, 3)
+        a0, b0, c0 = blk0[:, 0], blk0[:, 1], blk0[:, 2]
+        a1, b1, c1 = blk1[:, 0], blk1[:, 1], blk1[:, 2]
+    else:
+        a0, b0, c0, a1, b1, c1 = _barrier(
+            (x_ref[spec.a], x_ref[spec.b], x_ref[spec.c],
+             x[spec.a], x[spec.b], x[spec.c]))
     com = (ma * a1 + mh * (b1 + c1)) / M
     a1p, b1p, c1p = a1 - com, b1 - com, c1 - com
 
@@ -467,9 +497,15 @@ def settle_positions(x, x_ref, spec: SettleSpec, masses):
                     -xb2 * sintheta + yc2 * costheta, zc2], axis=-1)
 
     unrot = lambda p: jnp.einsum("wji,wj->wi", R, p)  # R^T p
-    x = x.at[spec.a].set(com + unrot(a3))
-    x = x.at[spec.b].set(com + unrot(b3))
-    x = x.at[spec.c].set(com + unrot(c3))
+    na, nb2, nc2 = com + unrot(a3), com + unrot(b3), com + unrot(c3)
+    if spec.contig is not None:
+        start, w = spec.contig
+        blk = jnp.stack([na, nb2, nc2], axis=1).reshape(3 * w, 3)
+        return jax.lax.dynamic_update_slice_in_dim(x, blk.astype(x.dtype),
+                                                   start, axis=0)
+    x = x.at[spec.a].set(na)
+    x = x.at[spec.b].set(nb2)
+    x = x.at[spec.c].set(nc2)
     return x
 
 
@@ -484,8 +520,15 @@ def settle_velocities(x, v, spec: SettleSpec, masses):
         r = p - q
         return r / jnp.linalg.norm(r, axis=-1, keepdims=True)
 
-    xa, xb, xc, va, vb, vc = _barrier(
-        (x[i_a], x[i_b], x[i_c], v[i_a], v[i_b], v[i_c]))
+    if spec.contig is not None:
+        start, w = spec.contig
+        xblk = jax.lax.dynamic_slice_in_dim(x, start, 3 * w).reshape(w, 3, 3)
+        vblk = jax.lax.dynamic_slice_in_dim(v, start, 3 * w).reshape(w, 3, 3)
+        xa, xb, xc = xblk[:, 0], xblk[:, 1], xblk[:, 2]
+        va, vb, vc = vblk[:, 0], vblk[:, 1], vblk[:, 2]
+    else:
+        xa, xb, xc, va, vb, vc = _barrier(
+            (x[i_a], x[i_b], x[i_c], v[i_a], v[i_b], v[i_c]))
     e = jnp.stack([unit(xa, xb), unit(xa, xc), unit(xb, xc)], axis=1)
     dv = jnp.stack([va - vb, va - vc, vb - vc], axis=1)
     rhs = jnp.sum(dv * e, axis=-1)                      # (W, 3)
@@ -516,6 +559,12 @@ def settle_velocities(x, v, spec: SettleSpec, masses):
     da = -(g[:, 0, None] * e[:, 0] + g[:, 1, None] * e[:, 1]) * inv_ma[:, None]
     db = (g[:, 0, None] * e[:, 0] - g[:, 2, None] * e[:, 2]) * inv_mh[:, None]
     dc = (g[:, 1, None] * e[:, 1] + g[:, 2, None] * e[:, 2]) * inv_mh[:, None]
+    if spec.contig is not None:
+        start, w = spec.contig
+        dblk = jnp.stack([va + da, vb + db, vc + dc],
+                         axis=1).reshape(3 * w, 3)
+        return jax.lax.dynamic_update_slice_in_dim(v, dblk.astype(v.dtype),
+                                                   start, axis=0)
     v = v.at[i_a].add(da)
     v = v.at[i_b].add(db)
     v = v.at[i_c].add(dc)

@@ -61,3 +61,39 @@ def dihedral(xi, xj, xk, xl):
     x = jnp.sum(n1 * n2, axis=-1)
     y = jnp.sum(m1 * n2, axis=-1)
     return jnp.arctan2(y, x)
+
+
+# ---------------------------------------------------------------------------
+# barriered row gather (fast path in BOTH autodiff directions)
+# ---------------------------------------------------------------------------
+
+import jax as _jax
+
+
+@_jax.custom_vjp
+def gather_rows(x, idx):
+    """``x[idx]`` with ``optimization_barrier`` fences on the gather AND on
+    the scatter-add of its backward pass.
+
+    The TPU backend serializes row gathers/scatters that XLA fuses into
+    arithmetic loops (33 ms vs 0.04 ms at 35k rows, measured on v5e);
+    forward-only barriers don't protect the autodiff transpose, which is
+    exactly the force-accumulation scatter in every bonded term.
+    """
+    return _jax.lax.optimization_barrier(x[idx])
+
+
+def _gather_rows_fwd(x, idx):
+    # x rides along as a residual only to carry its (static) shape/dtype
+    # into the transpose; it is alive in the caller anyway
+    return gather_rows(x, idx), (idx, x)
+
+
+def _gather_rows_bwd(res, g):
+    idx, x = res
+    g = _jax.lax.optimization_barrier(g)
+    gx = jnp.zeros_like(x).at[idx].add(g.astype(x.dtype))
+    return _jax.lax.optimization_barrier(gx), None
+
+
+gather_rows.defvjp(_gather_rows_fwd, _gather_rows_bwd)

@@ -184,11 +184,12 @@ def pair_list_energy(
     """
     if pairs.shape[0] == 0:
         return jnp.zeros((), dtype=x.dtype)
-    # barrier: keep the row gathers un-fused from the pair-energy chain —
-    # XLA's fused gather+compute loops serialize on TPU (33 ms vs 0.04 ms
-    # for 35k rows measured on v5e)
-    xi, xj = jax.lax.optimization_barrier((x[pairs[:, 0]], x[pairs[:, 1]]))
-    d = xi - xj
+    # barriered gathers (both autodiff directions; ops/geometry.py
+    # gather_rows): XLA's fused gather/scatter+compute loops serialize
+    # on TPU (33 ms vs 0.04 ms for 35k rows measured on v5e)
+    from openmmtools_tpu.ops.geometry import gather_rows
+
+    d = gather_rows(x, pairs[:, 0]) - gather_rows(x, pairs[:, 1])
     if periodic:
         d = minimum_image(d, box)
     r2 = jnp.maximum(jnp.sum(d * d, axis=-1), 1e-12)

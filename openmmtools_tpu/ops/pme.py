@@ -47,6 +47,72 @@ def ewald_kmax(alpha: float, box_edge: float,
                                 * math.sqrt(-math.log(2.0 * tol)) / math.pi)))
 
 
+def _phase_tables(theta, M):
+    """(N, 2M+1) complex phase tables exp(i m theta), m = -M..M."""
+    mj = jnp.arange(-M, M + 1, dtype=theta.dtype)
+    th = theta[:, None] * mj[None, :]
+    return jax.lax.complex(jnp.cos(th), jnp.sin(th))
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5,))
+def _sf_weighted_sum(q, tx, ty, tz, w, M):
+    """W = Σ_k w(k) |S(k)|² with S(k) = Σ_n q_n exp(i(kx tx + ky ty + kz tz)).
+
+    Hand-written VJP: the autodiff backward of the forward einsum picks a
+    pathological contraction path on TPU (measured 5.1 ms vs 0.75 ms
+    forward at DHFR scale); the hand path shares one heavy (N, K)
+    contraction per axis and returns exact cotangents for q, the phase
+    angles AND the weight grid (so box derivatives remain correct).
+    """
+    S = _sf_forward(q, tx, ty, tz, M)
+    s2 = jnp.real(S) ** 2 + jnp.imag(S) ** 2
+    return jnp.sum(w * s2)
+
+
+def _sf_forward(q, tx, ty, tz, M):
+    return jnp.einsum(
+        'n,nx,ny,nz->xyz',
+        jax.lax.complex(q, jnp.zeros_like(q)),
+        _phase_tables(tx, M), _phase_tables(ty, M), _phase_tables(tz, M),
+        precision=jax.lax.Precision.HIGHEST)
+
+
+def _sf_fwd(q, tx, ty, tz, w, M):
+    S = _sf_forward(q, tx, ty, tz, M)
+    s2 = jnp.real(S) ** 2 + jnp.imag(S) ** 2
+    return jnp.sum(w * s2), (q, tx, ty, tz, w, S)
+
+
+def _sf_bwd(M, res, g):
+    q, tx, ty, tz, w, S = res
+    Px = _phase_tables(tx, M)
+    Py = _phase_tables(ty, M)
+    Pz = _phase_tables(tz, M)
+    mj = jnp.arange(-M, M + 1, dtype=tx.dtype)
+    B = jax.lax.complex(w, jnp.zeros_like(w)) * jnp.conj(S)
+    hi = functools.partial(jnp.einsum,
+                           precision=jax.lax.Precision.HIGHEST)
+    # one heavy contraction per axis; the per-axis m factor applies in the
+    # cheap (N, K) finishing stage
+    Cx = hi('xyz,ny,nz->nx', B, Py, Pz)     # heavy
+    Cy = hi('xyz,nx,nz->ny', B, Px, Pz)     # heavy
+    Cz = hi('xyz,nx,ny->nz', B, Px, Py)     # heavy
+    H0 = jnp.sum(Cx * Px, axis=1)
+    Hx = jnp.sum(Cx * Px * mj[None, :], axis=1)
+    Hy = jnp.sum(Cy * Py * mj[None, :], axis=1)
+    Hz = jnp.sum(Cz * Pz * mj[None, :], axis=1)
+    dq = g * 2.0 * jnp.real(H0)
+    dtx = g * q * (-2.0) * jnp.imag(Hx)
+    dty = g * q * (-2.0) * jnp.imag(Hy)
+    dtz = g * q * (-2.0) * jnp.imag(Hz)
+    s2 = jnp.real(S) ** 2 + jnp.imag(S) ** 2
+    dw = g * s2
+    return dq, dtx, dty, dtz, dw
+
+
+_sf_weighted_sum.defvjp(_sf_fwd, _sf_bwd)
+
+
 def _half_space_kvectors(n_max: Tuple[int, int, int]) -> np.ndarray:
     """Integer k-vectors covering half of reciprocal space (k and -k give
     identical |S|^2; the weight 2 is applied in the energy)."""
@@ -110,32 +176,22 @@ class EwaldReciprocalTerm:
         dtype = x.dtype
         mj = jnp.arange(-M, M + 1, dtype=dtype)   # iota, not a constant
 
-        def P(coord, L):
-            th = (two_pi / L) * coord[:, None] * mj[None, :]   # (N, K)
-            return jax.lax.complex(jnp.cos(th), jnp.sin(th))
-
-        # one einsum: XLA picks the pairwise contraction path (staged
-        # through an (N, K, K) intermediate onto the MXU).  Deliberately
-        # NOT hand-staged via reshape+matmul: the axon TPU backend
+        # einsum-based structure factors (inside _sf_weighted_sum, which
+        # carries a hand-written VJP — the autodiff backward picks a
+        # pathological contraction path on TPU).  Deliberately NOT
+        # hand-staged via reshape+matmul: the axon TPU backend
         # miscompiles the reshape-of-padded-3D + dot composition
         # (verified: hand-staged s2 grids off by O(1) relative, einsum
         # matches an f64 reference to 5e-6 median).
-        S = jnp.einsum(
-            'n,nx,ny,nz->xyz',
-            jax.lax.complex(q, jnp.zeros_like(q)),
-            P(x[:, 0], lengths[0]), P(x[:, 1], lengths[1]),
-            P(x[:, 2], lengths[2]),
-            precision=jax.lax.Precision.HIGHEST)
-        s2 = jnp.real(S) ** 2 + jnp.imag(S) ** 2
-
-        m = mj
-        k_ax = [two_pi * m / lengths[c] for c in range(3)]
+        k_ax = [two_pi * mj / lengths[c] for c in range(3)]
         k2 = (k_ax[0][:, None, None] ** 2 + k_ax[1][None, :, None] ** 2
               + k_ax[2][None, None, :] ** 2)
         inv_k2 = jnp.where(k2 > 0, 1.0 / jnp.maximum(k2, 1e-12), 0.0)
         weight = jnp.exp(-k2 / (4.0 * self.alpha * self.alpha)) * inv_k2
-        return (ONE_4PI_EPS0 * (two_pi / volume)
-                * jnp.sum(weight * s2))
+        W = _sf_weighted_sum(q, (two_pi / lengths[0]) * x[:, 0],
+                             (two_pi / lengths[1]) * x[:, 1],
+                             (two_pi / lengths[2]) * x[:, 2], weight, M)
+        return ONE_4PI_EPS0 * (two_pi / volume) * W
 
     def energy(self, x, box, params=None):
         q = self.charge
@@ -175,11 +231,10 @@ class EwaldReciprocalTerm:
         if self.exclusion_index.shape[0] > 0:
             i = self.exclusion_index[:, 0]
             j = self.exclusion_index[:, 1]
-            # barrier: keep the row gathers un-fused from the erf chain —
-            # XLA's fused gather+compute loop serializes on TPU (measured
-            # 33 ms vs 0.04 ms for 35k pairs)
-            xi, xj = jax.lax.optimization_barrier((x[i], x[j]))
-            d = xi - xj
+            # barriered gathers (both autodiff directions)
+            from openmmtools_tpu.ops.geometry import gather_rows
+
+            d = gather_rows(x, i) - gather_rows(x, j)
             d = d - lengths * jnp.round(d / lengths)
             r = jnp.sqrt(jnp.maximum(jnp.sum(d * d, axis=1), 1e-12))
             e_excl = -ONE_4PI_EPS0 * jnp.sum(
