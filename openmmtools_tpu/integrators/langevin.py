@@ -345,19 +345,27 @@ class BoundIntegrator:
         from openmmtools_tpu.system import NonbondedTerm
 
         self.sweep_mode = False
+        self._sweep_group = None
         integ = self.integrator
         policy = getattr(integ, "sweep", "auto")
         if policy is None:
             return
         system = self.system
-        if len(self.groups) != 1 or self.groups[0] is not None:
-            return
         if system.default_box is None:
             return
         nb_terms = [t for t in system.terms if type(t) is NonbondedTerm]
         if len(nb_terms) != 1:
             return
         term = nb_terms[0]
+        # the sweep serves the force group holding the NonbondedTerm; with
+        # numbered Vn splittings (MTS/r-RESPA) other groups — e.g. the
+        # reciprocal-space term on a slower timescale — evaluate normally
+        if self.groups == [None]:
+            sweep_group = None
+        elif term.force_group in self.groups:
+            sweep_group = term.force_group
+        else:
+            return
         if (term.method not in ("pme", "ewald", "cutoff_periodic")
                 or term.cutoff is None
                 or term.charge_scale_param is not None
@@ -386,6 +394,7 @@ class BoundIntegrator:
             mask_shells=mask_shells,
             interpret=(policy == "interpret"))
         self.sweep_mode = True
+        self._sweep_group = sweep_group
         self.neighbor_mode = False   # the sweep replaces the list path
         self._sweep_kernel = kernel
         self._sweep_term = term
@@ -473,7 +482,11 @@ class BoundIntegrator:
         F_direct = jnp.zeros_like(x).at[sw["perm"]].set(F_s[:n])
         snap_new = jnp.where(rebuild, y, sw["snap"])
 
-        other_terms = tuple(t for t in self.system.terms if t is not term)
+        # XLA remainder: the terms sharing the sweep's force group
+        g = self._sweep_group
+        other_terms = tuple(
+            t for t in self.system.terms
+            if t is not term and (g is None or t.force_group == g))
 
         def u_rest(xx):
             tot = jnp.zeros((), xx.dtype)
@@ -588,7 +601,8 @@ class BoundIntegrator:
     def _ensure_forces(self, env: _Env, groups=None):
         for g in (self.groups if groups is None else groups):
             if env.F[g] is None:
-                if self.sweep_mode and getattr(env, "sweep", None) is not None:
+                if (self.sweep_mode and g == self._sweep_group
+                        and getattr(env, "sweep", None) is not None):
                     u, f, env.sweep = self._sweep_eval(
                         env.x, env.box, env.params, env.sweep)
                 else:
@@ -844,7 +858,7 @@ class BoundIntegrator:
             sweep_overflow = max_sep > k.mask_shells
         forces, potentials = [], []
         for g in self.groups:
-            if sw is not None:
+            if sw is not None and g == self._sweep_group:
                 # jit: the eager per-op path costs minutes at DHFR scale
                 fn = getattr(self, "_sweep_eval_jit", None)
                 if fn is None:

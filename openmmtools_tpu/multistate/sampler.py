@@ -54,6 +54,72 @@ class MultiStateCarry:
     rng_key: jax.Array
 
 
+
+class _StoredProperty:
+    """Validated sampler option, transparently persisted to storage
+    (reference _StoredProperty descriptors, multistatesampler.py:1225-1260).
+
+    Each assignment runs the validator; ``_stored_options`` collects every
+    declared property from the class MRO so subclasses add options by
+    declaration alone.
+    """
+
+    def __init__(self, validator=None, doc=None):
+        self._validator = validator
+        self.__doc__ = doc
+
+    def __set_name__(self, owner, name):
+        self.name = name
+        self.attr = "_stored_" + name
+
+    def __get__(self, obj, objtype=None):
+        if obj is None:
+            return self
+        return getattr(obj, self.attr)
+
+    def __set__(self, obj, value):
+        if self._validator is not None:
+            value = self._validator(value, self.name)
+        setattr(obj, self.attr, value)
+
+    # -- validators (multistatesampler.py:1246-1260 analogs) --------------
+    @staticmethod
+    def nonnegative(value, name):
+        import math as _math
+
+        if value is None or (isinstance(value, float)
+                             and _math.isinf(value)):
+            return value
+        if value < 0:
+            raise ValueError(f"{name} must be >= 0, got {value!r}")
+        return value
+
+    @staticmethod
+    def positive_or_none(value, name):
+        if value is None:
+            return None
+        value = int(value)
+        if value < 1:
+            raise ValueError(f"{name} must be >= 1 or None, got {value!r}")
+        return value
+
+    @staticmethod
+    def positive_int(value, name):
+        value = int(value)
+        if value < 1:
+            raise ValueError(f"{name} must be >= 1, got {value!r}")
+        return value
+
+    @classmethod
+    def declared(cls, klass):
+        out = {}
+        for k in reversed(klass.__mro__):
+            for name, attr in vars(k).items():
+                if isinstance(attr, cls):
+                    out[name] = attr
+        return out
+
+
 class MultiStateSampler:
     """Base multistate sampler: propagation + energy matrix, no mixing
     (subclasses add replica exchange / SAMS moves).
@@ -66,6 +132,15 @@ class MultiStateSampler:
         (:1526-1694), locality: accepted for parity (energies are computed
         for the full state set — cheap as one fused matrix).
     """
+
+    number_of_iterations = _StoredProperty(_StoredProperty.nonnegative)
+    online_analysis_interval = _StoredProperty(
+        _StoredProperty.positive_or_none)
+    online_analysis_target_error = _StoredProperty(_StoredProperty.nonnegative)
+    online_analysis_minimum_iterations = _StoredProperty(
+        _StoredProperty.nonnegative)
+    locality = _StoredProperty(_StoredProperty.positive_or_none)
+    iterations_per_sync = _StoredProperty(_StoredProperty.positive_int)
 
     def __init__(self, mcmc_moves=None, number_of_iterations=1,
                  online_analysis_interval=200,
@@ -271,16 +346,10 @@ class MultiStateSampler:
             is_leaf=lambda x: x is None)
 
     def _stored_options(self) -> Dict[str, Any]:
-        return {
-            "number_of_iterations": self.number_of_iterations,
-            "online_analysis_interval": self.online_analysis_interval,
-            "online_analysis_target_error": self.online_analysis_target_error,
-            "online_analysis_minimum_iterations":
-                self.online_analysis_minimum_iterations,
-            "locality": self.locality,
-            "rng_seed": self._rng_seed,
-            "iterations_per_sync": self.iterations_per_sync,
-        }
+        out = {name: getattr(self, name)
+               for name in _StoredProperty.declared(type(self))}
+        out["rng_seed"] = self._rng_seed
+        return out
 
     # ------------------------------------------------------------------
     # resume (from_storage, multistatesampler.py:264)

@@ -663,3 +663,27 @@ def test_analyzer_invalidate_on_max_iterations(tmp_path):
     f_half, _ = analyzer.get_free_energy()
     assert f_half.shape == f_all.shape
     reporter.close()
+
+
+def test_stored_property_validators():
+    """Options are _StoredProperty descriptors with validators
+    (multistatesampler.py:1225-1260): bad assignments raise, good ones
+    persist through _stored_options."""
+    s = ReplicaExchangeSampler(number_of_iterations=5,
+                               online_analysis_interval=None)
+    with pytest.raises(ValueError):
+        s.number_of_iterations = -1
+    with pytest.raises(ValueError):
+        s.online_analysis_interval = 0
+    with pytest.raises(ValueError):
+        s.locality = 0
+    with pytest.raises(ValueError):
+        s.iterations_per_sync = 0
+    s.online_analysis_interval = 50
+    s.locality = 2
+    s.number_of_iterations = float("inf")   # reference allows np.inf
+    opts = s._stored_options()
+    assert opts["online_analysis_interval"] == 50
+    assert opts["locality"] == 2
+    assert opts["iterations_per_sync"] == 1
+    assert "rng_seed" in opts

@@ -62,3 +62,39 @@ def test_sweep_trajectory_parity(water):
     st2 = b1.run(st2, 10)
     dx2 = np.abs(np.asarray(st0.positions) - np.asarray(st2.positions)).max()
     assert np.isfinite(dx2) and dx2 < 1e-3
+
+
+def test_sweep_mts_force_groups(water):
+    """Sweep mode with numbered Vn groups (r-RESPA): the direct-space
+    sweep serves its force group while other groups (reciprocal space on
+    the slow timescale) evaluate normally; trajectory matches the dense
+    path under the same splitting."""
+    from openmmtools_tpu.integrators import LangevinIntegrator
+    from openmmtools_tpu.ops.pme import EwaldReciprocalTerm
+
+    terms = tuple(
+        t.replace(force_group=1) if isinstance(t, EwaldReciprocalTerm) else t
+        for t in water.system.terms)
+    system = water.system.replace(terms=terms)
+    splitting = "V1 V0 R O R V0 V1"   # recip on the outer timescale
+
+    def bind(sweep):
+        return LangevinIntegrator(
+            temperature=300.0, collision_rate=0.0, timestep=0.001,
+            splitting=splitting, sweep=sweep, neighborlist=None
+        ).bind(system)
+
+    bs = bind("interpret")
+    bd = bind(None)
+    assert bs.sweep_mode and bs._sweep_group == 0
+    ss = water.sampler_state()
+    import jax
+
+    st_s = bs.initial_state(ss, jax.random.PRNGKey(0))
+    st_d = bd.initial_state(ss, jax.random.PRNGKey(0))
+    st_s = bs.run(st_s, 8)
+    st_d = bd.run(st_d, 8)
+    dx = np.abs(np.asarray(st_s.positions) - np.asarray(st_d.positions)).max()
+    assert np.isfinite(dx) and dx < 1e-3, dx
+    du = abs(float(sum(st_s.potentials)) - float(sum(st_d.potentials)))
+    assert du < 2e-3 * abs(float(sum(st_d.potentials)))
