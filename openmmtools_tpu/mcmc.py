@@ -532,7 +532,9 @@ class MonteCarloBarostatMove(MetropolizedMove):
         ts = thermodynamic_state
         if ts.pressure is None:
             raise MCMCMoveError("MonteCarloBarostatMove requires an NPT state")
-        cache_key = id(ts.system)
+        # content-hash key: id() could alias a stale molecule decomposition
+        # after GC (ADVICE round-2 item 3)
+        cache_key = ts.system.fingerprint
         if cache_key not in self._molecules_cache:
             self._molecules_cache[cache_key] = self._molecule_ids(ts.system)
         mol_ids, n_molecules = self._molecules_cache[cache_key]

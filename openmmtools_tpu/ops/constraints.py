@@ -237,11 +237,19 @@ def _inv_small(A, n):
 
 
 def mshake_positions(x, x_ref, constraints: Constraints, spec: ClusterSpec,
-                     masses, n_iter=6):
+                     masses, n_iter=None, tol=1e-8):
     """SHAKE projection along reference directions via per-cluster direct
-    solves. Fixed n_iter Newton iterations with the (constant per step)
-    coupling matrix A_cd = 2 w_cd (s_c . s_d); quadratic residual decay
-    reaches f32 tolerance in <= 4 iterations for MD-sized displacements."""
+    solves. Newton iterations with the (constant per step) coupling matrix
+    A_cd = 2 w_cd (s_c . s_d); quadratic residual decay reaches f32
+    tolerance in <= 4 iterations for MD-sized displacements.
+
+    ``n_iter`` derives from the requested ``constraint_tolerance`` when not
+    given (ADVICE round-2 item 5): the default 6 iterations cover tol down
+    to ~1e-8 relative for coupled clusters; tighter tolerances add
+    iterations (each extra digit costs ~1 for the linearly-coupled tail)."""
+    if n_iter is None:
+        digits = -math.log10(max(float(tol), 1e-16))
+        n_iter = 6 + max(0, int(math.ceil(digits)) - 8)
     i = constraints.index[:, 0]
     j = constraints.index[:, 1]
     d0sq = constraints.distance ** 2

@@ -375,17 +375,27 @@ def build_exclusion_bitfield(pairs, inv_perm, n_pad, mask_rows):
     """Scatter exception pairs into the per-shell bitfield for the current
     sorted order.  Returns (bitfield (mask_rows, n_pad) int32, max_sep ())
     — the caller must check max_sep <= 32*mask_rows (it cannot exceed it
-    for physically bonded pairs at sane densities; checked once per run).
+    for physically bonded pairs at sane densities; checked per resort,
+    surfaced via the sticky ``sweep_overflow`` flag).
+
+    Pairs whose sorted separation exceeds the bitfield coverage are
+    DROPPED (out-of-range scatter index, mode='drop') rather than clamped:
+    a clamped bit would both leave the real exception unmasked and corrupt
+    an unrelated shell of another particle (ADVICE round-2 item 2).  The
+    returned max_sep still reports the overflow so callers can raise.
     """
+    if pairs.shape[0] == 0:
+        return (jnp.zeros((mask_rows, n_pad), jnp.int32),
+                jnp.zeros((), jnp.int32))
     si = inv_perm[pairs[:, 0]]
     sj = inv_perm[pairs[:, 1]]
     sep = jnp.mod(sj - si, n_pad)
     flip = sep > n_pad // 2
     lane = jnp.where(flip, sj, si)
     sep = jnp.where(flip, n_pad - sep, sep)
-    word = jnp.minimum((sep - 1) // 32, mask_rows - 1)
+    word = (sep - 1) // 32   # >= mask_rows (out of bounds) when overflowing
     bit = (sep - 1) % 32
     field = jnp.zeros((mask_rows, n_pad), jnp.int32)
     field = field.at[word, lane].add(
-        jax.lax.shift_left(jnp.int32(1), bit))
-    return field, jnp.max(sep)
+        jax.lax.shift_left(jnp.int32(1), bit), mode="drop")
+    return field, jnp.max(sep).astype(jnp.int32)

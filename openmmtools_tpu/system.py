@@ -19,6 +19,7 @@ groups=...)`` selects a subset at trace time.
 """
 from __future__ import annotations
 
+import functools
 from typing import Any, Dict, Optional, Tuple
 
 import jax
@@ -408,6 +409,29 @@ class System:
     @property
     def n_particles(self) -> int:
         return self.masses.shape[0]
+
+    @functools.cached_property
+    def fingerprint(self) -> str:
+        """Content hash of the full system pytree (structure + array bytes).
+
+        The analog of the reference's standard-system hash
+        (states.py:1447-1504): a stable identity for compile/molecule
+        caches — structurally identical systems share one entry, and a
+        GC'd-then-recreated system can never alias a stale ``id()`` key.
+        Computed once per instance (host-side, ~ms at DHFR scale).
+        """
+        import hashlib
+
+        import numpy as np
+
+        leaves, treedef = jax.tree_util.tree_flatten(self)
+        h = hashlib.blake2b(repr(treedef).encode(), digest_size=16)
+        for leaf in leaves:
+            arr = np.asarray(leaf)
+            h.update(str(arr.dtype).encode())
+            h.update(str(arr.shape).encode())
+            h.update(arr.tobytes())
+        return h.hexdigest()
 
     def energy(self, x, box=None, params=None, groups=None):
         return make_energy_fn(self, groups=groups)(x, box, params)

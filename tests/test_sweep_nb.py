@@ -56,10 +56,18 @@ def test_sweep_trajectory_parity(water):
     st1 = b1.run(st1, 10)
     dx = np.abs(np.asarray(st0.positions) - np.asarray(st1.positions)).max()
     assert np.isfinite(dx) and dx < 1e-3
-    # resort path: run through a sort boundary
-    b1.sweep_sort_interval = 5
-    st2 = b1.initial_state(ss, jax.random.PRNGKey(1))
-    st2 = b1.run(st2, 10)
+    # resort path: run through a sort boundary with a FRESH bound program
+    # (mutating sweep_sort_interval on b1 would hit its _run_cache[10]
+    # entry with the old interval baked in — ADVICE round-2 item 4)
+    from openmmtools_tpu.integrators import BAOABIntegrator
+
+    integ2 = BAOABIntegrator(temperature=300.0, collision_rate=0.0,
+                             timestep=0.001, sweep="interpret",
+                             neighborlist=None, sweep_sort_interval=5)
+    b2 = integ2.bind(water.system)
+    assert b2.sweep_sort_interval == 5
+    st2 = b2.initial_state(ss, jax.random.PRNGKey(1))
+    st2 = b2.run(st2, 10)
     dx2 = np.abs(np.asarray(st0.positions) - np.asarray(st2.positions)).max()
     assert np.isfinite(dx2) and dx2 < 1e-3
 
