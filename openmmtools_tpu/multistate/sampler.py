@@ -394,6 +394,21 @@ class MultiStateSampler:
             sampler._carry = sampler._carry.replace(
                 n_accepted=jnp.asarray(acc), n_proposed=jnp.asarray(prop))
         sampler._restore_adaptation(reporter, it)
+        # re-seed the online-analysis history from storage (VERDICT
+        # round-2 item 8; reference restores online analysis state from
+        # stored arrays, multistatereporter.py:1236-1352) — create() left
+        # a single freshly-recomputed iteration-0 row
+        try:
+            u_all, s_all = reporter.read_energies(slice(0, it + 1))
+            u_all = np.asarray(u_all)
+            s_all = np.asarray(s_all)
+            sampler._energy_history = [u_all[i]
+                                       for i in range(u_all.shape[0])]
+            sampler._state_history = [s_all[i]
+                                      for i in range(s_all.shape[0])]
+        except Exception as e:  # analysis resume is best-effort
+            logger.warning("could not restore online-analysis energy "
+                           "history: %s", e)
         return sampler
 
     def _restore_adaptation(self, reporter, iteration):
