@@ -116,6 +116,69 @@ def mbar_free_energies(u_kn, n_k, f_init=None, tol=1e-10,
     return MBARResult(free_energies=f, theta=theta)
 
 
+def mbar_expectations(u_kn, n_k, f_k, a_kn):
+    """Per-state MBAR expectations with full asymptotic covariance via the
+    augmented-state method (Shirts & Chodera 2008 Sec. IV — the machinery
+    pymbar's ``compute_expectations``/``compute_entropy_and_enthalpy`` use,
+    reference multistateanalyzer.py:1988-2024).
+
+    Parameters
+    ----------
+    u_kn : (K, N) reduced potentials (every sample at every state).
+    n_k : (K,) samples per state.
+    f_k : (K,) converged MBAR free energies.
+    a_kn : (K, N) observable values: row i is the observable whose
+        expectation is taken under state i (for enthalpy, a_kn = u_kn).
+
+    Returns
+    -------
+    means : (K,) <A_i>_i
+    cov_aa : (K, K) cov(<A_i>, <A_j>)
+    cov_af : (K, K) cov(<A_i>, f_j)
+    theta : (K, K) cov(f_i, f_j) from the same augmented estimator
+    """
+    u_kn = jnp.asarray(u_kn)
+    a_kn = jnp.asarray(a_kn, dtype=u_kn.dtype)
+    n_k = jnp.asarray(n_k, dtype=u_kn.dtype)
+    k = u_kn.shape[0]
+    log_nk = jnp.log(jnp.maximum(n_k, 1e-300))
+    d_n = logsumexp(log_nk[:, None] + f_k[:, None] - u_kn, axis=0)
+    log_w = f_k[:, None] - u_kn - d_n[None, :]        # (K, N), rows sum to 1
+
+    # positive-shifted observable A' = A - (min - 1): constants cancel in
+    # all covariances; the shift keeps ln A' finite (pymbar's convention)
+    shift = jnp.min(a_kn) - 1.0
+    log_a = jnp.log(a_kn - shift)                      # (K, N), > 0
+
+    # augmented rows: state K+i carries weights ~ W_i * A'_i
+    log_wa_un = log_w + log_a
+    log_norm = logsumexp(log_wa_un, axis=1, keepdims=True)
+    log_wa = log_wa_un - log_norm                      # normalized rows
+    means_shifted = jnp.exp(log_norm[:, 0])            # <A'>_i
+    means = means_shifted + shift
+
+    w_aug = jnp.concatenate([jnp.exp(log_w), jnp.exp(log_wa)], axis=0)
+    n_aug = jnp.concatenate([n_k, jnp.zeros_like(n_k)])
+    wtw = w_aug @ w_aug.T                              # (2K, 2K)
+    eye = jnp.eye(2 * k, dtype=u_kn.dtype)
+    theta_aug = jnp.linalg.pinv(eye - wtw * n_aug[None, :],
+                                rcond=1e-10) @ wtw
+    theta_aug = 0.5 * (theta_aug + theta_aug.T)
+
+    t_ff = theta_aug[:k, :k]
+    t_fa = theta_aug[:k, k:]
+    t_aa = theta_aug[k:, k:]
+    m = means_shifted
+    # delta method on ln<A'>_i = ln c_{K+i} - ln c_i:
+    # cov(<A'>_i, <A'>_j) = m_i m_j (T_aa_ij - T_af_ij - T_fa_ij + T_ff_ij)
+    cov_aa = (m[:, None] * m[None, :]) * (
+        t_aa - t_fa.T - t_fa + t_ff)
+    # cov(<A'>_i, f_j) with f_j = -ln c_j:
+    # cov(ln<A'>_i, -ln c_j) = Theta_ij - Theta_{K+i,j} = (T_ff - T_fa^T)_ij
+    cov_af = m[:, None] * (t_ff - t_fa.T)
+    return means, cov_aa, cov_af, t_ff
+
+
 def exp_free_energy(w_f):
     """One-sided exponential (Zwanzig) estimate from forward work samples:
     Delta f = -ln <exp(-w)> (pymbar.exp analog). Returns (df, ddf)."""

@@ -314,19 +314,17 @@ class FusedDenseBAOAB:
                 vmem_limit_bytes=100 * 1024 * 1024),
         )
 
-        valid_np = np.zeros((1, n), np.float32)
-        valid_np[0, :self.n] = 1.0
-
         def run_fn(x, v, box, kT, seed):
             # (N, 3) canonical <-> (3, N_pad) kernel layout
             pad = n - self.n
+            lanes = jax.lax.broadcasted_iota(jnp.int32, (1, n), 1)
+            valid_arr = (lanes < self.n).astype(jnp.float32)
             xT = jnp.pad(x.T.astype(jnp.float32), ((0, 0), (0, pad)))
             vT = jnp.pad(v.T.astype(jnp.float32), ((0, 0), (0, pad)))
             L = jnp.diagonal(box).astype(jnp.float32).reshape(3, 1)
             kT_arr = jnp.asarray(kT, jnp.float32).reshape(1)
             seed_arr = jnp.asarray(seed, jnp.int32).reshape(1)
-            xo, vo, fo, uo = call(L, kT_arr, seed_arr, xT, vT,
-                                  jnp.asarray(valid_np))
+            xo, vo, fo, uo = call(L, kT_arr, seed_arr, xT, vT, valid_arr)
             return (xo[:, :self.n].T, vo[:, :self.n].T,
                     fo[:, :self.n].T, uo[0, 0])
 
@@ -749,9 +747,11 @@ class FusedSortedLangevin:
         else:
             call_rem = None
 
-        valid_np = np.zeros((1, n), np.float32)
-        valid_np[0, :self.n] = 1.0
-        valid_arr = jnp.asarray(valid_np)
+        def make_valid():
+            # built IN-TRACE from iota: a closed-over device constant costs
+            # ~30 ms per call through the TPU relay (CLAUDE.md rule 2)
+            lanes = jax.lax.broadcasted_iota(jnp.int32, (1, n), 1)
+            return (lanes < self.n).astype(jnp.float32)
 
         # Sort along ONE axis: the x-coordinate ring wraps periodically
         # exactly like the index ring of the half-shell decomposition
@@ -759,20 +759,25 @@ class FusedSortedLangevin:
         # shells vs 994 for a Morton order at the bench state point.
         def sort_spatial(xT, vT, perm_tot):
             p = jnp.argsort(xT[0, :self.n])
-            xT = jnp.concatenate(
-                [xT[:, :self.n][:, p], xT[:, self.n:]], axis=1)
-            vT = jnp.concatenate(
-                [vT[:, :self.n][:, p], vT[:, self.n:]], axis=1)
-            return xT, vT, perm_tot[p]
+            # optimization_barrier: a lane gather fused into downstream
+            # arithmetic lowers to a serialized loop (CLAUDE.md rule 3)
+            xg, vg, pg = jax.lax.optimization_barrier(
+                (xT[:, :self.n][:, p], vT[:, :self.n][:, p], perm_tot[p]))
+            xT = jnp.concatenate([xg, xT[:, self.n:]], axis=1)
+            vT = jnp.concatenate([vg, vT[:, self.n:]], axis=1)
+            return xT, vT, pg
 
-        def run_fn(x, v, box, kT, seed):
+        def run_fn(x, v, box, kT, key):
             pad = n - self.n
+            valid_arr = make_valid()
             xT = jnp.pad(x.T.astype(jnp.float32), ((0, 0), (0, pad)))
             vT = jnp.pad(v.T.astype(jnp.float32), ((0, 0), (0, pad)))
             Ldiag = jnp.diagonal(box).astype(jnp.float32)
             L = Ldiag.reshape(3, 1)
             kT_arr = jnp.asarray(kT, jnp.float32).reshape(1)
-            seed0 = jnp.asarray(seed, jnp.int32)
+            key_out, sub = jax.random.split(key)
+            seed0 = jax.random.randint(sub, (), 0, np.iinfo(np.int32).max,
+                                       dtype=jnp.int32)
             perm_tot = jnp.arange(self.n, dtype=jnp.int32)
 
             fT = jnp.zeros_like(xT)
@@ -805,7 +810,7 @@ class FusedSortedLangevin:
                 a = aT[:, :self.n].T
                 return jnp.zeros_like(a).at[perm_tot].set(a)
 
-            return unperm(xT), unperm(vT), unperm(fT), U, stats
+            return unperm(xT), unperm(vT), unperm(fT), U, stats, key_out
 
         return jax.jit(run_fn)
 
@@ -819,10 +824,7 @@ class FusedSortedLangevin:
         fn = self._run_cache.get(n_steps)
         if fn is None:
             self._run_cache[n_steps] = fn = self._build(n_steps)
-        key, sub = jax.random.split(key)
-        seed = jax.random.randint(sub, (), 0, np.iinfo(np.int32).max,
-                                  dtype=jnp.int32)
-        xo, vo, fo, uo, stats = fn(x, v, box, kT, seed)
+        xo, vo, fo, uo, stats, key = fn(x, v, box, kT, key)
         self.last_stats = stats  # (rebuild count, summed window bounds)
         return xo, vo, fo, uo, key
 

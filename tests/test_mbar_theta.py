@@ -55,6 +55,49 @@ def test_theta_matches_bootstrap():
         float(ddf), boot_std)
 
 
+def test_expectation_covariance_matches_bootstrap():
+    """mbar_expectations' enthalpy errors (augmented-state covariance,
+    VERDICT round-2 item 5b) match a bootstrap of <u_K>_K - <u_0>_0 and
+    of the entropy combination on the gaussian ladder."""
+    from openmmtools_tpu.multistate.mbar import mbar_expectations
+
+    rng = np.random.default_rng(2)
+    u_kn, n_k = _draw_u_kn(rng)
+    res = mbar_free_energies(u_kn, n_k)
+    h, cov_hh, cov_hf, t_ff = [np.asarray(a) for a in mbar_expectations(
+        u_kn, n_k, res.free_energies, u_kn)]
+    # analytic <u_k>_k for a 1-D gaussian: 0.5 kT
+    np.testing.assert_allclose(h, 0.5, atol=0.05)
+    i, j = 0, len(K_VALS) - 1
+    dh = h[j] - h[i]
+    var_dh = cov_hh[i, i] + cov_hh[j, j] - 2 * cov_hh[i, j]
+    f = np.asarray(res.free_energies)
+    ds = dh - (f[j] - f[i])
+    var_df = t_ff[i, i] + t_ff[j, j] - 2 * t_ff[i, j]
+    cov_cross = (cov_hf[j, j] - cov_hf[j, i] - cov_hf[i, j] + cov_hf[i, i])
+    var_ds = var_dh + var_df - 2 * cov_cross
+
+    # bootstrap both quantities
+    n = N_PER_STATE
+    dhs, dss = [], []
+    for b in range(60):
+        cols = np.concatenate([
+            k * n + rng.integers(0, n, n) for k in range(len(K_VALS))])
+        ub = u_kn[:, cols]
+        rb = mbar_free_energies(ub, n_k, compute_theta=False)
+        hb, _, _, _ = mbar_expectations(ub, n_k, rb.free_energies, ub)
+        hb = np.asarray(hb)
+        fb = np.asarray(rb.free_energies)
+        dhs.append(hb[j] - hb[i])
+        dss.append(hb[j] - hb[i] - (fb[j] - fb[i]))
+    boot_dh = float(np.std(dhs, ddof=1))
+    boot_ds = float(np.std(dss, ddof=1))
+    assert 0.55 * boot_dh < math.sqrt(var_dh) < 1.8 * boot_dh, (
+        math.sqrt(var_dh), boot_dh)
+    assert 0.55 * boot_ds < math.sqrt(max(var_ds, 0.0)) < 1.8 * boot_ds, (
+        math.sqrt(max(var_ds, 0.0)), boot_ds)
+
+
 def test_theta_matches_replication_spread():
     rng = np.random.default_rng(1)
     n_rep = 40
