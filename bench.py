@@ -26,9 +26,11 @@ def main():
     state = bound.initial_state(fluid.sampler_state(), jax.random.PRNGKey(0),
                                 temperature=120.0)
 
-    # large chunks amortize the ~30 ms host->TPU dispatch latency of the
-    # relay; the fused kernel integrates the whole chunk in one program
-    chunk = 10000
+    # large chunks amortize the ~33 ms host->TPU dispatch latency of the
+    # relay (measured round 3: fixed cost is constant in chunk size, so
+    # 50k steps/call cuts it from 3.3 to 0.7 us/step); the fused kernel
+    # integrates the whole chunk in one program
+    chunk = 50000
     # warm-up/compile
     state = jax.block_until_ready(bound.run(state, chunk))
 

@@ -413,6 +413,10 @@ class FusedSortedLangevin:
         self.dt = float(timestep)
         self.gamma = float(collision_rate)
         self.bs = int(shell_block)
+        if (self.n_pad // 2) % self.bs != 0:
+            # guarantees the sweep never visits a shell > n/2, so the
+            # only per-row weight the kernel needs is the s == n/2 half
+            raise ValueError("shell_block must divide n_pad // 2")
         self.skin = float(skin) if skin is not None else 0.3 * self.sigma
         self.sort_interval = int(sort_interval)
         self.interpret = bool(interpret)
@@ -430,23 +434,76 @@ class FusedSortedLangevin:
         self._run_cache = {}
         self._kernel_cache = {}
 
+    # -- in-kernel bound measurement ---------------------------------------
+
+    def _measure_bound(self, x, L, refs):
+        """Distance-only bound sweep: writes 1 + (last shell-block with
+        any pair at r^2 <= (rc+skin)^2) into refs['nblk_sm'].
+
+        Replaces the full *force* sweep the tracked rebuild used to
+        require (round-3 rebuild-cost fix): same r^2 computation but no
+        rsqrt/LJ/switch/accumulate chain, ~1/4 the per-block op count.
+        (An x-window-only bound was tried first and is ~4x cheaper per
+        block, but with x-sorted particles nearly every index-near pair
+        has small |dx|, so the bound came out ~2x looser and the bounded
+        force sweeps ate the savings — measured on hardware.)"""
+        n = self.n_pad
+        bs = self.bs
+        half = n // 2
+        n_blocks = half // bs
+        dtype = x.dtype
+        w2 = (self.rc + self.skin) ** 2
+        xj_ref = refs["xj"]
+
+        Lc = [L[c, 0] for c in range(3)]
+        halfL = [0.5 * Lc[c] for c in range(3)]
+
+        s0_top = 1 + (n_blocks - 1) * bs
+        back_top = jnp.mod(n - s0_top, n)
+        for c in range(3):
+            row = x[c:c + 1, :]
+            stair_c = jnp.concatenate(
+                [pltpu.roll(row, (n - k) % n, axis=1) for k in range(bs)],
+                axis=0)
+            xj_ref[c * bs:(c + 1) * bs, :] = pltpu.roll(stair_c, back_top,
+                                                        axis=1)
+
+        def body(i, last_active):
+            it = n_blocks - 1 - i
+            r2 = None
+            for c in range(3):
+                sl = slice(c * bs, (c + 1) * bs)
+                dc = x[c:c + 1, :] - xj_ref[sl, :]
+                dc = dc + jnp.where(dc < -halfL[c], Lc[c],
+                                    jnp.zeros((), dtype))
+                dc = dc - jnp.where(dc > halfL[c], Lc[c],
+                                    jnp.zeros((), dtype))
+                r2 = dc * dc if r2 is None else r2 + dc * dc
+                xj_ref[sl, :] = pltpu.roll(xj_ref[sl, :], bs, axis=1)
+            active = jnp.any(r2 <= w2)
+            last_active = jnp.maximum(last_active,
+                                      jnp.where(active, it, -1))
+            return last_active
+
+        last_active = jax.lax.fori_loop(0, n_blocks, body, jnp.int32(-1))
+        refs["nblk_sm"][0] = last_active + 1
+
     # -- in-kernel force sweep ---------------------------------------------
 
-    def _sweep(self, x, L, valid, n_blk, refs, track_activity):
+    def _sweep(self, x, L, n_blk, refs):
         """One half-shell force sweep over shell-blocks [0, n_blk).
 
-        Writes forces into refs['F'] and the potential into refs['u_sm'];
-        with ``track_activity`` also writes 1 + (last block with any pair
-        within cutoff+skin) into refs['nblk_sm'].  Uses the scratch refs
-        refs['xj'] (3*bs, n), refs['accP'], refs['accA'] (3*bs, n) and
-        refs['accE'] (bs, n) as in-place loop state.
+        Writes forces into refs['F'] and the potential into refs['u_sm'].
+        Uses the scratch refs refs['xj'] (3*bs, n), refs['accP'],
+        refs['accA'] (3*bs, n) and refs['accE'] (bs, n) as in-place loop
+        state.  Padded lanes are POISONED to huge x-coordinates by the
+        in-kernel wrap() (not masked): every pair involving one is beyond
+        the cutoff, so no validity plane or per-block mask ops are needed.
         """
         n = self.n_pad
         bs = self.bs
         half = n // 2
-        n_blocks = -(-half // bs)
         rc2 = self.rc * self.rc
-        rc2_skin = (self.rc + self.skin) ** 2
         sig2 = self.sigma * self.sigma
         eps4 = 4.0 * self.epsilon
         eps24 = 24.0 * self.epsilon
@@ -470,13 +527,6 @@ class FusedSortedLangevin:
                 axis=0)
             xj_ref[c * bs:(c + 1) * bs, :] = pltpu.roll(stair_c, back_top,
                                                         axis=1)
-        vj_ref = None
-        if valid is not None:
-            vj_ref = refs["vj"]
-            vstair = jnp.concatenate(
-                [pltpu.roll(valid, (n - k) % n, axis=1) for k in range(bs)],
-                axis=0)
-            vj_ref[:, :] = pltpu.roll(vstair, back_top, axis=1)
 
         accP[:, :] = jnp.zeros((3 * bs, n), dtype)
         accA[:, :] = jnp.zeros((3 * bs, n), dtype)
@@ -484,14 +534,13 @@ class FusedSortedLangevin:
 
         row_iota = jax.lax.broadcasted_iota(jnp.int32, (bs, 1), 0)
 
-        def body(i, last_active):
+        def body(i, _):
             it = n_blk - 1 - i
             s0 = 1 + it * bs
-            srow = s0 + row_iota
-            wrow = jnp.where(
-                srow < half, jnp.ones((), dtype),
-                jnp.where(srow == half, jnp.full((), 0.5, dtype),
-                          jnp.zeros((), dtype)))
+            # the only shell needing a weight is s == n/2 (generated from
+            # both endpoints: count it half); shells > n/2 never occur
+            # because bs divides n/2 and the bound never exceeds n/(2 bs)
+            whalf = 1.0 - 0.5 * (s0 + row_iota == half).astype(dtype)
 
             d = []
             r2 = None
@@ -506,15 +555,7 @@ class FusedSortedLangevin:
                 d.append(dc)
                 r2 = dc * dc if r2 is None else r2 + dc * dc
 
-            pair_ok = r2 > 1e-12
-            if vj_ref is not None:
-                pair_ok = pair_ok & (valid > 0.5) & (vj_ref[:, :] > 0.5)
-            mask = (r2 < rc2) & pair_ok
-
-            if track_activity:
-                active = jnp.any((r2 < rc2_skin) & pair_ok & (wrow > 0))
-                last_active = jnp.maximum(last_active,
-                                          jnp.where(active, it, -1))
+            mask = (r2 < rc2) & (r2 > 1e-12)
 
             inv_r = jnp.where(mask, _fast_rsqrt(r2), jnp.zeros((), dtype))
             inv_r2 = inv_r * inv_r
@@ -527,14 +568,15 @@ class FusedSortedLangevin:
                 rs = self.rc - self.switch_width
                 inv_span = 1.0 / self.switch_width
                 r = r2 * inv_r
-                t = jnp.clip((r - rs) * inv_span, 0.0, 1.0)
+                # mask guarantees r < rc so t <= 1; only the lower clamp
+                t = jnp.maximum((r - rs) * inv_span, 0.0)
                 S = 1.0 + t * t * t * (-10.0 + t * (15.0 - 6.0 * t))
                 omt = 1.0 - t
                 dS = (-30.0 * inv_span) * (t * t) * (omt * omt)
                 w = w * S - e * dS * inv_r
                 e = e * S
-            w = w * wrow
-            accE[:, :] = accE[:, :] + e * wrow
+            w = w * whalf
+            accE[:, :] = accE[:, :] + e * whalf
             for c in range(3):
                 sl = slice(c * bs, (c + 1) * bs)
                 g = w * d[c]
@@ -544,11 +586,9 @@ class FusedSortedLangevin:
                 accA[sl, :] = pltpu.roll(accA[sl, :], bs, axis=1) + g
                 # advance partner tiles to the next (lower) block
                 xj_ref[sl, :] = pltpu.roll(xj_ref[sl, :], bs, axis=1)
-            if vj_ref is not None:
-                vj_ref[:, :] = pltpu.roll(vj_ref[:, :], bs, axis=1)
-            return last_active
+            return 0
 
-        last_active = jax.lax.fori_loop(0, n_blk, body, jnp.int32(-1))
+        jax.lax.fori_loop(0, n_blk, body, 0)
 
         refs["u_sm"][0] = jnp.sum(accE[:, :])
         F_rows = []
@@ -562,32 +602,36 @@ class FusedSortedLangevin:
                                              k + 1, axis=1)
             F_rows.append(fplus - fminus)
         refs["F"][:, :] = jnp.concatenate(F_rows, axis=0)
-        if track_activity:
-            refs["nblk_sm"][0] = last_active + 1
 
     # -- kernel body --------------------------------------------------------
 
-    def _kernel(self, n_steps, L_ref, kT_ref, seed_ref, x_in, v_in, valid_in,
+    def _kernel(self, n_steps, L_ref, kT_ref, seed_ref, x_in, v_in,
                 x_out, v_out, f_out, u_out, stat_out,
-                xs, vs, Fs, snap, xj, accP, accA, accE, vj,
+                xs, vs, Fs, snap, xj, accP, accA, accE,
                 u_sm, nblk_sm, reb_sm):
         n = self.n_pad
         dtype = jnp.float32
-        h2 = self.dt * 0.5
         inv_m = 1.0 / self.mass
-        n_blocks = -(-(n // 2) // self.bs)
-        valid = valid_in[:] if self.n != n else None
         half_skin2 = (0.5 * self.skin) ** 2
 
         refs = {"xj": xj, "accP": accP, "accA": accA, "accE": accE,
-                "F": Fs, "u_sm": u_sm, "nblk_sm": nblk_sm,
-                "vj": vj if self.n != n else None}
+                "F": Fs, "u_sm": u_sm, "nblk_sm": nblk_sm}
 
         if self.ou_b != 0.0:
             pltpu.prng_seed(seed_ref[0])
         kT = kT_ref[0]
         sig_noise = jnp.sqrt(kT * inv_m)
         L = L_ref[:]
+
+        # Padded lanes are POISONED, not masked: wrap() pins lane l >= n
+        # to x = (l+1)*1e8 (staggered so poison-poison |dx| >= 1e8) and
+        # y = z = 0.  Every pair involving one is then beyond the cutoff
+        # in x alone, the Verlet displacement is exactly zero, and the
+        # sweep needs no validity plane or per-block mask ops.
+        if self.n != n:
+            lanes = jax.lax.broadcasted_iota(jnp.int32, (1, n), 1)
+            pad_mask = lanes >= self.n
+            poison = (lanes.astype(dtype) + 1.0) * jnp.float32(1e8)
 
         def draw_noise():
             bits = pltpu.bitcast(pltpu.prng_random_bits((8, n)), jnp.uint32)
@@ -603,13 +647,18 @@ class FusedSortedLangevin:
             for c in range(3):
                 Lc = L[c, 0]
                 xc = x[c:c + 1, :]
-                rows.append(xc - Lc * jnp.floor(xc * (1.0 / Lc)))
+                xc = xc - Lc * jnp.floor(xc * (1.0 / Lc))
+                if self.n != n:
+                    xc = jnp.where(pad_mask,
+                                   poison if c == 0
+                                   else jnp.zeros((), dtype), xc)
+                rows.append(xc)
             return jnp.concatenate(rows, axis=0)
 
         def dispatch_sweep(x):
-            """Wrap positions, apply the Verlet validity check, run the
-            bounded (or, on rebuild, full tracked) sweep. Returns the
-            wrapped positions; forces land in Fs."""
+            """Wrap positions, apply the Verlet validity check (re-measure
+            the shell bound on violation), run the bounded sweep. Returns
+            the wrapped positions; forces land in Fs."""
             x = wrap(x)
             # rebuild as soon as any particle has moved more than skin/2
             # (min-image: wrap() can jump a coordinate by L) from the
@@ -622,32 +671,25 @@ class FusedSortedLangevin:
                 dc = dc - jnp.where(dc > 0.5 * L[c, 0], L[c, 0],
                                     jnp.zeros((), dtype))
                 disp2 = disp2 + dc * dc
-            if valid is not None:
-                disp2 = disp2 * valid
             rebuild = jnp.max(disp2) > half_skin2
 
             @pl.when(rebuild)
             def _():
                 snap[:, :] = x
                 reb_sm[0] = reb_sm[0] + 1
-                self._sweep(x, L, valid, jnp.int32(n_blocks), refs,
-                            track_activity=True)
+                self._measure_bound(x, L, refs)
 
-            @pl.when(jnp.logical_not(rebuild))
-            def _():
-                self._sweep(x, L, valid, nblk_sm[0], refs,
-                            track_activity=False)
-
+            self._sweep(x, L, nblk_sm[0], refs)
             return x
 
-        # chunk start: wrap, snapshot, full tracked sweep
+        # chunk start: wrap, snapshot, measure the bound, sweep
         x0 = wrap(x_in[:])
         xs[:, :] = x0
         vs[:, :] = v_in[:]
         snap[:, :] = x0
         reb_sm[0] = jnp.int32(1)
-        self._sweep(x0, L, valid, jnp.int32(n_blocks), refs,
-                    track_activity=True)
+        self._measure_bound(x0, L, refs)
+        self._sweep(x0, L, nblk_sm[0], refs)
 
         h_R = self.h_R
         h_V = self.h_V
@@ -710,7 +752,6 @@ class FusedSortedLangevin:
                     pl.BlockSpec(memory_space=pltpu.SMEM),    # seed (1,)
                     pl.BlockSpec(memory_space=pltpu.VMEM),    # x
                     pl.BlockSpec(memory_space=pltpu.VMEM),    # v
-                    pl.BlockSpec(memory_space=pltpu.VMEM),    # valid
                 ],
                 out_specs=tuple(pl.BlockSpec(memory_space=pltpu.VMEM)
                                 for _ in range(5)),
@@ -723,7 +764,6 @@ class FusedSortedLangevin:
                     pltpu.VMEM((3 * bs, n), jnp.float32),  # accP
                     pltpu.VMEM((3 * bs, n), jnp.float32),  # accA
                     pltpu.VMEM((bs, n), jnp.float32),      # accE
-                    pltpu.VMEM((bs, n), jnp.float32),      # vj
                     pltpu.SMEM((1,), jnp.float32),         # u_sm
                     pltpu.SMEM((1,), jnp.int32),           # nblk_sm
                     pltpu.SMEM((1,), jnp.int32),           # reb_sm
@@ -747,12 +787,6 @@ class FusedSortedLangevin:
         else:
             call_rem = None
 
-        def make_valid():
-            # built IN-TRACE from iota: a closed-over device constant costs
-            # ~30 ms per call through the TPU relay (CLAUDE.md rule 2)
-            lanes = jax.lax.broadcasted_iota(jnp.int32, (1, n), 1)
-            return (lanes < self.n).astype(jnp.float32)
-
         # Sort along ONE axis: the x-coordinate ring wraps periodically
         # exactly like the index ring of the half-shell decomposition
         # (see module comment) — measured max pair separation 230/1024
@@ -769,7 +803,6 @@ class FusedSortedLangevin:
 
         def run_fn(x, v, box, kT, key):
             pad = n - self.n
-            valid_arr = make_valid()
             xT = jnp.pad(x.T.astype(jnp.float32), ((0, 0), (0, pad)))
             vT = jnp.pad(v.T.astype(jnp.float32), ((0, 0), (0, pad)))
             Ldiag = jnp.diagonal(box).astype(jnp.float32)
@@ -788,7 +821,7 @@ class FusedSortedLangevin:
                 xT, vT, fT, U, perm_tot, stats = carry
                 xT, vT, perm_tot = sort_spatial(xT, vT, perm_tot)
                 xo, vo, fo, uo, stat = call_W(
-                    L, kT_arr, seed_w.reshape(1), xT, vT, valid_arr)
+                    L, kT_arr, seed_w.reshape(1), xT, vT)
                 stats = stats + jnp.stack([stat[0, 0], stat[1, 0]])
                 return (xo, vo, fo, uo[0, 0], perm_tot, stats), None
 
@@ -800,7 +833,7 @@ class FusedSortedLangevin:
                 xT, vT, perm_tot = sort_spatial(xT, vT, perm_tot)
                 xo, vo, fo, uo, stat = call_rem(
                     L, kT_arr, (seed0 + n_windows).reshape(1),
-                    xT, vT, valid_arr)
+                    xT, vT)
                 xT, vT, fT = xo, vo, fo
                 U = uo[0, 0]
                 stats = stats + jnp.stack([stat[0, 0], stat[1, 0]])
