@@ -328,6 +328,45 @@ class AlchemicalNonbondedTerm:
                               a=self.softcore_a, b=self.softcore_b,
                               c=self.softcore_c)
 
+    def exception_add_energy(self, x, box, params=None):
+        """Only the exception ADD part of :meth:`energy` (plain no_cutoff
+        softcore kernels, lambda-scaled).
+
+        The bounded-sweep kernel path (integrators/langevin.py sweep mode)
+        masks exception pairs out of the standard pair sum — equivalent to
+        the subtract — so the XLA remainder only needs this add term.
+        """
+        if self.exception_index.shape[0] == 0:
+            return jnp.zeros((), x.dtype)
+        dtype = x.dtype
+        lam_s_regions = _region_lambdas(params, self.lambda_sterics_names,
+                                        dtype)
+        lam_e_regions = _region_lambdas(params,
+                                        self.lambda_electrostatics_names,
+                                        dtype)
+        rid = self.region_id
+        i = self.exception_index[:, 0]
+        j = self.exception_index[:, 1]
+        de = x[i] - x[j]
+        if self.periodic:
+            de = minimum_image(de, box)
+        r2e = jnp.maximum(jnp.sum(de * de, axis=-1), 1e-12)
+        re = jnp.sqrt(r2e)
+        lam_s_exc = self._pair_lambdas(rid[i], rid[j], lam_s_regions,
+                                       self.annihilate_sterics)
+        lam_e_exc = self._pair_lambdas(rid[i], rid[j], lam_e_regions,
+                                       self.annihilate_electrostatics)
+        sig_exc = jnp.maximum(self.exception_sigma, 1e-6)
+        add = sc.softcore_lj(
+            r2e, sig_exc, self.exception_epsilon, lam_s_exc,
+            alpha=self.softcore_alpha, a=self.softcore_a,
+            b=self.softcore_b, c=self.softcore_c)
+        add = add + sc.softcore_coulomb(
+            re, self.exception_chargeprod, sig_exc, lam_e_exc,
+            method="no_cutoff", beta=self.softcore_beta, d=self.softcore_d,
+            e=self.softcore_e, f=self.softcore_f)
+        return jnp.sum(add)
+
     def _electrostatics(self, r, qq, sig, lam, involved=None):
         e = sc.softcore_coulomb(
             r, qq, sig, lam, method=self.method, cutoff=self.cutoff,

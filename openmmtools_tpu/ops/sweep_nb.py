@@ -64,7 +64,8 @@ class SweepNonbonded:
     def __init__(self, n_particles, method, cutoff, switch_width=None,
                  dielectric=78.3, ewald_alpha=None, shift_rf=True,
                  switch_coulomb=False, shell_block=8, skin=0.1,
-                 mask_shells=2048, interpret=False):
+                 mask_shells=2048, alchemical=False,
+                 coulomb_pme_treatment=False, interpret=False):
         if method not in ("pme", "ewald", "cutoff_periodic"):
             raise ValueError(f"sweep kernel: unsupported method {method!r}")
         self.n = int(n_particles)
@@ -83,13 +84,23 @@ class SweepNonbonded:
         if self.mask_shells % 32:
             raise ValueError("mask_shells must be a multiple of 32")
         self.mask_rows = self.mask_shells // 32
+        # alchemical variant (single region, softcore_beta = 0, c = 6 —
+        # the reference defaults, alchemy.py softcore constants): the
+        # param plane carries a 4th row (0/1 alchemical flag) and the
+        # kernel receives 6 per-class scalars precomputed host-side:
+        # [lam_s_na, lam_s_aa, asc_na, asc_aa, lam_e_na, lam_e_aa] where
+        # asc = softcore_alpha*(1-lam_s)^b and the _aa entries encode the
+        # annihilate flags (non-annihilated intra-region pairs scale by 1)
+        self.alchemical = bool(alchemical)
+        self.coulomb_pme_treatment = bool(coulomb_pme_treatment)
+        self.n_par = 4 if self.alchemical else 3
         self.interpret = bool(interpret)
         self.n_blocks = -(-(self.n_pad // 2) // self.bs)
         self._call = None
 
     # -- in-kernel pair sweep ----------------------------------------------
 
-    def _sweep(self, x, par, L, excl_ref, n_blk, refs, track_activity):
+    def _sweep(self, x, par, L, excl_ref, lam, n_blk, refs, track_activity):
         n = self.n_pad
         bs = self.bs
         half = n // 2
@@ -98,11 +109,12 @@ class SweepNonbonded:
         rc2_skin = (self.rc + self.skin) ** 2
         dtype = x.dtype
         ke = ONE_4PI_EPS0
+        n_par = self.n_par
 
         Lc = [L[c, 0] for c in range(3)]
         halfL = [0.5 * Lc[c] for c in range(3)]
         xj_ref = refs["xj"]      # (3*bs, n) coordinate staircase
-        pj_ref = refs["pj"]      # (3*bs, n) parameter staircase (sig, se, q)
+        pj_ref = refs["pj"]      # (n_par*bs, n) param staircase
         accP = refs["accP"]
         accA = refs["accA"]
         accE = refs["accE"]
@@ -110,6 +122,11 @@ class SweepNonbonded:
         sig_row = par[0:1, :]
         se_row = par[1:2, :]
         q_row = par[2:3, :]
+        if self.alchemical:
+            a_row = par[3:4, :]   # 0/1 alchemical flag
+            lam_s_na, lam_s_aa = lam[0], lam[1]
+            asc_na, asc_aa = lam[2], lam[3]
+            lam_e_na, lam_e_aa = lam[4], lam[5]
 
         # seed staircases at the TOP block (the sweep's only dynamic rolls)
         s0_top = 1 + (n_blk - 1) * bs
@@ -121,7 +138,7 @@ class SweepNonbonded:
                 axis=0)
             xj_ref[c * bs:(c + 1) * bs, :] = pltpu.roll(stair_c, back_top,
                                                         axis=1)
-        for c in range(3):
+        for c in range(n_par):
             row = par[c:c + 1, :]
             stair_c = jnp.concatenate(
                 [pltpu.roll(row, (n - k) % n, axis=1) for k in range(bs)],
@@ -188,14 +205,48 @@ class SweepNonbonded:
             inv_r2 = inv_r * inv_r
             r = r2 * inv_r
 
+            if self.alchemical:
+                # per-pair lambda class from the 0/1 flags: 0 alch
+                # particles -> environment (scale 1), 1 -> na scalars,
+                # 2 -> aa scalars (annihilate baked into the _aa values)
+                nn_a = a_row + pj_ref[3 * bs:4 * bs, :]
+                is1 = nn_a == 1.0
+                is2 = nn_a > 1.5
+                one = jnp.ones((), dtype)
+                zero = jnp.zeros((), dtype)
+                lam_s_p = jnp.where(is1, lam_s_na,
+                                    jnp.where(is2, lam_s_aa, one))
+                asc_p = jnp.where(is1, asc_na,
+                                  jnp.where(is2, asc_aa, zero))
+                lam_e_p = jnp.where(is1, lam_e_na,
+                                    jnp.where(is2, lam_e_aa, one))
+
             # LJ with Lorentz-Berthelot combination
             sig = 0.5 * (sig_row + pj_ref[0 * bs:1 * bs, :])
             eps = se_row * pj_ref[1 * bs:2 * bs, :]
             s2 = (sig * sig) * inv_r2
             s6 = s2 * s2 * s2
-            s12 = s6 * s6
-            e_lj = 4.0 * eps * (s12 - s6)
-            w_lj = eps * (48.0 * s12 - 24.0 * s6) * inv_r2
+            if self.alchemical:
+                # softcore (beta = 0, c = 6): x = 1/(a(1-l)^b + (r/sig)^6)
+                #                               = s6/(asc*s6 + 1)
+                # e = 4 eps l (x^2 - x);  w = 24 eps l (2x-1) x/(den r^2)
+                # reduces exactly to the standard LJ at lambda = 1.
+                # clamp s6: at deep overlap (possible at small lambda)
+                # den^2 would overflow inside the rsqrt-based reciprocal;
+                # at s6 = 1e18 the softcore limit x -> 1/asc is already
+                # exact to f32, so the clamp changes nothing physical
+                s6 = jnp.minimum(s6, 1e18)
+                den = asc_p * s6 + 1.0
+                inv_den = _fast_recip_pos(den)
+                xsc = s6 * inv_den
+                el4 = (4.0 * eps) * lam_s_p
+                e_lj = el4 * (xsc * xsc - xsc)
+                w_lj = (6.0 * el4) * (2.0 * xsc - 1.0) * xsc \
+                    * inv_den * inv_r2
+            else:
+                s12 = s6 * s6
+                e_lj = 4.0 * eps * (s12 - s6)
+                w_lj = eps * (48.0 * s12 - 24.0 * s6) * inv_r2
 
             # Coulomb
             qq = (ke * q_row) * pj_ref[2 * bs:3 * bs, :]
@@ -209,9 +260,18 @@ class SweepNonbonded:
                 e_c = qq * erfc * inv_r
                 w_c = qq * inv_r2 * (erfc * inv_r
                                      + (2.0 * alpha / math.sqrt(math.pi)) * ez)
+                if self.alchemical and self.coulomb_pme_treatment:
+                    # 'coulomb' PME treatment: alchemically-involved
+                    # pairs use the plain Coulomb kernel in direct space
+                    inv_involved = nn_a > 0.5
+                    e_c = jnp.where(inv_involved, qq * inv_r, e_c)
+                    w_c = jnp.where(inv_involved, qq * inv_r2 * inv_r, w_c)
             else:
                 e_c = qq * (inv_r + k_rf * r2 - c_rf)
                 w_c = qq * (inv_r2 * inv_r - 2.0 * k_rf)
+            if self.alchemical:
+                e_c = e_c * lam_e_p
+                w_c = w_c * lam_e_p
 
             if self.switch_width is not None:
                 rs = self.rc - self.switch_width
@@ -266,7 +326,7 @@ class SweepNonbonded:
 
     # -- kernel body --------------------------------------------------------
 
-    def _kernel(self, meta_ref, L_ref, x_in, par_in, excl_in,
+    def _kernel(self, meta_ref, lam_ref, L_ref, x_in, par_in, excl_in,
                 f_out, u_out, nblk_out,
                 xj, pj, accP, accA, accE, u_sm, nblk_sm):
         n = self.n_pad
@@ -275,18 +335,19 @@ class SweepNonbonded:
         L = L_ref[:]
         x = x_in[:]
         par = par_in[:]
+        lam = tuple(lam_ref[i] for i in range(6))  # SMEM: scalar loads only
         rebuild = meta_ref[0] != 0
         bound_in = meta_ref[1]
         nblk_sm[0] = bound_in
 
         @pl.when(rebuild)
         def _():
-            self._sweep(x, par, L, excl_in, jnp.int32(self.n_blocks), refs,
-                        track_activity=True)
+            self._sweep(x, par, L, excl_in, lam, jnp.int32(self.n_blocks),
+                        refs, track_activity=True)
 
         @pl.when(jnp.logical_not(rebuild))
         def _():
-            self._sweep(x, par, L, excl_in, bound_in, refs,
+            self._sweep(x, par, L, excl_in, lam, bound_in, refs,
                         track_activity=False)
 
         u_out[:, :] = u_sm[0][None, None]
@@ -306,16 +367,17 @@ class SweepNonbonded:
             ),
             in_specs=[
                 pl.BlockSpec(memory_space=pltpu.SMEM),   # meta (flag, bound)
+                pl.BlockSpec(memory_space=pltpu.SMEM),   # lam (6,) f32
                 pl.BlockSpec(memory_space=pltpu.VMEM),   # L (3,1)
                 pl.BlockSpec(memory_space=pltpu.VMEM),   # x (3,n)
-                pl.BlockSpec(memory_space=pltpu.VMEM),   # par (3,n)
+                pl.BlockSpec(memory_space=pltpu.VMEM),   # par (n_par,n)
                 pl.BlockSpec(memory_space=pltpu.VMEM),   # excl (R,n) int32
             ],
             out_specs=tuple(pl.BlockSpec(memory_space=pltpu.VMEM)
                             for _ in range(3)),
             scratch_shapes=[
                 pltpu.VMEM((3 * bs, n), jnp.float32),    # xj
-                pltpu.VMEM((3 * bs, n), jnp.float32),    # pj
+                pltpu.VMEM((self.n_par * bs, n), jnp.float32),   # pj
                 pltpu.VMEM((3 * bs, n), jnp.float32),    # accP
                 pltpu.VMEM((3 * bs, n), jnp.float32),    # accA
                 pltpu.VMEM((bs, n), jnp.float32),        # accE
@@ -331,22 +393,30 @@ class SweepNonbonded:
 
     # -- traceable host-facing op ------------------------------------------
 
-    def forces(self, x_sorted, par_sorted, box, excl, rebuild, bound):
+    def forces(self, x_sorted, par_sorted, box, excl, rebuild, bound,
+               lam=None):
         """One force evaluation (traceable; call inside jit).
 
         x_sorted: (n_pad, 3) sorted+wrapped positions with poisoned pad
-        par_sorted: (n_pad, 3) [sigma, sqrt_eps, charge] sorted, 0 pad
+        par_sorted: (n_pad, n_par) [sigma, sqrt_eps, charge(, alch_flag)]
+            sorted, 0 pad
         excl: (mask_rows, n_pad) int32 exception bitfield
         rebuild: () bool — sweep all shells and re-measure the bound
         bound: () int32 — current block bound (used when not rebuilding)
+        lam: (6,) f32 per-class alchemical scalars
+            [lam_s_na, lam_s_aa, asc_na, asc_aa, lam_e_na, lam_e_aa]
+            (required when self.alchemical; see __init__)
 
         Returns (F (n_pad, 3), U (), new_bound ()).
         """
         call = self._build()
         meta = jnp.stack([rebuild.astype(jnp.int32),
                           bound.astype(jnp.int32)])
+        if lam is None:
+            lam = jnp.zeros((6,), jnp.float32)
         L = jnp.diagonal(box).astype(jnp.float32).reshape(3, 1)
-        f, u, nb = call(meta, L, x_sorted.T.astype(jnp.float32),
+        f, u, nb = call(meta, lam.astype(jnp.float32), L,
+                        x_sorted.T.astype(jnp.float32),
                         par_sorted.T.astype(jnp.float32), excl)
         new_bound = jnp.where(rebuild, nb[0, 0].astype(jnp.int32), bound)
         return f.T, u[0, 0], new_bound

@@ -106,3 +106,122 @@ def test_sweep_mts_force_groups(water):
     assert np.isfinite(dx) and dx < 1e-3, dx
     du = abs(float(sum(st_s.potentials)) - float(sum(st_d.potentials)))
     assert du < 2e-3 * abs(float(sum(st_d.potentials)))
+
+
+def _lj_fluid_512():
+    from openmmtools_tpu.models import LennardJonesFluid
+
+    return LennardJonesFluid(nparticles=512, charge=0.2)
+
+
+def test_sweep_scale_params():
+    """charge_scale_param / lj_scale_param fold into the sweep kernel's
+    per-particle rows (q*scale, sqrt_eps*sqrt(lj_scale)) and match the
+    dense NonbondedTerm.energy semantics (round-3 coverage, VERDICT #2)."""
+    from openmmtools_tpu.system import NonbondedTerm
+
+    fluid = _lj_fluid_512()
+    sys0 = fluid.system
+    idx = next(i for i, t in enumerate(sys0.terms)
+               if type(t) is NonbondedTerm)
+    term = sys0.terms[idx].replace(charge_scale_param="q_scale",
+                                   lj_scale_param="lj_scale")
+    system = sys0.replace_term(idx, term)
+    gp = {"q_scale": 0.6, "lj_scale": 0.3}
+
+    def bind(sweep):
+        from openmmtools_tpu.integrators import BAOABIntegrator
+
+        return BAOABIntegrator(temperature=120.0, collision_rate=1.0,
+                               timestep=0.002, sweep=sweep,
+                               neighborlist=None).bind(system)
+
+    bd, bs = bind(None), bind("interpret")
+    assert bs.sweep_mode and not bd.sweep_mode
+    ss = fluid.sampler_state()
+    sd = bd.initial_state(ss, jax.random.PRNGKey(0), temperature=120.0,
+                          global_params=gp)
+    s2 = bs.initial_state(ss, jax.random.PRNGKey(0), temperature=120.0,
+                          global_params=gp)
+    u_d = float(sum(sd.potentials))
+    u_s = float(sum(s2.potentials))
+    assert abs(u_d - u_s) < 2e-3 * max(abs(u_d), 1.0), (u_d, u_s)
+    fd = np.asarray(sum(sd.forces))
+    fs = np.asarray(sum(s2.forces))
+    assert np.abs(fd - fs).max() < 1e-4 * max(np.abs(fd).max(), 1.0)
+
+
+@pytest.mark.parametrize("treatment,lam", [
+    ("direct-space", 1.0),
+    ("direct-space", 0.55),
+    ("direct-space", 0.0),
+    ("exact", 0.55),
+    ("coulomb", 0.55),
+])
+def test_sweep_alchemical_parity(treatment, lam):
+    """Alchemical softcore sweep kernel matches the dense
+    AlchemicalNonbondedTerm across lambda and PME treatments
+    (VERDICT #2c: production-scale alchemical path)."""
+    from openmmtools_tpu.alchemy import (
+        AbsoluteAlchemicalFactory,
+        AlchemicalRegion,
+    )
+    from openmmtools_tpu.integrators import BAOABIntegrator
+
+    fluid = _lj_fluid_512()
+    factory = AbsoluteAlchemicalFactory(alchemical_pme_treatment=treatment)
+    region = AlchemicalRegion(alchemical_atoms=list(range(24)),
+                              annihilate_sterics=True)
+    system = factory.create_alchemical_system(fluid.system, region)
+    gp = {"lambda_sterics": lam, "lambda_electrostatics": lam}
+
+    def bind(sweep):
+        return BAOABIntegrator(temperature=120.0, collision_rate=1.0,
+                               timestep=0.002, sweep=sweep,
+                               neighborlist=None).bind(system)
+
+    bd, bs = bind(None), bind("interpret")
+    assert bs.sweep_mode and bs._sweep_alch is not None
+    ss = fluid.sampler_state()
+    sd = bd.initial_state(ss, jax.random.PRNGKey(0), temperature=120.0,
+                          global_params=gp)
+    s2 = bs.initial_state(ss, jax.random.PRNGKey(0), temperature=120.0,
+                          global_params=gp)
+    u_d = float(sum(sd.potentials))
+    u_s = float(sum(s2.potentials))
+    assert abs(u_d - u_s) < 2e-3 * max(abs(u_d), 1.0), (u_d, u_s)
+    fd = np.asarray(sum(sd.forces))
+    fs = np.asarray(sum(s2.forces))
+    assert np.abs(fd - fs).max() < 2e-4 * max(np.abs(fd).max(), 1.0)
+
+
+def test_sweep_alchemical_decoupled_sterics():
+    """Non-annihilated sterics: intra-region pairs keep full strength at
+    lambda = 0 (pair-class scalars encode the annihilate flags)."""
+    from openmmtools_tpu.alchemy import (
+        AbsoluteAlchemicalFactory,
+        AlchemicalRegion,
+    )
+    from openmmtools_tpu.integrators import BAOABIntegrator
+
+    fluid = _lj_fluid_512()
+    factory = AbsoluteAlchemicalFactory()
+    region = AlchemicalRegion(alchemical_atoms=list(range(24)),
+                              annihilate_sterics=False)
+    system = factory.create_alchemical_system(fluid.system, region)
+    gp = {"lambda_sterics": 0.0, "lambda_electrostatics": 0.0}
+
+    def bind(sweep):
+        return BAOABIntegrator(temperature=120.0, collision_rate=1.0,
+                               timestep=0.002, sweep=sweep,
+                               neighborlist=None).bind(system)
+
+    bd, bs = bind(None), bind("interpret")
+    ss = fluid.sampler_state()
+    sd = bd.initial_state(ss, jax.random.PRNGKey(0), temperature=120.0,
+                          global_params=gp)
+    s2 = bs.initial_state(ss, jax.random.PRNGKey(0), temperature=120.0,
+                          global_params=gp)
+    u_d = float(sum(sd.potentials))
+    u_s = float(sum(s2.potentials))
+    assert abs(u_d - u_s) < 2e-3 * max(abs(u_d), 1.0), (u_d, u_s)
