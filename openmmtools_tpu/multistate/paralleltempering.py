@@ -64,8 +64,14 @@ class ParallelTemperingSampler(ReplicaExchangeSampler):
         n_steps = move.n_steps
         reassign = move.reassign_velocities
         u_fn = make_energy_fn(system)
-        betas = 1.0 / (kB * stacked.temperature)  # (K,)
-        pressure = stacked.pressure  # (K,) or None (same p across ladder)
+        # beta-rescale over sampled + same-system unsampled columns (the
+        # stacked states); different-system endpoint states are appended
+        # via their own bound reduced_potential below
+        stacked_all = self._stacked_states
+        betas = 1.0 / (kB * stacked_all.temperature)  # (K [+ n_uns],)
+        pressure = stacked_all.pressure  # or None (same p across ladder)
+        unsampled_separate = self._unsampled_separate
+        separate_u = self._separate_unsampled_u
 
         def propagate_one(x, v, box, key, s):
             temperature = stacked.temperature[s]
@@ -84,8 +90,12 @@ class ParallelTemperingSampler(ReplicaExchangeSampler):
             u_pot = u_fn(x, box, params)
             if pressure is not None:
                 pv = pressure * BAR_TO_KJ_PER_MOL_NM3 * box_volume(box)
-                return betas * (u_pot + pv)
-            return betas * u_pot
+                u = betas * (u_pot + pv)
+            else:
+                u = betas * u_pot
+            if unsampled_separate:
+                u = jnp.concatenate([u, separate_u(x, box)])
+            return u
 
         mix_kernel = self._mix_kernel
 

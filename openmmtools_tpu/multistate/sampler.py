@@ -33,6 +33,7 @@ from openmmtools_tpu.multistate.utils import SimulationNaNError
 from openmmtools_tpu.states import (
     SamplerState,
     ThermodynamicState,
+    is_state_compatible,
     stack_thermodynamic_states,
 )
 from openmmtools_tpu.utils.pytree import pytree_dataclass
@@ -163,6 +164,7 @@ class MultiStateSampler:
 
         self._thermodynamic_states: List[ThermodynamicState] = []
         self._unsampled_states: List[ThermodynamicState] = []
+        self._unsampled_separate = False
         self._stacked_states: Optional[ThermodynamicState] = None
         self._carry: Optional[MultiStateCarry] = None
         self._iteration = 0
@@ -235,10 +237,34 @@ class MultiStateSampler:
         self._thermodynamic_states = list(thermodynamic_states)
         self._unsampled_states = [
             _resolve(ts) for ts in (unsampled_thermodynamic_states or [])]
-        self._stacked_states = stack_thermodynamic_states(
-            self._thermodynamic_states + self._unsampled_states)
+        # Unsampled endpoint states whose SYSTEM differs from the sampled
+        # one (e.g. expanded-cutoff endpoints, multistateanalyzer.py:
+        # 1479-1554 / multistatereporter.py:612) cannot ride the stacked
+        # vmap — each is evaluated by its own bound reduced_potential and
+        # appended as extra energy columns.  The stacked fast path
+        # requires the system pytrees to be value-identical, not just
+        # structurally compatible: stacking shares the FIRST system, so a
+        # same-shape different-values endpoint would silently evaluate
+        # the wrong physics.
+        sampled0 = self._thermodynamic_states[0]
+        sampled_leaves = jax.tree.leaves(sampled0.system)
+
+        def _same_system(ts):
+            if not is_state_compatible(sampled0, ts):
+                return False
+            return all(
+                np.array_equal(np.asarray(a), np.asarray(b))
+                for a, b in zip(sampled_leaves, jax.tree.leaves(ts.system)))
+
+        self._unsampled_separate = bool(self._unsampled_states) and not all(
+            _same_system(ts) for ts in self._unsampled_states)
         self._stacked_sampled = stack_thermodynamic_states(
             self._thermodynamic_states)
+        if self._unsampled_separate:
+            self._stacked_states = self._stacked_sampled
+        else:
+            self._stacked_states = stack_thermodynamic_states(
+                self._thermodynamic_states + self._unsampled_states)
 
         if isinstance(sampler_states, SamplerState):
             sampler_states = [sampler_states]
@@ -429,14 +455,40 @@ class MultiStateSampler:
     # the fused iteration program
     # ------------------------------------------------------------------
     def _move_for_kernel(self) -> BaseIntegratorMove:
-        move = self._mcmc_moves
-        if isinstance(move, (list, tuple)):
-            move = move[0]
-        if not isinstance(move, BaseIntegratorMove):
-            raise TypeError(
-                "MultiStateSampler requires an integrator-based move for the "
-                "fused TPU path (got %r)" % type(move))
-        return move
+        return self._moves_per_state()[0]
+
+    def _moves_per_state(self) -> List[BaseIntegratorMove]:
+        """One integrator-based move per thermodynamic state (the reference
+        accepts heterogeneous per-state moves, multistatesampler.py:63).
+        A single move broadcasts to all states; a list must match the
+        state count exactly — no silent truncation to element [0]."""
+        k = max(1, len(self._thermodynamic_states))
+        moves = self._mcmc_moves
+        if not isinstance(moves, (list, tuple)):
+            moves = [moves]
+        if len(moves) == 1:
+            moves = list(moves) * k
+        if len(moves) != k:
+            raise ValueError(
+                "mcmc_moves list length %d != number of thermodynamic "
+                "states %d" % (len(moves), k))
+        for m in moves:
+            if not isinstance(m, BaseIntegratorMove):
+                raise TypeError(
+                    "MultiStateSampler requires integrator-based moves for "
+                    "the fused TPU path (got %r)" % type(m))
+        return list(moves)
+
+    @staticmethod
+    def _moves_equal(a: BaseIntegratorMove, b: BaseIntegratorMove) -> bool:
+        if a is b:
+            return True
+        if type(a) is not type(b):
+            return False
+        try:
+            return a.__dict__ == b.__dict__
+        except Exception:
+            return False
 
     def _state_params_at(self, stacked, s):
         """(temperature, pressure, global_params) gathered at state index s."""
@@ -445,30 +497,66 @@ class MultiStateSampler:
         params = {k: v[s] for k, v in stacked.global_params.items()}
         return temperature, pressure, params
 
+    def _separate_unsampled_u(self, x, box):
+        """(n_unsampled,) reduced potentials of one configuration at each
+        separately-bound unsampled endpoint state (systems differ from the
+        sampled one — expanded-cutoff endpoints, multistateanalyzer.py:
+        1479-1554). Each state traces its own energy computation; n_uns is
+        small (typically 2) so this adds a constant number of extra
+        programs to the fused iteration."""
+        cols = [ts.reduced_potential(SamplerState(positions=x,
+                                                  box_vectors=box))
+                for ts in self._unsampled_states]
+        return jnp.stack(cols)
+
     def _build_iteration_fn(self):
-        move = self._move_for_kernel()
+        moves = self._moves_per_state()
+        move = moves[0]
         stacked_all = self._stacked_states    # sampled + unsampled (energies)
         stacked = self._stacked_sampled       # sampled (propagation)
         system = self._thermodynamic_states[0].system
-        integrator = move._get_integrator(self._thermodynamic_states[0])
-        bound = integrator.bind(system)
-        n_steps = move.n_steps
-        # velocities are always initialized by create()/from_storage before
-        # the program is built, so the traced flag is just the move option
-        reassign = move.reassign_velocities
+        homogeneous = all(self._moves_equal(m, move) for m in moves[1:])
 
-        def propagate_one(x, v, box, key, s):
-            temperature, _, params = self._state_params_at(stacked, s)
-            ss = SamplerState(positions=x,
-                              velocities=None if reassign else v,
-                              box_vectors=box)
-            state = bound.initial_state(ss, key, temperature=temperature,
-                                        global_params=params)
-            state = bound.run_program(n_steps)(state)
-            return state.positions, state.velocities
+        def _bind(m):
+            integ = m._get_integrator(self._thermodynamic_states[0])
+            # velocities are always initialized by create()/from_storage
+            # before the program is built, so the traced reassign flag is
+            # just the move option
+            return integ.bind(system), m.n_steps, m.reassign_velocities
+
+        def _make_propagate(bound, n_steps, reassign):
+            def prop(x, v, box, key, temperature, params):
+                ss = SamplerState(positions=x,
+                                  velocities=None if reassign else v,
+                                  box_vectors=box)
+                state = bound.initial_state(ss, key, temperature=temperature,
+                                            global_params=params)
+                state = bound.run_program(n_steps)(state)
+                return state.positions, state.velocities
+            return prop
+
+        if homogeneous:
+            prop0 = _make_propagate(*_bind(move))
+
+            def propagate_one(x, v, box, key, s):
+                temperature, _, params = self._state_params_at(stacked, s)
+                return prop0(x, v, box, key, temperature, params)
+        else:
+            # heterogeneous per-state moves (multistatesampler.py:63): one
+            # propagation program per state, selected in-trace by the
+            # replica's current state index.  Each branch compiles once.
+            branches = [_make_propagate(*_bind(m)) for m in moves]
+
+            def propagate_one(x, v, box, key, s):
+                temperature, _, params = self._state_params_at(stacked, s)
+                return jax.lax.switch(
+                    s, [lambda op, p=p: p(*op) for p in branches],
+                    (x, v, box, key, temperature, params))
 
         locality = self.locality
         k_states = len(self._thermodynamic_states)
+        unsampled_separate = self._unsampled_separate
+        separate_u = self._separate_unsampled_u
 
         def u_at(x, box, temperature, pressure, params):
             ts = ThermodynamicState(
@@ -489,9 +577,12 @@ class MultiStateSampler:
                            None if stacked_all.pressure is None else 0,
                            {k: 0 for k in stacked_all.global_params})
             if locality is None:
-                return jax.vmap(u_at, in_axes=in_axes_all)(
+                u = jax.vmap(u_at, in_axes=in_axes_all)(
                     x, box, stacked_all.temperature, stacked_all.pressure,
                     stacked_all.global_params)
+                if unsampled_separate:
+                    u = jnp.concatenate([u, separate_u(x, box)])
+                return u
             window = 2 * int(locality) + 1
             start = jnp.clip(state_index - locality, 0,
                              max(0, k_states - window))
@@ -525,6 +616,9 @@ class MultiStateSampler:
                     {k: v[k_states:]
                      for k, v in stacked_all.global_params.items()})
                 u_full = u_full.at[k_states:].set(u_uns)
+            if unsampled_separate:
+                # different-system endpoint states (always evaluated)
+                u_full = jnp.concatenate([u_full, separate_u(x, box)])
             return u_full
 
         mix_kernel = self._mix_kernel  # subclass hook (may be None)
@@ -609,9 +703,12 @@ class MultiStateSampler:
                     SamplerState(positions=x, box_vectors=box))
             in_axes = (0, None if stacked_all.pressure is None else 0,
                        {k: 0 for k in stacked_all.global_params})
-            return jax.vmap(u_at, in_axes=in_axes)(
+            u = jax.vmap(u_at, in_axes=in_axes)(
                 stacked_all.temperature, stacked_all.pressure,
                 stacked_all.global_params)
+            if self._unsampled_separate:
+                u = jnp.concatenate([u, self._separate_unsampled_u(x, box)])
+            return u
 
         box_axis = None if carry.boxes is None else 0
         return jax.jit(jax.vmap(energies_one, in_axes=(0, box_axis)))(

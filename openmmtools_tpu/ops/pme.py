@@ -33,6 +33,15 @@ from openmmtools_tpu.utils.pytree import pytree_dataclass, static_field
 
 DEFAULT_EWALD_ERROR_TOLERANCE = 5e-4  # reference testsystems.py default
 
+# MXU precision for the structure-factor contractions.  DEFAULT (single
+# bf16 pass) silently loses the large-k phases (DHFR recip off by ~1e6
+# kJ/mol, ROADMAP round-2 finding 4).  HIGH (3-pass bf16) measured on
+# hardware against HIGHEST (6-pass): energy rel 7.8e-8, max force rel
+# 5.7e-6 at N=4096/kmax=32 and within the DHFR dense-parity gate at
+# 23.5k atoms — both far below the 5e-4 Ewald error tolerance — at 2.2x
+# the speed.  Overridable for experiments/tests.
+SF_PRECISION = jax.lax.Precision.HIGH
+
 
 def ewald_alpha(cutoff: float, tol: float = DEFAULT_EWALD_ERROR_TOLERANCE
                 ) -> float:
@@ -47,9 +56,17 @@ def ewald_kmax(alpha: float, box_edge: float,
                                 * math.sqrt(-math.log(2.0 * tol)) / math.pi)))
 
 
-def _phase_tables(theta, M):
-    """(N, 2M+1) complex phase tables exp(i m theta), m = -M..M."""
-    mj = jnp.arange(-M, M + 1, dtype=theta.dtype)
+def _phase_tables(theta, M, half=False):
+    """(N, 2M+1) complex phase tables exp(i m theta), m = -M..M.
+
+    With ``half=True``, only m = 0..M: real charges give the Hermitian
+    symmetry S(-k) = conj(S(k)), so |S|^2 over the full k-cube equals the
+    kx >= 0 half with a factor-2 weight on kx > 0 — this halves every
+    heavy (N x K^3-ish) contraction in both the forward and backward
+    structure-factor passes.
+    """
+    lo = 0 if half else -M
+    mj = jnp.arange(lo, M + 1, dtype=theta.dtype)
     th = theta[:, None] * mj[None, :]
     return jax.lax.complex(jnp.cos(th), jnp.sin(th))
 
@@ -57,6 +74,10 @@ def _phase_tables(theta, M):
 @functools.partial(jax.custom_vjp, nondiff_argnums=(5,))
 def _sf_weighted_sum(q, tx, ty, tz, w, M):
     """W = Σ_k w(k) |S(k)|² with S(k) = Σ_n q_n exp(i(kx tx + ky ty + kz tz)).
+
+    The k-grid is the Hermitian HALF cube: kx = 0..M, ky/kz = -M..M, with
+    the caller folding the factor 2 for kx > 0 into ``w`` (shape
+    (M+1, 2M+1, 2M+1)) — exact for real charges.
 
     Hand-written VJP: the autodiff backward of the forward einsum picks a
     pathological contraction path on TPU (measured 5.1 ms vs 0.75 ms
@@ -73,8 +94,9 @@ def _sf_forward(q, tx, ty, tz, M):
     return jnp.einsum(
         'n,nx,ny,nz->xyz',
         jax.lax.complex(q, jnp.zeros_like(q)),
-        _phase_tables(tx, M), _phase_tables(ty, M), _phase_tables(tz, M),
-        precision=jax.lax.Precision.HIGHEST)
+        _phase_tables(tx, M, half=True),
+        _phase_tables(ty, M), _phase_tables(tz, M),
+        precision=SF_PRECISION)
 
 
 def _sf_fwd(q, tx, ty, tz, w, M):
@@ -85,20 +107,21 @@ def _sf_fwd(q, tx, ty, tz, w, M):
 
 def _sf_bwd(M, res, g):
     q, tx, ty, tz, w, S = res
-    Px = _phase_tables(tx, M)
+    Px = _phase_tables(tx, M, half=True)
     Py = _phase_tables(ty, M)
     Pz = _phase_tables(tz, M)
     mj = jnp.arange(-M, M + 1, dtype=tx.dtype)
+    mjx = jnp.arange(0, M + 1, dtype=tx.dtype)
     B = jax.lax.complex(w, jnp.zeros_like(w)) * jnp.conj(S)
     hi = functools.partial(jnp.einsum,
-                           precision=jax.lax.Precision.HIGHEST)
+                           precision=SF_PRECISION)
     # one heavy contraction per axis; the per-axis m factor applies in the
     # cheap (N, K) finishing stage
     Cx = hi('xyz,ny,nz->nx', B, Py, Pz)     # heavy
     Cy = hi('xyz,nx,nz->ny', B, Px, Pz)     # heavy
     Cz = hi('xyz,nx,ny->nz', B, Px, Py)     # heavy
     H0 = jnp.sum(Cx * Px, axis=1)
-    Hx = jnp.sum(Cx * Px * mj[None, :], axis=1)
+    Hx = jnp.sum(Cx * Px * mjx[None, :], axis=1)
     Hy = jnp.sum(Cy * Py * mj[None, :], axis=1)
     Hz = jnp.sum(Cz * Pz * mj[None, :], axis=1)
     dq = g * 2.0 * jnp.real(H0)
@@ -168,13 +191,16 @@ class EwaldReciprocalTerm:
         per (k, particle)).  The triple contraction is one elementwise
         outer product C[n, ky·kz] = Py·Pz plus one MXU matmul
         S = (q·Px)ᵀ C — O(N·K³) MACs on the MXU instead of O(n_k·N)
-        cos/sin on the VPU.  Sum over the FULL k-box (±k both included, so
-        no half-space factor 2); k = 0 masked by its weight.
+        cos/sin on the VPU.  Sum over the Hermitian HALF k-box: real
+        charges give S(-k) = conj(S(k)), so kx runs 0..M with a factor-2
+        weight on kx > 0 — halving every heavy contraction (measured
+        exact vs the full cube); k = 0 masked by its weight.
         """
         M = int(self.kmax)
         two_pi = 2.0 * jnp.pi
         dtype = x.dtype
         mj = jnp.arange(-M, M + 1, dtype=dtype)   # iota, not a constant
+        mjx = jnp.arange(0, M + 1, dtype=dtype)
 
         # einsum-based structure factors (inside _sf_weighted_sum, which
         # carries a hand-written VJP — the autodiff backward picks a
@@ -183,11 +209,14 @@ class EwaldReciprocalTerm:
         # miscompiles the reshape-of-padded-3D + dot composition
         # (verified: hand-staged s2 grids off by O(1) relative, einsum
         # matches an f64 reference to 5e-6 median).
-        k_ax = [two_pi * mj / lengths[c] for c in range(3)]
-        k2 = (k_ax[0][:, None, None] ** 2 + k_ax[1][None, :, None] ** 2
-              + k_ax[2][None, None, :] ** 2)
+        kx_ax = two_pi * mjx / lengths[0]
+        k_ax = [two_pi * mj / lengths[c] for c in (1, 2)]
+        k2 = (kx_ax[:, None, None] ** 2 + k_ax[0][None, :, None] ** 2
+              + k_ax[1][None, None, :] ** 2)
         inv_k2 = jnp.where(k2 > 0, 1.0 / jnp.maximum(k2, 1e-12), 0.0)
-        weight = jnp.exp(-k2 / (4.0 * self.alpha * self.alpha)) * inv_k2
+        hermitian = jnp.where(mjx > 0, 2.0, 1.0)[:, None, None]
+        weight = (hermitian * jnp.exp(-k2 / (4.0 * self.alpha * self.alpha))
+                  * inv_k2)
         W = _sf_weighted_sum(q, (two_pi / lengths[0]) * x[:, 0],
                              (two_pi / lengths[1]) * x[:, 1],
                              (two_pi / lengths[2]) * x[:, 2], weight, M)

@@ -335,6 +335,34 @@ def test_alchemical_gb_full_region_vanishes():
     assert np.isfinite(u_half)
 
 
+def test_alchemical_custom_gb_system_is_softened():
+    """The CustomGBForceSystem testsystem (reference testsystems.py:4279,
+    softened by _alchemically_modify_CustomGBForce, alchemy.py:2223) must
+    NOT pass through the factory unmodified: its native GBSAOBCTerm takes
+    the alchemical-GB dispatch, so lambda_electrostatics=0 removes the
+    alchemical atoms from the GB model entirely."""
+    from openmmtools_tpu.models import CustomGBForceSystem
+
+    ts = CustomGBForceSystem(n_molecules=8)
+    x = ts.positions
+    box = ts.system.default_box
+    factory = AbsoluteAlchemicalFactory()
+    alch_atoms = list(range(4))
+    alch = factory.create_alchemical_system(
+        ts.system, AlchemicalRegion(alchemical_atoms=alch_atoms))
+    gb_terms = [t for t in alch.terms if type(t).__name__ == "GBSAOBCTerm"]
+    assert len(gb_terms) == 1 and gb_terms[0].alchemical is not None, (
+        "factory silently passed the GB term through unsoftened")
+
+    u_gb_1 = float(gb_terms[0].energy(x, box, {"lambda_electrostatics": 1.0}))
+    u_gb_ref = float(
+        [t for t in ts.system.terms
+         if type(t).__name__ == "GBSAOBCTerm"][0].energy(x, box, None))
+    assert abs(u_gb_1 - u_gb_ref) < 1e-3 * abs(u_gb_ref)
+    u_gb_0 = float(gb_terms[0].energy(x, box, {"lambda_electrostatics": 0.0}))
+    assert u_gb_0 != pytest.approx(u_gb_ref, rel=1e-3)
+
+
 def test_alchemical_gb_multi_region_raises():
     system, x = _gb_system()
     factory = AbsoluteAlchemicalFactory()

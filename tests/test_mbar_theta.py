@@ -98,6 +98,58 @@ def test_expectation_covariance_matches_bootstrap():
         math.sqrt(max(var_ds, 0.0)), boot_ds)
 
 
+def _replication(mus, sigs, ns, reps=60, seed=0):
+    """Replication spread + mean reported ddf for arbitrary gaussian states
+    (states with n=0 contribute no samples — the zero-sample-column MBAR
+    regime of real alchemical ladders)."""
+    rng = np.random.default_rng(seed)
+    dfs, ddfs = [], []
+    for _ in range(reps):
+        xs = [rng.normal(m, s, n) for m, s, n in zip(mus, sigs, ns) if n > 0]
+        x = np.concatenate(xs)
+        u_kn = np.stack([0.5 * ((x - m) / s) ** 2 + math.log(s)
+                         for m, s in zip(mus, sigs)])
+        res = mbar_free_energies(u_kn, np.asarray(ns, float))
+        df, ddf = res.delta_f(0, len(mus) - 1)
+        dfs.append(float(df))
+        ddfs.append(float(ddf))
+    return float(np.std(dfs, ddof=1)), float(np.mean(ddfs))
+
+
+def test_theta_poor_overlap_regime():
+    """Overlap << 0.1 (mean separation 6 sigma): the regime where real
+    alchemical ladders live (VERDICT round-2 weak #7). The pinv-based
+    estimator must stay within 2x of the true replication spread."""
+    spread, ddf = _replication([0.0, 6.0], [1.0, 1.0], [200, 200], seed=3)
+    assert 0.5 * spread < ddf < 2.0 * spread, (ddf, spread)
+
+
+def test_theta_zero_sample_bridge_state():
+    """An exact-zero n_k column in the middle of the ladder (unsampled
+    bridge state) must not corrupt the endpoint uncertainty."""
+    spread, ddf = _replication([0.0, 3.0, 6.0], [1.0, 1.0, 1.0],
+                               [300, 0, 300], seed=4)
+    assert 0.5 * spread < ddf < 2.0 * spread, (ddf, spread)
+
+
+def test_theta_zero_sample_endpoint_state():
+    """Pure-reweighting endpoint (n_K = 0, the unsampled endpoint-state
+    use case): uncertainty within 2x of the replication spread."""
+    spread, ddf = _replication([0.0, 2.0], [1.0, 1.0], [400, 0], seed=5)
+    assert 0.5 * spread < ddf < 2.0 * spread, (ddf, spread)
+
+
+def test_theta_no_overlap_fails_loud():
+    """With essentially ZERO overlap (10 sigma separation) the f32
+    cross-state weights underflow to exactly 0 — the sample graph is
+    disconnected and the naive pinv returns a silently confident ~0
+    covariance.  The estimator must detect the disconnection (null-space
+    dim > 1) and report +inf / enormous ddf, never a small number."""
+    spread, ddf = _replication([0.0, 10.0], [1.0, 1.0], [300, 300],
+                               reps=10, seed=6)
+    assert ddf > 10.0 or math.isinf(ddf) or math.isnan(ddf), ddf
+
+
 def test_theta_matches_replication_spread():
     rng = np.random.default_rng(1)
     n_rep = 40

@@ -323,6 +323,93 @@ def test_unsampled_endpoint_states(tmp_path):
     reporter.close()
 
 
+def test_per_state_heterogeneous_moves():
+    """A list of per-state moves (reference multistatesampler.py:63) is
+    honored — each state propagates under its own move program (lax.switch
+    in the fused iteration), not silently truncated to moves[0]."""
+    from openmmtools_tpu.mcmc import GHMCMove
+
+    ho, states = _make_states()
+    moves = [
+        _move(20), _move(25),
+        LangevinDynamicsMove(timestep=0.005, collision_rate=2.0, n_steps=30),
+        GHMCMove(timestep=0.005, collision_rate=5.0, n_steps=15),
+    ]
+    sampler = ReplicaExchangeSampler(
+        mcmc_moves=moves, number_of_iterations=200,
+        online_analysis_interval=None, rng_seed=3)
+    sampler.create(states, SamplerState(positions=ho.positions))
+    sampler.run()
+    assert sampler.iteration == 200
+    assert int(np.asarray(sampler._carry.n_accepted).sum()) > 0
+
+    # distribution sanity: MBAR over the heterogeneous ladder still
+    # reproduces the analytic free energies
+    res = mbar_free_energies(
+        np.asarray(sampler._energy_history).reshape(-1, 4).T,
+        np.full(4, len(sampler._energy_history)))
+    for k in range(1, len(K_LADDER)):
+        analytic = _analytic_f(K_LADDER[k]) - _analytic_f(K_LADDER[0])
+        df, ddf = res.delta_f(0, k)
+        assert abs(float(df) - analytic) < max(6 * float(ddf), 0.2), (
+            k, float(df), analytic)
+
+    # wrong length is an error, not silent truncation
+    bad = ReplicaExchangeSampler(mcmc_moves=moves[:2],
+                                 number_of_iterations=1, rng_seed=3)
+    with pytest.raises(ValueError):
+        bad.create(states, SamplerState(positions=ho.positions))
+
+
+def test_unsampled_endpoint_different_system(tmp_path):
+    """Unsampled endpoint states whose SYSTEM differs structurally from the
+    sampled one (the reference's expanded-cutoff endpoint trick,
+    multistateanalyzer.py:1479-1554, multistatereporter.py:612): evaluated
+    with their own bound energy functions outside the stacked vmap.
+
+    Oracle: PowerOscillator(b=2) with U = K_p r^2 is a harmonic well with
+    K_eq = 2 K_p, so the MBAR free energy of the unsampled endpoint is
+    analytic."""
+    from openmmtools_tpu.models import PowerOscillator
+
+    ho, states = _make_states()
+    po = PowerOscillator(K=2.0, b=2)     # K_eq = 2 * po.K kJ/mol/nm^2
+    k_eq = 2.0 * po.K
+    unsampled = [po.thermodynamic_state(TEMP)]
+    assert ho.system.terms[0].expression != po.system.terms[0].expression
+
+    reporter = MultiStateReporter(str(tmp_path / "uns_diff.h5"),
+                                  checkpoint_interval=100)
+    sampler = ReplicaExchangeSampler(
+        mcmc_moves=_move(), number_of_iterations=300,
+        online_analysis_interval=None, rng_seed=11)
+    sampler.create(states, SamplerState(positions=ho.positions),
+                   storage=reporter,
+                   unsampled_thermodynamic_states=unsampled)
+    assert sampler._unsampled_separate
+    sampler.run()
+    assert sampler.energies_last_iteration.shape == (4, 5)
+
+    # the unsampled column is the endpoint state's own reduced potential
+    for n, ss in enumerate(sampler.sampler_states):
+        u_direct = float(unsampled[0].reduced_potential(ss))
+        assert abs(sampler.energies_last_iteration[n, 4] - u_direct) < 1e-4
+
+    analyzer = MultiStateSamplerAnalyzer(reporter)
+    df, ddf = analyzer.get_free_energy()
+    assert df.shape == (5, 5)
+    analytic = _analytic_f(k_eq) - _analytic_f(K_LADDER[0])
+    err = max(6 * ddf[0, 4], 0.25)
+    assert abs(df[0, 4] - analytic) < err, (df[0, 4], analytic, ddf[0, 4])
+
+    # resume round-trips the two different systems through storage
+    resumed = ReplicaExchangeSampler.from_storage(reporter)
+    assert resumed._unsampled_separate
+    resumed.run(2)
+    assert resumed.energies_last_iteration.shape == (4, 5)
+    reporter.close()
+
+
 def test_analysis_positions_stored(tmp_path):
     ho, states = _make_states()
     reporter = MultiStateReporter(str(tmp_path / "apos.h5"),
