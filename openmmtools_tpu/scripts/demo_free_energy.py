@@ -1,15 +1,21 @@
-"""Absolute LJ-particle decoupling free energy, two independent routes
+"""Absolute LJ-particle decoupling free energy, three independent routes
 (BASELINE config 4; the north-star accuracy workflow end-to-end).
 
 Route A (equilibrium): replica exchange over a lambda_sterics ladder of
 CompoundThermodynamicStates -> MBAR.
 Route B (nonequilibrium): vmapped NCMC switching (H-step protocols,
 forward + reverse) -> BAR.
+Route C (ORACLE): Widom test-particle insertion — the exact identity
+mu_ex = -kT ln <exp(-beta dU)>_{decoupled}.  At lambda=0 the ghost
+particle is ideal, so under the thermostat its position is uniform in
+the box and one-sided EXP from the decoupled ensemble IS the textbook
+Widom chemical potential; dG(1->0) = -mu_ex.  This estimator shares no
+alchemical-ladder/MBAR/BAR machinery with routes A/B — it is the
+external answer the VERDICT round-2 item 4 asks the full stack to match
+(the reference validates against pymbar-consistent overlap checks,
+tests/test_alchemy.py:1496).
 
-The two estimators share no sampling machinery beyond the energy function,
-so agreement within errors validates the alchemical factory, the compound
-states, the multistate stack, the nonequilibrium integrator, and MBAR/BAR
-at once. Run: python -m openmmtools_tpu.scripts.demo_free_energy
+Run: python -m openmmtools_tpu.scripts.demo_free_energy
 """
 import sys
 import time
@@ -149,6 +155,77 @@ def route_b_ncmc(fluid, alch_system, forward: bool, seed: int):
     return w
 
 
+def route_c_widom(fluid, compound, seed=33, n_snapshots=400,
+                  steps_between=100, n_insertions=64, n_eq=4000):
+    """Widom insertion from the decoupled (lambda_sterics=0) ensemble.
+
+    Samples the pure (N-1)-particle fluid by MD (the ghost is ideal), and
+    for each snapshot evaluates the coupling energy dU = u(lambda=1) -
+    u(lambda=0) at ``n_insertions`` uniform ghost positions.  Returns
+    f(lambda=1) - f(lambda=0) = beta*mu_ex and a block-analysis error."""
+    from openmmtools_tpu.integrators import BAOABIntegrator
+    from openmmtools_tpu.states import SamplerState
+
+    params0 = {"lambda_sterics": 0.0, "lambda_electrostatics": 1.0}
+    params1 = {"lambda_sterics": 1.0, "lambda_electrostatics": 1.0}
+    # energy difference via the resolved state's own reduced potential —
+    # identical cutoff/switch/dispersion semantics to the route-A ladder
+    base = compound.resolve()
+
+    def du_fn(x):
+        ss = SamplerState(positions=x)
+        u1 = base.replace(global_params={**base.global_params, **params1}
+                          ).reduced_potential(ss)
+        u0 = base.replace(global_params={**base.global_params, **params0}
+                          ).reduced_potential(ss)
+        return u1 - u0
+
+    eq = BAOABIntegrator(temperature=TEMP, collision_rate=1.0,
+                         timestep=0.002)
+    bound = eq.bind(compound.system)
+    key = jax.random.PRNGKey(seed)
+    k_init, k_ins = jax.random.split(key)
+    es = bound.initial_state(SamplerState(positions=fluid.positions),
+                             k_init, temperature=TEMP,
+                             global_params=params0)
+    run_prog = bound.run_program(steps_between)
+    es = bound.run_program(n_eq)(es)
+
+    box_l = float(np.asarray(fluid.system.default_box)[0, 0])
+    ins_keys = jax.random.split(k_ins, n_snapshots)
+
+    def snapshot_dus(carry, kk):
+        es = run_prog(carry)
+        r = jax.random.uniform(kk, (n_insertions, 3)) * box_l
+
+        def one(ri):
+            x = es.positions.at[0].set(ri)
+            return du_fn(x)
+
+        return es, jax.vmap(one)(r)
+
+    t0 = time.perf_counter()
+    es, dus = jax.jit(
+        lambda es, ks: jax.lax.scan(snapshot_dus, es, ks))(es, ins_keys)
+    dus = np.asarray(jax.block_until_ready(dus))       # (T, R)
+    print(f"Widom: {n_snapshots} snapshots x {n_insertions} insertions "
+          f"in {time.perf_counter() - t0:.0f}s; "
+          f"min dU = {dus.min():.2f} kT", flush=True)
+
+    # beta*mu_ex = -ln <exp(-dU)>; block over time for the error
+    def f_of(block):
+        m = np.exp(-block).mean()
+        return -float(np.log(m))
+
+    f_all = f_of(dus)
+    n_blocks = 8
+    t_tot = dus.shape[0]
+    blocks = [f_of(dus[b * t_tot // n_blocks:(b + 1) * t_tot // n_blocks])
+              for b in range(n_blocks)]
+    err = float(np.std(blocks) / np.sqrt(n_blocks))
+    return f_all, err
+
+
 def main():
     from openmmtools_tpu.multistate.mbar import bar_free_energy
 
@@ -164,13 +241,24 @@ def main():
     df_b, ddf_b = float(df_b), float(ddf_b)
     print(f"Route B (NCMC/BAR):   dG = {df_b:.3f} +- {ddf_b:.3f} kT",
           flush=True)
-    sigma = max((ddf_a**2 + ddf_b**2) ** 0.5, 0.02)
-    dev = abs(df_a - df_b) / sigma
+    # Widom gives f(1) - f(0); routes A/B measured f(0) - f(1)
+    f_c, ddf_c = route_c_widom(fluid, compound)
+    df_c = -f_c
+    print(f"Route C (Widom EXP):  dG = {df_c:.3f} +- {ddf_c:.3f} kT "
+          f"(beta*mu_ex = {f_c:.3f})", flush=True)
     kcal = kB * TEMP / 4.184
-    print(f"agreement: |dA - dB| = {abs(df_a - df_b):.3f} kT = "
-          f"{abs(df_a - df_b) * kcal:.3f} kcal/mol ({dev:.1f} sigma)",
-          flush=True)
-    return 0 if dev < 6.0 else 1
+    worst = 0.0
+    for name, (d1, e1), (d2, e2) in (
+            ("A vs B", (df_a, ddf_a), (df_b, ddf_b)),
+            ("A vs Widom", (df_a, ddf_a), (df_c, ddf_c)),
+            ("B vs Widom", (df_b, ddf_b), (df_c, ddf_c))):
+        sigma = max((e1**2 + e2**2) ** 0.5, 0.02)
+        dev = abs(d1 - d2) / sigma
+        worst = max(worst, dev)
+        print(f"agreement {name}: |d| = {abs(d1 - d2):.3f} kT = "
+              f"{abs(d1 - d2) * kcal:.3f} kcal/mol ({dev:.1f} sigma)",
+              flush=True)
+    return 0 if worst < 6.0 else 1
 
 
 if __name__ == "__main__":

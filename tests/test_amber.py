@@ -280,3 +280,143 @@ def test_native_prmtop_parser_parity(ala):
             assert np.array_equal(a, b), k
         else:
             assert list(a) == list(b), k
+
+
+# ---------------------------------------------------------------------------
+# Independent bonded-energy oracle (VERDICT round-2 item 10): a
+# self-contained NumPy evaluator of the standard AMBER bonded forms
+# (Amber manual Eq. 14.1: E = sum k(r-r0)^2 + sum k(th-th0)^2 +
+# sum PK(1+cos(PN phi - phase))) reading the prmtop SECTIONS directly —
+# it shares only the file format with the framework's parser -> System
+# pipeline, so agreement cross-checks indexing, unit conversion, improper
+# handling and term construction for systems without a shipped sander
+# output (DNA dodecamer, CB7:B2 explicit).
+# ---------------------------------------------------------------------------
+
+
+def _oracle_parse_prmtop(path):
+    sections = {}
+    name = None
+    rows = []
+    fmt_char = "a"
+    for line in open(path, encoding="latin-1"):
+        if line.startswith("%FLAG"):
+            if name:
+                sections[name] = (fmt_char, rows)
+            name = line.split()[1]
+            rows = []
+        elif line.startswith("%FORMAT"):
+            fmt_char = "f" if ("E" in line or "F" in line) else (
+                "i" if "I" in line else "a")
+        elif line.startswith("%"):
+            continue
+        elif name:
+            rows.append(line.rstrip("\n"))
+    if name:
+        sections[name] = (fmt_char, rows)
+
+    def get(flag, dtype=float, width=None):
+        fmt_char, rows = sections[flag]
+        vals = []
+        for r in rows:
+            vals.extend(r.split())
+        return np.asarray([dtype(v) for v in vals])
+
+    return get
+
+
+def _oracle_parse_inpcrd(path):
+    lines = open(path, encoding="latin-1").read().split("\n")
+    natom = int(lines[1].split()[0])
+    vals = []
+    for line in lines[2:]:
+        for k in range(0, len(line) - 1, 12):
+            s = line[k:k + 12].strip()
+            if s:
+                vals.append(float(s))
+        if len(vals) >= 3 * natom:
+            break
+    return np.asarray(vals[:3 * natom]).reshape(natom, 3)   # Angstrom
+
+
+def _oracle_bonded_energies(prmtop, inpcrd):
+    get = _oracle_parse_prmtop(prmtop)
+    x = _oracle_parse_inpcrd(inpcrd)
+    rk = get("BOND_FORCE_CONSTANT")
+    req = get("BOND_EQUIL_VALUE")
+    tk = get("ANGLE_FORCE_CONSTANT")
+    teq = get("ANGLE_EQUIL_VALUE")
+    pk = get("DIHEDRAL_FORCE_CONSTANT")
+    pn = get("DIHEDRAL_PERIODICITY")
+    phase = get("DIHEDRAL_PHASE")
+
+    e = {}
+    bonds = np.concatenate([get("BONDS_INC_HYDROGEN", int),
+                            get("BONDS_WITHOUT_HYDROGEN", int)]).reshape(-1, 3)
+    i, j, t = bonds[:, 0] // 3, bonds[:, 1] // 3, bonds[:, 2] - 1
+    r = np.linalg.norm(x[i] - x[j], axis=1)
+    e["bond"] = float(np.sum(rk[t] * (r - req[t]) ** 2))
+
+    angles = np.concatenate([
+        get("ANGLES_INC_HYDROGEN", int),
+        get("ANGLES_WITHOUT_HYDROGEN", int)]).reshape(-1, 4)
+    i, j, k, t = (angles[:, 0] // 3, angles[:, 1] // 3, angles[:, 2] // 3,
+                  angles[:, 3] - 1)
+    v1 = x[i] - x[j]
+    v2 = x[k] - x[j]
+    cosang = np.sum(v1 * v2, axis=1) / (
+        np.linalg.norm(v1, axis=1) * np.linalg.norm(v2, axis=1))
+    th = np.arccos(np.clip(cosang, -1.0, 1.0))
+    e["angle"] = float(np.sum(tk[t] * (th - teq[t]) ** 2))
+
+    dih = np.concatenate([
+        get("DIHEDRALS_INC_HYDROGEN", int),
+        get("DIHEDRALS_WITHOUT_HYDROGEN", int)]).reshape(-1, 5)
+    i = dih[:, 0] // 3
+    j = dih[:, 1] // 3
+    k = np.abs(dih[:, 2]) // 3
+    l = np.abs(dih[:, 3]) // 3
+    t = dih[:, 4] - 1
+    b1 = x[j] - x[i]
+    b2 = x[k] - x[j]
+    b3 = x[l] - x[k]
+    n1 = np.cross(b1, b2)
+    n2 = np.cross(b2, b3)
+    m1 = np.cross(n1, b2 / np.linalg.norm(b2, axis=1, keepdims=True))
+    cosp = np.sum(n1 * n2, axis=1)
+    sinp = np.sum(m1 * n2, axis=1)
+    phi = np.arctan2(sinp, cosp)
+    e["dihedral"] = float(np.sum(pk[t] * (1.0 + np.cos(pn[t] * phi
+                                                       - phase[t]))))
+    return e   # kcal/mol
+
+
+@pytest.mark.parametrize("subdir,prmtop,crd", [
+    ("dna_dodecamer_explicit", "prmtop", "inpcrd"),
+    ("cb7-b2", "complex-explicit.prmtop", "complex-explicit.inpcrd"),
+    # DHFR's JAC.inpcrd is a binary NetCDF restart; its bonded energies
+    # are pinned against the published JAC values in test_dhfr_loads
+])
+def test_independent_bonded_oracle(subdir, prmtop, crd):
+    """Framework bonded energies == the independent NumPy prmtop oracle
+    (f64, no constraints so every bond is present), for the big systems
+    that ship no sander reference output."""
+    from openmmtools_tpu.models.amber import create_system_from_prmtop
+
+    base = f"/root/reference/openmmtools/data/{subdir}"
+    oracle = _oracle_bonded_energies(f"{base}/{prmtop}", f"{base}/{crd}")
+    system = create_system_from_prmtop(f"{base}/{prmtop}", constraints=None)
+    x_nm = jnp.asarray(_oracle_parse_inpcrd(f"{base}/{crd}") * 0.1,
+                       dtype=jnp.float64)
+    got = {}
+    for t in system.terms:
+        name = type(t).__name__
+        if name == "HarmonicBondTerm":
+            got["bond"] = float(t.energy(x_nm, None, None)) / 4.184
+        elif name == "HarmonicAngleTerm":
+            got["angle"] = float(t.energy(x_nm, None, None)) / 4.184
+        elif name == "PeriodicTorsionTerm":
+            got["dihedral"] = float(t.energy(x_nm, None, None)) / 4.184
+    for key, ref in oracle.items():
+        assert abs(got[key] - ref) < max(2e-5 * abs(ref), 2e-3), (
+            subdir, key, got[key], ref)
