@@ -266,6 +266,13 @@ class BoundIntegrator:
         self._fused = None
         self._fused_setup()
         self._step_fn = self._build_step()
+        # scan-interior step: the trailing velocity projection is dropped
+        # when the next iteration's leading V/O re-projects at the same
+        # positions (see _vproj_skip_eligible); run_program restores the
+        # final state's projection once per chunk
+        self._vproj_skip = self._vproj_skip_eligible()
+        self._step_fn_fast = (self._build_step(skip_trailing_vproj=True)
+                              if self._vproj_skip else self._step_fn)
         self._run_cache: Dict[int, Any] = {}
         self._sweep_overflow_raised = False
 
@@ -498,14 +505,16 @@ class BoundIntegrator:
         dispersion correction evaluate in XLA with autodiff forces.
         """
         from openmmtools_tpu.ops import nonbonded
-        from openmmtools_tpu.ops.geometry import minimum_image
+        from openmmtools_tpu.ops.geometry import gather_rows, minimum_image
 
         k = self._sweep_kernel
         term = self._sweep_term
         n = self.system.n_particles
         L = jnp.diagonal(box)
         xw = x - L * jnp.floor(x / L)
-        y = xw[sw["perm"]]                                   # (N, 3) sorted
+        # barriered gather: an unfenced x[perm] fused into the arithmetic
+        # below serializes on this backend (CLAUDE.md relay rule 3)
+        y = gather_rows(xw, sw["perm"])                      # (N, 3) sorted
         disp = minimum_image(y - sw["snap"], box)
         moved = jnp.max(jnp.sum(disp * disp, axis=-1)) \
             > (0.5 * k.skin) ** 2
@@ -569,13 +578,15 @@ class BoundIntegrator:
         if self._sweep_alch is not None:
             rows[0] = jnp.maximum(term.sigma, 1e-6)  # sigma=0 particles
             rows.append((term.region_id >= 0).astype(x.dtype))
-        par = jnp.stack([r[sw["perm"]] for r in rows], axis=1)
+        par = gather_rows(jnp.stack(rows, axis=1), sw["perm"])
         par_pad = jnp.concatenate(
             [par, jnp.zeros((pad, len(rows)), par.dtype)]) if pad else par
         F_s, u_s, nblk = k.forces(y_pad, par_pad, box, sw["excl"],
                                   rebuild, jnp.maximum(sw["nblk"], 0),
                                   lam=lam)
-        F_direct = jnp.zeros_like(x).at[sw["perm"]].set(F_s[:n])
+        # un-permute via the barriered inverse gather (a scatter-set here
+        # serializes the same way the gathers do)
+        F_direct = gather_rows(F_s, sw["inv"])
         snap_new = jnp.where(rebuild, y, sw["snap"])
 
         # XLA remainder: the terms sharing the sweep's force group
@@ -793,19 +804,19 @@ class BoundIntegrator:
             u_new = self._total_potential(env)
             env.shadow_work = env.shadow_work + (u_new - u_old)
 
-    def _emit_V(self, env: _Env, g):
+    def _emit_V(self, env: _Env, g, skip_constrain=False):
         integ = self.integrator
         self._ensure_forces(env, [g])
         if integ.measure_shadow_work:
             ke_old = self._kinetic(env)
         h = self.integrator.timestep / self.n_V[g]
         env.v = env.v + h * env.F[g] * self.inv_mass[:, None]
-        if self.system.constraints.n_constraints > 0:
+        if self.system.constraints.n_constraints > 0 and not skip_constrain:
             env.v = self._constrain_velocities(env.x, env.v)
         if integ.measure_shadow_work:
             env.shadow_work = env.shadow_work + (self._kinetic(env) - ke_old)
 
-    def _emit_O(self, env: _Env):
+    def _emit_O(self, env: _Env, skip_constrain=False):
         integ = self.integrator
         if integ.measure_heat:
             ke_old = self._kinetic(env)
@@ -813,7 +824,7 @@ class BoundIntegrator:
         sigma = jnp.sqrt(env.kT * self.inv_mass)[:, None]
         noise = jax.random.normal(sub, env.v.shape, dtype=env.v.dtype)
         env.v = self.ou_a * env.v + self.ou_b * sigma * noise
-        if self.system.constraints.n_constraints > 0:
+        if self.system.constraints.n_constraints > 0 and not skip_constrain:
             env.v = self._constrain_velocities(env.x, env.v)
         if integ.measure_heat:
             env.heat = env.heat + (self._kinetic(env) - ke_old)
@@ -849,7 +860,37 @@ class BoundIntegrator:
     def _post_step(self, env: _Env):
         """Hook executed at the end of each step."""
 
-    def _build_step(self):
+    def _vproj_skip_eligible(self) -> bool:
+        """True when the LAST substep's velocity projection is mathematically
+        redundant inside a scanned run: RATTLE projection P is linear and
+        idempotent in v (P depends on x only), so for adjacent velocity
+        substeps at unchanged x, P(P(v + d1) + d2) == P(v + d1 + d2) — the
+        next step's leading V/O projection at the same positions subsumes
+        the trailing one. Requires: constraints present; the splitting both
+        starts and ends with a projecting velocity substep (V/Vn/O); no
+        Metropolis blocks ({} stashes projected velocities); no per-substep
+        KE measurements on the affected tokens (shadow work reads KE after
+        every V; heat after every O)."""
+        toks = self.tokens
+        if not toks or self.system.constraints.n_constraints == 0:
+            return False
+        if "{" in toks:
+            return False
+
+        def is_vel(t):
+            return t == "O" or t == "V" or t.startswith("V")
+
+        if not (is_vel(toks[0]) and is_vel(toks[-1])):
+            return False
+        if self.integrator.measure_shadow_work and toks[-1] != "O":
+            return False
+        if self.integrator.measure_heat and toks[-1] == "O":
+            return False
+        return True
+
+    def _build_step(self, skip_trailing_vproj=False):
+        skip_idx = len(self.tokens) - 1 if skip_trailing_vproj else -1
+
         def step(state: IntegratorState) -> IntegratorState:
             env = _Env()
             env.x = state.positions
@@ -884,13 +925,13 @@ class BoundIntegrator:
                              "excl": state.sweep_excl}
 
             self._pre_step(env)
-            for tok in self.tokens:
+            for ti, tok in enumerate(self.tokens):
                 if tok == "R":
                     self._emit_R(env)
                 elif tok == "O":
-                    self._emit_O(env)
+                    self._emit_O(env, skip_constrain=(ti == skip_idx))
                 elif tok == "V":
-                    self._emit_V(env, None)
+                    self._emit_V(env, None, skip_constrain=(ti == skip_idx))
                 elif tok == "{":
                     self._emit_block_start(env)
                 elif tok == "}":
@@ -898,7 +939,8 @@ class BoundIntegrator:
                 elif tok == "H":
                     self._emit_H(env)
                 else:
-                    self._emit_V(env, int(tok[1:]))
+                    self._emit_V(env, int(tok[1:]),
+                                 skip_constrain=(ti == skip_idx))
             self._post_step(env)
             # leave caches valid for the next step
             self._ensure_forces(env)
@@ -1006,7 +1048,7 @@ class BoundIntegrator:
         neighbor-list rebuilds folded in (the production MD loop shape:
         rebuild every ``neighbor_rebuild_interval`` steps, scan in between).
         Usable inside outer jit/vmap (e.g. multistate propagation)."""
-        step = self._step_fn
+        step = self._step_fn_fast
 
         def scan_steps(s, length):
             def body(carry, _):
@@ -1014,6 +1056,15 @@ class BoundIntegrator:
 
             out, _ = jax.lax.scan(body, s, None, length=length)
             return out
+
+        def finish(s):
+            # restore the (skipped) trailing velocity projection once for
+            # the chunk's output state — exactly equivalent to projecting
+            # inside every step (P linear/idempotent at fixed x)
+            if self._vproj_skip and n_steps > 0:
+                s = s.replace(velocities=self._constrain_velocities(
+                    s.positions, s.velocities))
+            return s
 
         if self.sweep_mode:
             interval = self.sweep_sort_interval
@@ -1029,12 +1080,12 @@ class BoundIntegrator:
                 if remainder:
                     s = self._resort_sweep(s)
                     s = scan_steps(s, remainder)
-                return s
+                return finish(s)
 
             return run_sweep
 
         if not self.neighbor_mode:
-            return lambda s: scan_steps(s, n_steps)
+            return lambda s: finish(scan_steps(s, n_steps))
 
         interval = self.neighbor_rebuild_interval
         n_chunks, remainder = divmod(n_steps, interval)
@@ -1049,7 +1100,7 @@ class BoundIntegrator:
             if remainder:
                 s = self._rebuild_neighbors(s)
                 s = scan_steps(s, remainder)
-            return s
+            return finish(s)
 
         return run_fn
 

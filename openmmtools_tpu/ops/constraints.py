@@ -55,7 +55,8 @@ def shake_positions(x, x_ref, constraints: Constraints, masses,
     s = xri - xrj  # reference directions
 
     def violation(xc):
-        r = xc[i] - xc[j]
+        xci, xcj = _barrier((xc[i], xc[j]))
+        r = xci - xcj
         r2 = jnp.sum(r * r, axis=-1)
         return jnp.max(jnp.abs(r2 - d0sq) / d0sq)
 
@@ -65,18 +66,19 @@ def shake_positions(x, x_ref, constraints: Constraints, masses,
 
     def body(carry):
         xc, it = carry
-        r = xc[i] - xc[j]
+        xci, xcj = _barrier((xc[i], xc[j]))   # fenced in-loop gathers
+        r = xci - xcj
         r2 = jnp.sum(r * r, axis=-1)
         rs = jnp.sum(r * s, axis=-1)
         # guard: if r ⟂ s (pathological), fall back to r·r
         denom = 2.0 * (inv_m[i] + inv_m[j]) * jnp.where(
             jnp.abs(rs) > 1e-12, rs, r2)
         g = omega * (r2 - d0sq) / denom
-        dxi = -(g[:, None] * imi) * s
-        dxj = (g[:, None] * imj) * s
+        dxi, dxj = _barrier((-(g[:, None] * imi) * s,
+                             (g[:, None] * imj) * s))
         xc = xc.at[i].add(dxi)
         xc = xc.at[j].add(dxj)
-        return xc, it + 1
+        return _barrier(xc), it + 1
 
     x_out, _ = jax.lax.while_loop(cond, body, (x, jnp.zeros((), jnp.int32)))
     return x_out
@@ -102,7 +104,8 @@ def rattle_velocities(x, v, constraints: Constraints, masses,
     vscale = jnp.maximum(jnp.max(jnp.abs(v)), 1e-8)
 
     def violation(vc):
-        dv = vc[i] - vc[j]
+        vci, vcj = _barrier((vc[i], vc[j]))
+        dv = vci - vcj
         return jnp.max(jnp.abs(jnp.sum(dv * r, axis=-1))
                        / (jnp.sqrt(d0sq) * vscale))
 
@@ -112,11 +115,14 @@ def rattle_velocities(x, v, constraints: Constraints, masses,
 
     def body(carry):
         vc, it = carry
-        dv = vc[i] - vc[j]
+        vci, vcj = _barrier((vc[i], vc[j]))   # fenced in-loop gathers
+        dv = vci - vcj
         g = omega * jnp.sum(dv * r, axis=-1) / (r2 * (inv_m[i] + inv_m[j]))
-        vc = vc.at[i].add(-(g[:, None] * imi) * r)
-        vc = vc.at[j].add((g[:, None] * imj) * r)
-        return vc, it + 1
+        dvi, dvj = _barrier((-(g[:, None] * imi) * r,
+                             (g[:, None] * imj) * r))
+        vc = vc.at[i].add(dvi)
+        vc = vc.at[j].add(dvj)
+        return _barrier(vc), it + 1
 
     v_out, _ = jax.lax.while_loop(cond, body, (v, jnp.zeros((), jnp.int32)))
     return v_out
@@ -259,25 +265,48 @@ def mshake_positions(x, x_ref, constraints: Constraints, spec: ClusterSpec,
     xri, xrj = _barrier((x_ref[i], x_ref[j]))
     s = xri - xrj                               # (C, 3) reference directions
 
+    # The Newton loop runs ENTIRELY in cluster-block space: positions move
+    # linearly in lambda, so the per-constraint residual vector obeys the
+    # exact recurrence dr_c = sum_d w_cd lam_d s_d — no per-iteration
+    # gathers or scatter-adds (which dominate the in-program cost of the
+    # old formulation: each iteration re-gathered x[i], x[j] and scattered
+    # two (C,3) updates into the full (N,3) array). Block quantities are
+    # kept as per-slot (G,) / (G,3) arrays and the tiny B x B contractions
+    # are unrolled at trace time: batched (G,B,B) matvecs pad to the MXU
+    # tile on TPU, while unrolled fma chains stay in the fused VPU path.
+    B = spec.block
+    xi0, xj0 = _barrier((x[i], x[j]))
     s_blk = s[spec.cons]                        # (G, B, 3)
+    r_blk = (xi0 - xj0)[spec.cons]              # (G, B, 3)
     A = 2.0 * spec.w * jnp.einsum("gbi,gdi->gbd", s_blk, s_blk)
     # padded slots stay nonsingular via spec.w's identity rows
-    A_inv = _inv_small(A, spec.block)
+    A_inv = _inv_small(A, B)
+
+    sb = [s_blk[:, b, :] for b in range(B)]            # B x (G, 3)
+    rb = [r_blk[:, b, :] for b in range(B)]
+    vb = [spec.valid[:, b] for b in range(B)]
+    d0b = [(d0sq[spec.cons])[:, b] for b in range(B)]  # (G,)
+    ainv = [[A_inv[:, b, d] for d in range(B)] for b in range(B)]
+    wmat = [[spec.w[:, b, d] for d in range(B)] for b in range(B)]
+    lam_tot = [jnp.zeros(spec.cons.shape[0], x.dtype) for _ in range(B)]
+
+    for _ in range(n_iter):
+        g = [jnp.sum(rb[d] * rb[d], axis=-1) - d0b[d] for d in range(B)]
+        lam = [-sum(ainv[b][d] * g[d] for d in range(B)) * vb[b]
+               for b in range(B)]
+        rb = [rb[c] + sum((wmat[c][d] * lam[d])[:, None] * sb[d]
+                          for d in range(B)) for c in range(B)]
+        lam_tot = [lam_tot[b] + lam[b] for b in range(B)]
 
     n_c = constraints.n_constraints
-
-    def body(k, xc):
-        r = xc[i] - xc[j]
-        g = jnp.sum(r * r, axis=-1) - d0sq      # (C,)
-        g_blk = g[spec.cons] * spec.valid       # (G, B)
-        lam_blk = -jnp.einsum("gbd,gd->gb", A_inv, g_blk) * spec.valid
-        lam = jnp.zeros((n_c,), x.dtype).at[spec.cons.reshape(-1)].add(
-            lam_blk.reshape(-1))
-        xc = xc.at[i].add((lam[:, None] * imi) * s)
-        xc = xc.at[j].add(-(lam[:, None] * imj) * s)
-        return xc
-
-    return jax.lax.fori_loop(0, n_iter, body, x)
+    lam_blk = jnp.stack(lam_tot, axis=1) * spec.valid   # (G, B)
+    lam = jnp.zeros((n_c,), x.dtype).at[spec.cons.reshape(-1)].add(
+        lam_blk.reshape(-1))
+    di, dj = _barrier(((lam[:, None] * imi) * s,
+                       -(lam[:, None] * imj) * s))
+    x = x.at[i].add(di)
+    x = x.at[j].add(dj)
+    return _barrier(x)
 
 
 def mrattle_velocities(x, v, constraints: Constraints, spec: ClusterSpec,
@@ -310,9 +339,11 @@ def mrattle_velocities(x, v, constraints: Constraints, spec: ClusterSpec,
     n_c = constraints.n_constraints
     mu = jnp.zeros((n_c,), v.dtype).at[spec.cons.reshape(-1)].add(
         mu_blk.reshape(-1))
-    v = v.at[i].add(-(mu[:, None] * imi) * r)
-    v = v.at[j].add((mu[:, None] * imj) * r)
-    return v
+    dvi, dvj = _barrier((-(mu[:, None] * imi) * r,
+                         (mu[:, None] * imj) * r))
+    v = v.at[i].add(dvi)
+    v = v.at[j].add(dvj)
+    return _barrier(v)
 
 
 # ---------------------------------------------------------------------------
@@ -461,9 +492,13 @@ def settle_positions(x, x_ref, spec: SettleSpec, masses):
     xax = xax / jnp.maximum(jnp.linalg.norm(xax, axis=-1, keepdims=True),
                             1e-12)
     yax = jnp.cross(zax, xax)
-    R = jnp.stack([xax, yax, zax], axis=-2)        # (W, 3, 3) rows = axes
 
-    rot = lambda p: jnp.einsum("wij,wj->wi", R, p)
+    # explicit component form: a (W,3,3)x(W,3) batched einsum lowers to a
+    # heavily padded batched matmul on TPU; three dot products stay in the
+    # fused VPU elementwise pipeline
+    def rot(p):
+        return jnp.stack([jnp.sum(xax * p, -1), jnp.sum(yax * p, -1),
+                          jnp.sum(zax * p, -1)], axis=-1)
     # old triangle coordinates relative to the OLD APEX (Miyamoto & Kollman
     # eq. A5-A9 use b0 - a0, c0 - a0 — using the old COM instead introduces
     # a first-order deviation from the SHAKE/Lagrange solution)
@@ -504,7 +539,8 @@ def settle_positions(x, x_ref, spec: SettleSpec, masses):
     c3 = jnp.stack([-xb2 * costheta - yc2 * sintheta,
                     -xb2 * sintheta + yc2 * costheta, zc2], axis=-1)
 
-    unrot = lambda p: jnp.einsum("wji,wj->wi", R, p)  # R^T p
+    def unrot(p):                                      # R^T p
+        return (xax * p[:, 0:1] + yax * p[:, 1:2] + zax * p[:, 2:3])
     na, nb2, nc2 = com + unrot(a3), com + unrot(b3), com + unrot(c3)
     if spec.contig is not None:
         start, w = spec.contig

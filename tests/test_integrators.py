@@ -160,6 +160,102 @@ def test_gbaoab_constrained_diatom():
     assert abs(float(jnp.dot(dv, dx))) < 1e-6
 
 
+def test_trailing_vproj_skip_parity():
+    """The scan-interior step that drops the trailing velocity projection
+    (BoundIntegrator._vproj_skip_eligible: P linear + idempotent at fixed x,
+    so P(P(v+d1)+d2) == P(v+d1+d2)) must reproduce the always-project
+    trajectory to fp tolerance, and the chunk output must still satisfy the
+    velocity tangency conditions exactly."""
+    from openmmtools_tpu.models import WaterBox
+
+    wb = WaterBox(box_edge=1.2, cutoff=0.5)
+
+    def run(force_full, n):
+        integ = BAOABIntegrator(temperature=TEMP, collision_rate=1.0,
+                                timestep=0.001)
+        b = integ.bind(wb.system)
+        assert b._vproj_skip  # BAOAB + constraints is eligible
+        if force_full:
+            b._vproj_skip = False
+            b._step_fn_fast = b._step_fn
+            b._run_cache.clear()
+        s = b.initial_state(SamplerState(positions=wb.positions),
+                            jax.random.PRNGKey(7), temperature=TEMP)
+        return b.run(s, n)
+
+    s_fast, s_full = run(False, 10), run(True, 10)
+    assert float(jnp.abs(s_fast.positions - s_full.positions).max()) < 1e-4
+    c = wb.system.constraints
+    i, j = c.index[:, 0], c.index[:, 1]
+    r = s_fast.positions[i] - s_fast.positions[j]
+    dv = s_fast.velocities[i] - s_fast.velocities[j]
+    assert float(jnp.abs(jnp.sum(dv * r, axis=-1)).max()) < 1e-5
+
+
+def test_blocked_mshake_matches_jacobi():
+    """Cluster-direct M-SHAKE (block-space Newton recurrence, zero
+    per-iteration gathers) converges to the same projection as the Jacobi
+    SHAKE loop for CH3/NH2/X-H-like cluster topologies."""
+    import numpy as np
+
+    from openmmtools_tpu.ops.constraints import (
+        analyze_clusters,
+        mshake_positions,
+        mrattle_velocities,
+        shake_positions,
+    )
+    from openmmtools_tpu.system import Constraints
+
+    rng = np.random.default_rng(0)
+    idx, dist, n_atoms = [], [], 0
+    for _ in range(20):          # CH3-like: central + 3 satellites
+        c = n_atoms
+        for h in range(3):
+            idx.append((c, c + 1 + h))
+            dist.append(0.109)
+        n_atoms += 4
+    for _ in range(10):          # X-H singles
+        idx.append((n_atoms, n_atoms + 1))
+        dist.append(0.101)
+        n_atoms += 2
+    masses = jnp.asarray(rng.uniform(1.0, 16.0, n_atoms))
+    cons = Constraints(index=jnp.asarray(idx, jnp.int32),
+                       distance=jnp.asarray(dist))
+    x_ref = np.zeros((n_atoms, 3))
+    a = 0
+    for _ in range(20):
+        x_ref[a] = rng.normal(size=3) * 2
+        for h in range(3):
+            d = rng.normal(size=3)
+            x_ref[a + 1 + h] = x_ref[a] + 0.109 * d / np.linalg.norm(d)
+        a += 4
+    for _ in range(10):
+        x_ref[a] = rng.normal(size=3) * 2
+        d = rng.normal(size=3)
+        x_ref[a + 1] = x_ref[a] + 0.101 * d / np.linalg.norm(d)
+        a += 2
+    x_ref = jnp.asarray(x_ref)
+    x = x_ref + 0.005 * jnp.asarray(rng.normal(size=(n_atoms, 3)))
+
+    spec = analyze_clusters(cons, masses)
+    assert spec is not None
+    x_m = mshake_positions(x, x_ref, cons, spec, masses)
+    x_j = shake_positions(x, x_ref, cons, masses, tol=1e-12, max_iter=500)
+    # 6 Newton iterations vs fully-converged Jacobi: agreement well below
+    # the 1e-5 relative constraint tolerance MD uses
+    assert float(jnp.abs(x_m - x_j).max()) < 2e-6
+
+    v = jnp.asarray(rng.normal(size=(n_atoms, 3)))
+    v_m = mrattle_velocities(x_m, v, cons, spec, masses)
+    # the per-cluster solve is EXACT: every tangency condition is removed in
+    # one pass (the Jacobi loop only reaches ~3e-4 here in 500 iterations —
+    # slow linear convergence on stiff CH3 coupling — so exactness, not
+    # Jacobi agreement, is the oracle)
+    r = x_m[cons.index[:, 0]] - x_m[cons.index[:, 1]]
+    dv = v_m[cons.index[:, 0]] - v_m[cons.index[:, 1]]
+    assert float(jnp.abs(jnp.sum(dv * r, axis=-1)).max()) < 1e-7
+
+
 def test_mts_splitting_runs(ho):
     """Force-group MTS splitting (V0/V1) integrates without error."""
     from openmmtools_tpu.models.testsystems import CustomExternalForcesTestSystem
