@@ -12,10 +12,14 @@ environment and NetCDF4 files *are* HDF5 files), plus the lazy dotted-path
 >>> si.trajectory.positions.append(frame)       # doctest: +SKIP
 """
 
-from openmmtools_tpu.storage.iodrivers import HDF5IODriver, StorageIODriver
+from openmmtools_tpu.storage.iodrivers import (
+    HDF5IODriver,
+    Quantity,
+    StorageIODriver,
+)
 from openmmtools_tpu.storage.storageinterface import StorageInterface
 
 NetCDFIODriver = HDF5IODriver  # API-parity alias
 
 __all__ = ["StorageIODriver", "HDF5IODriver", "NetCDFIODriver",
-           "StorageInterface"]
+           "StorageInterface", "Quantity"]

@@ -16,6 +16,30 @@ from typing import Any, Optional
 import numpy as np
 
 
+class Quantity:
+    """Lightweight unit-tagged value for storage round-trips (reference
+    NCQuantity codec, iodrivers.py:1401-1500: payload + an
+    ``IODriver_Unit`` attribute holding ``str(unit)``). The framework
+    computes in plain floats (kJ/mol, nm, ps), so this carries the unit
+    STRING through storage rather than a unit algebra; openmm-style
+    Quantity objects (``.unit`` + ``._value``) are duck-typed on write."""
+
+    __slots__ = ("value", "unit")
+
+    def __init__(self, value, unit: str):
+        self.value = value
+        self.unit = str(unit)
+
+    def __repr__(self):
+        return f"Quantity({self.value!r}, {self.unit!r})"
+
+    def __eq__(self, other):
+        if not isinstance(other, Quantity):
+            return NotImplemented
+        return self.unit == other.unit and np.all(
+            np.asarray(self.value) == np.asarray(other.value))
+
+
 class StorageIODriver:
     """Abstract driver (reference iodrivers.py:100)."""
 
@@ -43,6 +67,13 @@ class StorageIODriver:
 
 def _encode(value):
     """(payload ndarray, type_string, json_meta) for a python value."""
+    if isinstance(value, Quantity) or (
+            hasattr(value, "unit") and hasattr(value, "_value")):
+        # our Quantity, or an openmm.unit.Quantity-shaped object
+        inner = value.value if isinstance(value, Quantity) else value._value
+        arr, inner_ts, _ = _encode(inner)
+        return arr, "quantity", json.dumps(
+            {"unit": str(value.unit), "value_type": inner_ts})
     if isinstance(value, bool):
         return np.asarray([int(value)]), "bool", None
     if isinstance(value, (int, np.integer)):
@@ -74,7 +105,11 @@ def _encode(value):
     raise TypeError(f"unsupported storage type {type(value)!r}")
 
 
-def _decode(arr: np.ndarray, type_string: str):
+def _decode(arr: np.ndarray, type_string: str, meta: Optional[str] = None):
+    if type_string == "quantity":
+        info = json.loads(meta) if meta else {"unit": "dimensionless",
+                                              "value_type": "ndarray"}
+        return Quantity(_decode(arr, info["value_type"]), info["unit"])
     if type_string == "bool":
         return bool(arr[0])
     if type_string == "int":
@@ -114,26 +149,31 @@ class HDF5IODriver(StorageIODriver):
 
     # -- static write/read ---------------------------------------------------
     def write(self, path: str, value: Any):
-        arr, ts, _ = _encode(value)
+        arr, ts, meta = _encode(value)
         if path in self._h5:
             del self._h5[path]
         ds = self._h5.create_dataset(path, data=arr)
         ds.attrs["type"] = ts
+        if meta is not None:
+            ds.attrs["type_meta"] = meta
         self._h5.flush()
 
     def read(self, path: str) -> Any:
         ds = self._h5[path]
-        return _decode(ds[...], ds.attrs.get("type", "ndarray"))
+        return _decode(ds[...], ds.attrs.get("type", "ndarray"),
+                       ds.attrs.get("type_meta"))
 
     # -- appendable (iteration-dimension) variables ---------------------------
     def append(self, path: str, value: Any):
-        arr, ts, _ = _encode(value)
+        arr, ts, meta = _encode(value)
         if path not in self._h5:
             ds = self._h5.create_dataset(
                 path, shape=(0,) + arr.shape, maxshape=(None,) + arr.shape,
                 dtype=arr.dtype, chunks=(1,) + arr.shape)
             ds.attrs["type"] = ts
             ds.attrs["appendable"] = True
+            if meta is not None:
+                ds.attrs["type_meta"] = meta
         ds = self._h5[path]
         n = ds.shape[0]
         ds.resize(n + 1, axis=0)
@@ -143,9 +183,10 @@ class HDF5IODriver(StorageIODriver):
     def read_appended(self, path: str, index: Optional[int] = None):
         ds = self._h5[path]
         ts = ds.attrs.get("type", "ndarray")
+        meta = ds.attrs.get("type_meta")
         if index is None:
-            return [_decode(ds[i], ts) for i in range(ds.shape[0])]
-        return _decode(ds[index], ts)
+            return [_decode(ds[i], ts, meta) for i in range(ds.shape[0])]
+        return _decode(ds[index], ts, meta)
 
     def length(self, path: str) -> int:
         ds = self._h5.get(path)

@@ -36,6 +36,42 @@ def test_appendable(tmp_path):
     d.close()
 
 
+def test_quantity_roundtrip(tmp_path):
+    """Unit-tagged values round-trip with their unit string (reference
+    NCQuantity codec, iodrivers.py:1401-1500)."""
+    from openmmtools_tpu.storage import Quantity
+
+    d = HDF5IODriver(str(tmp_path / "q.h5"))
+    d.write("temperature", Quantity(300.0, "kelvin"))
+    out = d.read("temperature")
+    assert isinstance(out, Quantity)
+    assert out == Quantity(300.0, "kelvin")
+    assert out.unit == "kelvin" and out.value == 300.0
+
+    # array payloads and the appendable iteration dimension
+    frame = Quantity(np.arange(6, dtype=np.float64).reshape(2, 3),
+                     "nanometer")
+    d.write("positions", frame)
+    back = d.read("positions")
+    assert back.unit == "nanometer" and np.allclose(back.value, frame.value)
+    for i in range(3):
+        d.append("traj/x", Quantity(np.full((2, 3), float(i)), "nanometer"))
+    got = d.read_appended("traj/x", 2)
+    assert isinstance(got, Quantity) and np.allclose(got.value, 2.0)
+
+    # openmm.unit.Quantity-shaped objects are duck-typed on write
+    class FakeOpenMMQuantity:
+        def __init__(self, value, unit):
+            self._value = value
+            self.unit = unit
+
+    d.write("cutoff", FakeOpenMMQuantity(0.9, "nanometer"))
+    got = d.read("cutoff")
+    assert isinstance(got, Quantity)
+    assert got.value == 0.9 and got.unit == "nanometer"
+    d.close()
+
+
 def test_overwrite(tmp_path):
     d = HDF5IODriver(str(tmp_path / "o.h5"))
     d.write("v", 1)
