@@ -16,8 +16,20 @@ from openmmtools_tpu.utils.platforms import (
     platform_supports_precision,
     device_report,
 )
+from openmmtools_tpu.utils.units import (
+    Quantity,
+    is_quantity_close,
+    quantity_from_string,
+    temporary_directory,
+    typename,
+)
 
 __all__ = [
+    "Quantity",
+    "quantity_from_string",
+    "is_quantity_close",
+    "typename",
+    "temporary_directory",
     "pytree_dataclass",
     "static_field",
     "Timer",

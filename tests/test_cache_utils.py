@@ -119,3 +119,46 @@ def test_gentle_equilibration():
     assert not bool(out.has_nan())
     assert float(state.potential_energy(out)) < float(
         state.potential_energy(ss))
+
+
+def test_quantity_string_utils():
+    """quantity_from_string / is_quantity_close / typename parity
+    (reference utils.py:400-478)."""
+    import pytest
+
+    from openmmtools_tpu.utils import (
+        Quantity,
+        is_quantity_close,
+        quantity_from_string,
+        typename,
+    )
+
+    q = quantity_from_string("300.0*kelvin")
+    assert q == Quantity(300.0, "kelvin")
+    assert quantity_from_string("5") == Quantity(5.0, "dimensionless")
+    assert quantity_from_string("2.0/picosecond").unit == "/picosecond"
+    assert quantity_from_string(
+        "1.5e-3 * kilojoule/(mole*nanometer**2)").value == 1.5e-3
+    with pytest.raises(ValueError):
+        quantity_from_string("kelvin*300")
+
+    assert is_quantity_close(Quantity(1.0, "kelvin"),
+                             Quantity(1.0 + 1e-12, "kelvin"))
+    assert not is_quantity_close(Quantity(1.0, "kelvin"),
+                                 Quantity(1.1, "kelvin"))
+    with pytest.raises(TypeError):
+        is_quantity_close(Quantity(1.0, "kelvin"), Quantity(1.0, "bar"))
+
+    assert typename(int) == "int"
+    assert typename(Quantity(1.0, "kelvin")).endswith("Quantity")
+
+
+def test_temporary_directory():
+    import os
+
+    from openmmtools_tpu.utils import temporary_directory
+
+    with temporary_directory() as d:
+        assert os.path.isdir(d)
+        open(os.path.join(d, "f.txt"), "w").write("x")
+    assert not os.path.exists(d)
