@@ -278,16 +278,21 @@ def mshake_positions(x, x_ref, constraints: Constraints, spec: ClusterSpec,
     xi0, xj0 = _barrier((x[i], x[j]))
     s_blk = s[spec.cons]                        # (G, B, 3)
     r_blk = (xi0 - xj0)[spec.cons]              # (G, B, 3)
-    A = 2.0 * spec.w * jnp.einsum("gbi,gdi->gbd", s_blk, s_blk)
-    # padded slots stay nonsingular via spec.w's identity rows
-    A_inv = _inv_small(A, B)
 
     sb = [s_blk[:, b, :] for b in range(B)]            # B x (G, 3)
     rb = [r_blk[:, b, :] for b in range(B)]
     vb = [spec.valid[:, b] for b in range(B)]
     d0b = [(d0sq[spec.cons])[:, b] for b in range(B)]  # (G,)
-    ainv = [[A_inv[:, b, d] for d in range(B)] for b in range(B)]
     wmat = [[spec.w[:, b, d] for d in range(B)] for b in range(B)]
+    # A built from unrolled dot products (not einsum: a (G,B,3)x(G,B,3)
+    # batched contraction lowers to a padded batched matmul on TPU);
+    # padded slots stay nonsingular via spec.w's identity rows
+    A = jnp.stack([
+        jnp.stack([2.0 * wmat[b][d] * jnp.sum(sb[b] * sb[d], axis=-1)
+                   for d in range(B)], axis=-1)
+        for b in range(B)], axis=-2)
+    A_inv = _inv_small(A, B)
+    ainv = [[A_inv[:, b, d] for d in range(B)] for b in range(B)]
     lam_tot = [jnp.zeros(spec.cons.shape[0], x.dtype) for _ in range(B)]
 
     for _ in range(n_iter):
@@ -322,11 +327,18 @@ def mrattle_velocities(x, v, constraints: Constraints, spec: ClusterSpec,
     xi, xj = _barrier((x[i], x[j]))
     r = xi - xj                                 # (C, 3) current directions
 
+    B = spec.block
     r_blk = r[spec.cons]
-    A = spec.w * jnp.einsum("gbi,gdi->gbd", r_blk, r_blk)
+    rbl = [r_blk[:, b, :] for b in range(B)]
+    # unrolled A build (see mshake_positions: einsum here lowers to a
+    # padded batched matmul on TPU)
+    A = jnp.stack([
+        jnp.stack([spec.w[:, b, d] * jnp.sum(rbl[b] * rbl[d], axis=-1)
+                   for d in range(B)], axis=-1)
+        for b in range(B)], axis=-2)
     # pad diagonal: spec.w identity rows give A = |r_pad|^2 on the diagonal
     # only if r_pad != 0; guard by adding identity on invalid slots
-    eye = jnp.eye(spec.block, dtype=x.dtype)
+    eye = jnp.eye(B, dtype=x.dtype)
     pad = (1.0 - spec.valid)[:, :, None] * eye[None]
     A = A * (spec.valid[:, :, None] * spec.valid[:, None, :]) + pad
 
@@ -334,8 +346,10 @@ def mrattle_velocities(x, v, constraints: Constraints, spec: ClusterSpec,
     dv = vi - vj
     rhs = jnp.sum(dv * r, axis=-1)              # (C,)
     rhs_blk = rhs[spec.cons] * spec.valid
-    mu_blk = jnp.einsum("gbd,gd->gb", _inv_small(A, spec.block),
-                        rhs_blk) * spec.valid
+    A_inv = _inv_small(A, B)
+    mu_blk = jnp.stack([
+        sum(A_inv[:, b, d] * rhs_blk[:, d] for d in range(B))
+        for b in range(B)], axis=-1) * spec.valid
     n_c = constraints.n_constraints
     mu = jnp.zeros((n_c,), v.dtype).at[spec.cons.reshape(-1)].add(
         mu_blk.reshape(-1))
