@@ -269,8 +269,12 @@ class BoundIntegrator:
         # scan-interior step: the trailing velocity projection is dropped
         # when the next iteration's leading V/O re-projects at the same
         # positions (see _vproj_skip_eligible); run_program restores the
-        # final state's projection once per chunk
-        self._vproj_skip = self._vproj_skip_eligible()
+        # final state's projection once per chunk. Only the base
+        # token-driven _build_step supports the skip — subclasses with
+        # custom step builders (HMC/Andersen/Nose-Hoover) opt out here.
+        self._vproj_skip = (
+            type(self)._build_step is BoundIntegrator._build_step
+            and self._vproj_skip_eligible())
         self._step_fn_fast = (self._build_step(skip_trailing_vproj=True)
                               if self._vproj_skip else self._step_fn)
         self._run_cache: Dict[int, Any] = {}
@@ -869,24 +873,23 @@ class BoundIntegrator:
         the trailing one. Requires: constraints present; the splitting both
         starts and ends with a projecting velocity substep (V/Vn/O); no
         Metropolis blocks ({} stashes projected velocities); no per-substep
-        KE measurements on the affected tokens (shadow work reads KE after
-        every V; heat after every O)."""
+        KE measurements at all — shadow work reads KE around every V and
+        heat around every O, and the NEXT step's leading measurement would
+        see the unprojected carry velocities (measured: ~15% shadow-work
+        bias on a constrained diatom when only the skipped substep itself
+        was guarded)."""
         toks = self.tokens
         if not toks or self.system.constraints.n_constraints == 0:
             return False
         if "{" in toks:
             return False
+        if self.integrator.measure_shadow_work or self.integrator.measure_heat:
+            return False
 
         def is_vel(t):
             return t == "O" or t == "V" or t.startswith("V")
 
-        if not (is_vel(toks[0]) and is_vel(toks[-1])):
-            return False
-        if self.integrator.measure_shadow_work and toks[-1] != "O":
-            return False
-        if self.integrator.measure_heat and toks[-1] == "O":
-            return False
-        return True
+        return is_vel(toks[0]) and is_vel(toks[-1])
 
     def _build_step(self, skip_trailing_vproj=False):
         skip_idx = len(self.tokens) - 1 if skip_trailing_vproj else -1

@@ -36,8 +36,9 @@ class Quantity:
     def __eq__(self, other):
         if not isinstance(other, Quantity):
             return NotImplemented
-        return self.unit == other.unit and np.all(
-            np.asarray(self.value) == np.asarray(other.value))
+        a, b = np.asarray(self.value), np.asarray(other.value)
+        return (self.unit == other.unit and a.shape == b.shape
+                and bool(np.all(a == b)))
 
 
 class StorageIODriver:
@@ -71,6 +72,11 @@ def _encode(value):
             hasattr(value, "unit") and hasattr(value, "_value")):
         # our Quantity, or an openmm.unit.Quantity-shaped object
         inner = value.value if isinstance(value, Quantity) else value._value
+        if isinstance(inner, Quantity) or (
+                hasattr(inner, "unit") and hasattr(inner, "_value")):
+            raise TypeError(
+                "nested Quantity payloads are not supported (the inner "
+                "unit string would be lost on decode)")
         arr, inner_ts, _ = _encode(inner)
         return arr, "quantity", json.dumps(
             {"unit": str(value.unit), "value_type": inner_ts})
@@ -174,6 +180,14 @@ class HDF5IODriver(StorageIODriver):
             ds.attrs["appendable"] = True
             if meta is not None:
                 ds.attrs["type_meta"] = meta
+        elif meta is not None and self._h5[path].attrs.get(
+                "type_meta") != meta:
+            # silently recording rows under the first row's unit is the
+            # exact corruption the unit codec exists to prevent
+            raise ValueError(
+                f"append({path!r}): metadata mismatch — variable was "
+                f"created with {self._h5[path].attrs.get('type_meta')!r}, "
+                f"got {meta!r}")
         ds = self._h5[path]
         n = ds.shape[0]
         ds.resize(n + 1, axis=0)

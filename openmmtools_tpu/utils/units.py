@@ -76,12 +76,8 @@ def typename(atype) -> str:
 @contextmanager
 def temporary_directory():
     """Context manager yielding a self-deleting directory (reference
-    utils.py:49)."""
-    import shutil
+    utils.py:49; thin parity alias over the stdlib)."""
     import tempfile
 
-    path = tempfile.mkdtemp()
-    try:
+    with tempfile.TemporaryDirectory(ignore_cleanup_errors=True) as path:
         yield path
-    finally:
-        shutil.rmtree(path, ignore_errors=True)

@@ -192,6 +192,42 @@ def test_trailing_vproj_skip_parity():
     assert float(jnp.abs(jnp.sum(dv * r, axis=-1)).max()) < 1e-5
 
 
+def test_vproj_skip_guards():
+    """The trailing-projection skip must not fire for subclassed step
+    builders (HMC/Andersen/Nose-Hoover crash otherwise) or for per-substep
+    KE measurements (shadow work/heat read KE at the NEXT step's leading
+    substep, which would see unprojected velocities)."""
+    from openmmtools_tpu.integrators import (
+        AndersenVelocityVerletIntegrator,
+        HMCIntegrator,
+        LangevinIntegrator,
+        NoseHooverChainVelocityVerletIntegrator,
+    )
+
+    d = Diatom(constraint=True)
+    # subclassed builders bind cleanly and opt out of the skip
+    for integ in (HMCIntegrator(temperature=TEMP),
+                  AndersenVelocityVerletIntegrator(temperature=TEMP),
+                  NoseHooverChainVelocityVerletIntegrator(
+                      temperature=TEMP)):
+        b = integ.bind(d.system)
+        assert not b._vproj_skip
+        s = b.initial_state(d.sampler_state(), jax.random.PRNGKey(1),
+                            temperature=TEMP)
+        s = b.run(s, 5)
+        assert bool(jnp.all(jnp.isfinite(s.positions)))
+
+    # KE-measuring splittings are ineligible (would bias shadow work ~15%)
+    integ = LangevinIntegrator(temperature=TEMP, collision_rate=1.0,
+                               timestep=0.001, splitting="V R O",
+                               measure_shadow_work=True)
+    assert not integ.bind(d.system)._vproj_skip
+    integ = LangevinIntegrator(temperature=TEMP, collision_rate=1.0,
+                               timestep=0.001, splitting="O R V",
+                               measure_heat=True)
+    assert not integ.bind(d.system)._vproj_skip
+
+
 def test_blocked_mshake_matches_jacobi():
     """Cluster-direct M-SHAKE (block-space Newton recurrence, zero
     per-iteration gathers) converges to the same projection as the Jacobi

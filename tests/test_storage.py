@@ -69,6 +69,16 @@ def test_quantity_roundtrip(tmp_path):
     got = d.read("cutoff")
     assert isinstance(got, Quantity)
     assert got.value == 0.9 and got.unit == "nanometer"
+
+    # unit mismatch on append raises instead of silently re-tagging
+    with pytest.raises(ValueError):
+        d.append("traj/x", Quantity(np.zeros((2, 3)), "angstrom"))
+    # nested quantities raise instead of losing the inner unit
+    with pytest.raises(TypeError):
+        d.write("bad", Quantity(Quantity(1.0, "nanometer"), "kelvin"))
+    # shape-mismatched payloads compare unequal, not raise
+    assert Quantity(np.zeros((5, 3)), "nm") != Quantity(np.zeros((4, 3)),
+                                                        "nm")
     d.close()
 
 
