@@ -302,8 +302,14 @@ class AlchemicalNonbondedTerm:
                     re, qq_e, self.method, cutoff=self.cutoff,
                     dielectric=self.dielectric, alpha=self.ewald_alpha)
             else:
+                # involved= must match the standard pair sum above: under
+                # the 'coulomb' PME treatment an alchemically-involved
+                # exception pair ADDED plain qq/r, so the replace must
+                # subtract the same kernel — subtracting erfc here left a
+                # spurious qq*erf(alpha*r)/r per involved exception pair
                 sub_coul = self._electrostatics(
-                    re, self.charge[i] * self.charge[j], sig_e, lam_e_exc)
+                    re, self.charge[i] * self.charge[j], sig_e, lam_e_exc,
+                    involved=(rid[i] >= 0) | (rid[j] >= 0))
             sub = sub_lj + sub_coul
             if self.cutoff is not None and self.method != "no_cutoff":
                 sub = jnp.where(r2e < self.cutoff**2, sub, 0.0)

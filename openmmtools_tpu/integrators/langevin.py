@@ -278,7 +278,6 @@ class BoundIntegrator:
         self._step_fn_fast = (self._build_step(skip_trailing_vproj=True)
                               if self._vproj_skip else self._step_fn)
         self._run_cache: Dict[int, Any] = {}
-        self._sweep_overflow_raised = False
 
     # -- neighbor-list production path --------------------------------------
     def _neighbor_setup(self):
@@ -1134,14 +1133,15 @@ class BoundIntegrator:
             self._run_cache[n_steps] = fn = jax.jit(self.run_program(n_steps))
         state = fn(state)
         if (self.sweep_mode and state.sweep_overflow is not None
-                and getattr(self.integrator, "check_sweep_overflow", True)
-                and not self._sweep_overflow_raised):
+                and getattr(self.integrator, "check_sweep_overflow", True)):
             # one 4-byte D2H read per run() call; a set bit means an
             # exception pair fell outside the bitfield's shell coverage
             # and its full LJ/Coulomb interaction was evaluated at bonded
-            # distance — silently wrong forces (ADVICE round-2 item 2)
+            # distance — silently wrong forces (ADVICE round-2 item 2).
+            # Raise EVERY time the sticky bit is set: a caller that catches
+            # the first error and keeps running must not get silent
+            # corruption back
             if bool(state.sweep_overflow):
-                self._sweep_overflow_raised = True
                 raise IntegratorError(
                     "sweep kernel exclusion-bitfield overflow: an exception "
                     "pair's sorted separation exceeded mask_shells="

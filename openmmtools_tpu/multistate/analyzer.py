@@ -429,15 +429,16 @@ class MultiStateSamplerAnalyzer(PhaseAnalyzer):
 
             u_ln, n_k = self._decorrelated_u_ln_and_n_k()
             result = self._mbar()
-            h, cov_hh, cov_hf, _ = mbar_expectations(
+            h, cov_hh, cov_hf, t_ff = mbar_expectations(
                 u_ln, n_k, result.free_energies, u_ln)
             self._cache["expectations"] = (
-                np.asarray(h), np.asarray(cov_hh), np.asarray(cov_hf))
+                np.asarray(h), np.asarray(cov_hh), np.asarray(cov_hf),
+                np.asarray(t_ff))
         return self._cache["expectations"]
 
     def get_enthalpy(self) -> Tuple[np.ndarray, np.ndarray]:
         """<u_k> differences (:1988): Delta H_ij = <u_j>_j - <u_i>_i in kT."""
-        h, cov_hh, _ = self._expectations()
+        h, cov_hh, _, _ = self._expectations()
         dH = h[None, :] - h[:, None]
         var = (np.diag(cov_hh)[:, None] + np.diag(cov_hh)[None, :]
                - cov_hh - cov_hh.T)
@@ -449,14 +450,17 @@ class MultiStateSamplerAnalyzer(PhaseAnalyzer):
         quadrature."""
         df, _ = self.get_free_energy()
         dh, _ = self.get_enthalpy()
-        h, cov_hh, cov_hf = self._expectations()
-        theta = np.asarray(self._mbar().theta)
+        # every covariance from the SAME augmented estimator (t_ff, not the
+        # plain K-state theta): mixing two estimators can drive
+        # var_dh + var_df - 2 cov_cross negative by estimator noise and the
+        # clamp would then report a silently-zero entropy error
+        h, cov_hh, cov_hf, t_ff = self._expectations()
         ds = dh - df
         # var(ds_ij) = var(dH_ij) + var(df_ij) - 2 cov(dH_ij, df_ij)
         var_dh = (np.diag(cov_hh)[:, None] + np.diag(cov_hh)[None, :]
                   - cov_hh - cov_hh.T)
-        var_df = (np.diag(theta)[:, None] + np.diag(theta)[None, :]
-                  - theta - theta.T)
+        var_df = (np.diag(t_ff)[:, None] + np.diag(t_ff)[None, :]
+                  - t_ff - t_ff.T)
         # cov(H_j - H_i, f_j - f_i) = C_jj - C_ji - C_ij + C_ii,
         # C_ab = cov(H_a, f_b)
         c = cov_hf

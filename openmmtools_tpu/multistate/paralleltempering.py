@@ -53,16 +53,16 @@ class ParallelTemperingSampler(ReplicaExchangeSampler):
 
     def _build_iteration_fn(self):
         """Same pipeline as the base class but with the O(N) energy path."""
-        base_fn_builder = super()._build_iteration_fn
-        # Build the standard function first to reuse propagation; then
-        # monkey-patch the energy stage is messy — instead rebuild inline:
-        move = self._move_for_kernel()
+        moves = self._moves_per_state()
         stacked = self._stacked_sampled
         system = self._thermodynamic_states[0].system
-        integrator = move._get_integrator(self._thermodynamic_states[0])
-        bound = integrator.bind(system)
-        n_steps = move.n_steps
-        reassign = move.reassign_velocities
+        homogeneous = all(self._moves_equal(m, moves[0])
+                          for m in moves[1:])
+
+        def _bind(m):
+            integ = m._get_integrator(self._thermodynamic_states[0])
+            return integ.bind(system), m.n_steps, m.reassign_velocities
+
         u_fn = make_energy_fn(system)
         # beta-rescale over sampled + same-system unsampled columns (the
         # stacked states); different-system endpoint states are appended
@@ -73,16 +73,38 @@ class ParallelTemperingSampler(ReplicaExchangeSampler):
         unsampled_separate = self._unsampled_separate
         separate_u = self._separate_unsampled_u
 
-        def propagate_one(x, v, box, key, s):
-            temperature = stacked.temperature[s]
-            params = {k: v_[s] for k, v_ in stacked.global_params.items()}
-            ss = SamplerState(positions=x,
-                              velocities=None if reassign else v,
-                              box_vectors=box)
-            state = bound.initial_state(ss, key, temperature=temperature,
-                                        global_params=params)
-            state = bound.run_program(n_steps)(state)
-            return state.positions, state.velocities
+        def _make_propagate(bound, n_steps, reassign):
+            def prop(x, v, box, key, temperature, params):
+                ss = SamplerState(positions=x,
+                                  velocities=None if reassign else v,
+                                  box_vectors=box)
+                state = bound.initial_state(ss, key, temperature=temperature,
+                                            global_params=params)
+                state = bound.run_program(n_steps)(state)
+                return state.positions, state.velocities
+            return prop
+
+        if homogeneous:
+            prop0 = _make_propagate(*_bind(moves[0]))
+
+            def propagate_one(x, v, box, key, s):
+                temperature = stacked.temperature[s]
+                params = {k: v_[s]
+                          for k, v_ in stacked.global_params.items()}
+                return prop0(x, v, box, key, temperature, params)
+        else:
+            # heterogeneous per-state moves: same lax.switch dispatch as
+            # the base class (previously this override silently propagated
+            # every state with moves[0])
+            branches = [_make_propagate(*_bind(m)) for m in moves]
+
+            def propagate_one(x, v, box, key, s):
+                temperature = stacked.temperature[s]
+                params = {k: v_[s]
+                          for k, v_ in stacked.global_params.items()}
+                return jax.lax.switch(
+                    s, [lambda op, p=p: p(*op) for p in branches],
+                    (x, v, box, key, temperature, params))
 
         def energies_one(x, box, s):
             # U(x) once; u_k = beta_k (U + p_k V)  (paralleltempering.py:175)

@@ -486,7 +486,18 @@ class MultiStateSampler:
         if type(a) is not type(b):
             return False
         try:
-            return a.__dict__ == b.__dict__
+            da, db = a.__dict__, b.__dict__
+            if da.keys() != db.keys():
+                return False
+            import numpy as _np
+
+            # per-value comparison: `da == db` raises on array-valued
+            # attributes ("truth value of an array is ambiguous"), which
+            # would spuriously classify identical moves as heterogeneous
+            # and compile K separate propagation programs
+            return all(_np.array_equal(da[k], db[k]) if isinstance(
+                da[k], (jnp.ndarray, _np.ndarray))
+                else da[k] == db[k] for k in da)
         except Exception:
             return False
 

@@ -216,7 +216,11 @@ class SAMSSampler(MultiStateSampler):
                 if fn is None:
                     batched_cache[k] = fn = self._build_sams_batched_fn(k)
                 adapt = {
-                    "logZ": jnp.asarray(self._logZ, jnp.float32),
+                    # base + delta split: increments accumulate in delta
+                    # (starts at 0 each window) so late-stage gamma ~ 1e-5
+                    # survives f32 against |logZ| ~ O(100)
+                    "logZ_base": jnp.asarray(self._logZ, jnp.float32),
+                    "logZ_delta": jnp.zeros(self.n_states, jnp.float32),
                     "hist": jnp.asarray(self._histogram, jnp.int32),
                     "stage": jnp.asarray(self._stage, jnp.int32),
                     "t0": jnp.asarray(self._t0, jnp.int32),
@@ -238,13 +242,25 @@ class SAMSSampler(MultiStateSampler):
                         allow_checkpoint=(i == k - 1))
                     self._write_sams_data()
                     self._update_analysis()
+                # final host value from the split (f64 sum keeps the
+                # window's small increments exactly)
+                self._logZ = (_np.asarray(adapt["logZ_base"], _np.float64)
+                              + _np.asarray(adapt["logZ_delta"],
+                                            _np.float64))
                 self._update_timing(per_iter)
             self._velocities_initialized = True
 
     def _adapt_step_device(self, adapt, carry):
         """One on-device logZ-adaptation step (mirrors
         _update_logZ_estimates; validated against it in
-        tests/test_multistate.py::test_sams_batched_matches_host)."""
+        tests/test_multistate.py::test_sams_batched_matches_host).
+
+        logZ is carried as base + delta: increments go to ``delta`` (small,
+        reset each sync window) so the asymptotic stage's gamma ~ 1e-5
+        increments don't round to zero against |logZ| ~ O(10-100), where
+        the f32 ulp equals the increment — a single f32 accumulator stalls
+        adaptation on long runs while the per-iteration host path (f64)
+        keeps converging."""
         k = self.n_states
         log_pi = jnp.asarray(self.log_target_probabilities, jnp.float32)
         t = adapt["t"] + 1
@@ -258,18 +274,26 @@ class SAMSSampler(MultiStateSampler):
             tf - adapt["t0"].astype(jnp.float32) + 1.0 / gamma0, 1.0)
         gamma = jnp.where(stage == 0, gamma_burn, gamma_asym)
 
-        logZ = adapt["logZ"]
+        base, delta = adapt["logZ_base"], adapt["logZ_delta"]
         if self.weight_update_method == "optimal":
-            logZ = logZ.at[states].add(gamma / jnp.exp(log_pi[states]))
+            delta = delta.at[states].add(gamma / jnp.exp(log_pi[states]))
         else:
             u = carry.energies[:, :k]
-            logp = (log_pi - adapt["logZ"])[None, :] - u
+            logp = (log_pi - (base + delta))[None, :] - u
             logp = logp - jax.scipy.special.logsumexp(
                 logp, axis=1, keepdims=True)
-            logZ = logZ + gamma * jnp.sum(jnp.exp(logp), axis=0) \
+            delta = delta + gamma * jnp.sum(jnp.exp(logp), axis=0) \
                 / jnp.exp(log_pi)
+
+        def rereference(b, d):
+            # logZ - logZ[0], applied component-wise so delta stays small
+            return b - b[0], d - d[0]
+
         # re-reference only in the asymptotic stage (sams.py:672-674)
-        logZ = jnp.where(stage == 1, logZ - logZ[0], logZ)
+        b1, d1 = rereference(base, delta)
+        base = jnp.where(stage == 1, b1, base)
+        delta = jnp.where(stage == 1, d1, delta)
+        logZ = base + delta
 
         if self.flatness_criteria == "minimum-visits":
             flat = jnp.all(hist >= self.minimum_visits)
@@ -286,9 +310,11 @@ class SAMSSampler(MultiStateSampler):
         new_stage = jnp.where(advance, 1, stage)
         new_t0 = jnp.where(advance, t, adapt["t0"])
         # host subtracts logZ[0] at the stage transition too
-        logZ = jnp.where(advance, logZ - logZ[0], logZ)
-        return {"logZ": logZ, "hist": hist, "stage": new_stage,
-                "t0": new_t0, "t": t}
+        b1, d1 = rereference(base, delta)
+        base = jnp.where(advance, b1, base)
+        delta = jnp.where(advance, d1, delta)
+        return {"logZ_base": base, "logZ_delta": delta, "hist": hist,
+                "stage": new_stage, "t0": new_t0, "t": t}
 
     def _build_sams_batched_fn(self, k: int):
         """One device program advancing k whole SAMS iterations including
@@ -300,12 +326,15 @@ class SAMSSampler(MultiStateSampler):
         def batched(carry, adapt):
             def body(cs, _):
                 c, a = cs
-                mix_params = {"log_weights": log_pi - a["logZ"]}
+                mix_params = {
+                    "log_weights": log_pi - (a["logZ_base"]
+                                             + a["logZ_delta"])}
                 c = program(c, mix_params)
                 a = self._adapt_step_device(a, c)
                 return (c, a), (c.energies, c.replica_states,
                                 c.n_accepted, c.n_proposed,
-                                a["logZ"], a["hist"], a["stage"], a["t0"])
+                                a["logZ_base"] + a["logZ_delta"],
+                                a["hist"], a["stage"], a["t0"])
 
             (carry, adapt), outs = jax.lax.scan(
                 body, (carry, adapt), None, length=k)
@@ -316,7 +345,8 @@ class SAMSSampler(MultiStateSampler):
 
             replicated = NamedSharding(self._sharding.rng_key.mesh, P())
             adapt_shardings = {name: replicated for name in
-                               ("logZ", "hist", "stage", "t0", "t")}
+                               ("logZ_base", "logZ_delta", "hist", "stage",
+                                "t0", "t")}
             return jax.jit(batched,
                            in_shardings=(self._sharding, adapt_shardings))
         return jax.jit(batched)

@@ -206,7 +206,8 @@ def test_sams_batched_matches_host():
         import jax.numpy as jnp
 
         adapt = {
-            "logZ": jnp.asarray(dev._logZ, jnp.float32),
+            "logZ_base": jnp.asarray(dev._logZ, jnp.float32),
+            "logZ_delta": jnp.zeros(len(K_LADDER), jnp.float32),
             "hist": jnp.asarray(dev._histogram, jnp.int32),
             "stage": jnp.asarray(dev._stage, jnp.int32),
             "t0": jnp.asarray(dev._t0, jnp.int32),
@@ -217,6 +218,7 @@ def test_sams_batched_matches_host():
         dev._carry = host._carry
         dev._iteration = host._iteration
         out = dev._adapt_step_device(adapt, host._carry)
+        out["logZ"] = out["logZ_base"] + out["logZ_delta"]
         np.testing.assert_allclose(np.asarray(out["logZ"]), host._logZ,
                                    rtol=2e-5, atol=2e-5)
         np.testing.assert_array_equal(np.asarray(out["hist"]),
@@ -236,6 +238,32 @@ def test_sams_batched_matches_host():
     assert batched._histogram.sum() == 20 * len(K_LADDER)
     assert batched._stage == 1  # minimum-visits=2 reached within 20 iters
 
+    # (c) late-stage underflow guard: with |logZ| ~ 100 and gamma ~ 1e-5
+    # the f32 ulp equals the increment — the base+delta split must still
+    # accumulate it (a single f32 accumulator silently stalls here)
+    import jax.numpy as jnp
+
+    k = len(K_LADDER)
+    dev2 = make(5)
+    big = np.zeros(k)
+    big[1:] = -100.0
+    t_now = 200_000
+    adapt = {
+        "logZ_base": jnp.asarray(big, jnp.float32),
+        "logZ_delta": jnp.zeros(k, jnp.float32),
+        "hist": jnp.full((k,), 100, jnp.int32),
+        "stage": jnp.asarray(1, jnp.int32),
+        "t0": jnp.asarray(100, jnp.int32),
+        "t": jnp.asarray(t_now, jnp.int32),
+    }
+    out = dev2._adapt_step_device(adapt, dev2._carry)
+    gamma = 1.0 / (t_now + 1 - 100 + 1.0 / dev2.gamma0)
+    states = np.asarray(dev2._carry.replica_states)
+    moved = np.unique(states[states > 0])  # state 0 is the re-reference
+    delta = np.asarray(out["logZ_delta"])
+    assert gamma < 2e-5  # the regime where f32 += stalls
+    assert np.all(np.abs(delta[moved]) > 0.5 * gamma), (delta, moved)
+
 
 def test_parallel_tempering_energy_path():
     """PT's O(N) beta-rescaled energies match the generic path."""
@@ -251,6 +279,29 @@ def test_parallel_tempering_energy_path():
     sampler.run()
     u = sampler.energies_last_iteration
     # cross-check: u[n, k] = beta_k * U_n
+    temps = np.asarray(sampler._stacked_sampled.temperature)
+    betas = 1.0 / (kB * temps)
+    for n in range(sampler.n_replicas):
+        U_n = u[n, 0] / betas[0]
+        assert np.allclose(u[n], betas * U_n, rtol=1e-5)
+
+
+def test_parallel_tempering_per_state_moves():
+    """PT honors heterogeneous per-state moves via the same lax.switch
+    dispatch as the base sampler (previously its O(N)-energy override
+    silently propagated every state with moves[0])."""
+    ho = HarmonicOscillator(K=200.0)
+    ref = ho.thermodynamic_state(TEMP)
+    moves = [_move(n_steps=2), _move(n_steps=4), _move(n_steps=6)]
+    sampler = ParallelTemperingSampler(
+        mcmc_moves=moves, number_of_iterations=4,
+        online_analysis_interval=None, rng_seed=7)
+    sampler.create(ref, SamplerState(positions=ho.positions),
+                   min_temperature=250.0, max_temperature=400.0,
+                   n_temperatures=3)
+    sampler.run()
+    u = sampler.energies_last_iteration
+    assert np.all(np.isfinite(u))
     temps = np.asarray(sampler._stacked_sampled.temperature)
     betas = 1.0 / (kB * temps)
     for n in range(sampler.n_replicas):

@@ -195,6 +195,85 @@ def test_sweep_alchemical_parity(treatment, lam):
     assert np.abs(fd - fs).max() < 2e-4 * max(np.abs(fd).max(), 1.0)
 
 
+def test_alchemical_coulomb_exception_parity():
+    """'coulomb' PME treatment with alchemically-involved EXCEPTION pairs:
+    the dense AlchemicalNonbondedTerm must subtract the same plain-Coulomb
+    kernel the standard sum added for involved pairs (a mismatched erfc
+    subtract leaves a spurious qq*erf(alpha*r)/r per involved exception
+    pair), and must agree with the sweep kernel whose bitfield masking is
+    exact by construction."""
+    from openmmtools_tpu.alchemy import (
+        AbsoluteAlchemicalFactory,
+        AlchemicalRegion,
+    )
+    from openmmtools_tpu.integrators import BAOABIntegrator
+    from openmmtools_tpu.system import NonbondedTerm
+
+    fluid = _lj_fluid_512()
+    sys0 = fluid.system
+    idx = next(i for i, t in enumerate(sys0.terms)
+               if type(t) is NonbondedTerm)
+    # exceptions spanning all three involvement classes, chosen INSIDE the
+    # cutoff (an out-of-range exception pair exercises neither path's
+    # subtract): nearest neighbors of an alch-alch, alch-env and env-env
+    # anchor atom
+    pos = np.asarray(fluid.positions)
+    box = np.diag(np.asarray(sys0.default_box))
+
+    d = pos[:, None, :] - pos[None, :, :]
+    d -= box * np.round(d / box)
+    r = np.linalg.norm(d, axis=-1)
+    np.fill_diagonal(r, np.inf)
+
+    def closest(mask):
+        rr = np.where(mask, r, np.inf)
+        return np.unravel_index(np.argmin(rr), rr.shape)
+
+    alch = np.zeros(512, bool)
+    alch[:24] = True
+    pairs = np.asarray([
+        closest(alch[:, None] & alch[None, :]),        # alch-alch
+        closest(alch[:, None] & ~alch[None, :]),       # alch-env
+        closest(~alch[:, None] & ~alch[None, :]),      # env-env
+    ], np.int32)
+    cutoff = float(sys0.terms[idx].cutoff)
+    # the discriminating classes (involved pairs) must sit inside the
+    # cutoff or neither path's subtract fires
+    assert r[pairs[1, 0], pairs[1, 1]] < cutoff
+    assert r[pairs[2, 0], pairs[2, 1]] < cutoff
+    term = sys0.terms[idx].replace(
+        exception_index=jnp.asarray(pairs),
+        exception_chargeprod=jnp.asarray([0.02, -0.01, 0.015], jnp.float32),
+        exception_sigma=jnp.asarray([0.3, 0.31, 0.3], jnp.float32),
+        exception_epsilon=jnp.asarray([0.4, 0.2, 0.3], jnp.float32))
+    system = sys0.replace_term(idx, term)
+
+    factory = AbsoluteAlchemicalFactory(alchemical_pme_treatment="coulomb")
+    region = AlchemicalRegion(alchemical_atoms=list(range(24)),
+                              annihilate_sterics=True)
+    alch = factory.create_alchemical_system(system, region)
+    gp = {"lambda_sterics": 0.55, "lambda_electrostatics": 0.55}
+
+    def bind(sweep):
+        return BAOABIntegrator(temperature=120.0, collision_rate=1.0,
+                               timestep=0.002, sweep=sweep,
+                               neighborlist=None).bind(alch)
+
+    bd, bs = bind(None), bind("interpret")
+    assert bs.sweep_mode and bs._sweep_alch is not None
+    ss = fluid.sampler_state()
+    sd = bd.initial_state(ss, jax.random.PRNGKey(0), temperature=120.0,
+                          global_params=gp)
+    s2 = bs.initial_state(ss, jax.random.PRNGKey(0), temperature=120.0,
+                          global_params=gp)
+    u_d = float(sum(sd.potentials))
+    u_s = float(sum(s2.potentials))
+    assert abs(u_d - u_s) < 2e-3 * max(abs(u_d), 1.0), (u_d, u_s)
+    fd = np.asarray(sum(sd.forces))
+    fs = np.asarray(sum(s2.forces))
+    assert np.abs(fd - fs).max() < 2e-4 * max(np.abs(fd).max(), 1.0)
+
+
 def test_sweep_alchemical_decoupled_sterics():
     """Non-annihilated sterics: intra-region pairs keep full strength at
     lambda = 0 (pair-class scalars encode the annihilate flags)."""
