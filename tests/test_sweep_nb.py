@@ -195,6 +195,22 @@ def test_sweep_alchemical_parity(treatment, lam):
     assert np.abs(fd - fs).max() < 2e-4 * max(np.abs(fd).max(), 1.0)
 
 
+def test_sweep_overflow_raises_every_run(water):
+    """A set exclusion-bitfield overflow bit raises on EVERY run() call —
+    a caller that catches the first error and keeps running must not get
+    silently wrong forces back (the old one-shot latch disabled the check
+    after the first raise)."""
+    from openmmtools_tpu.integrators.langevin import IntegratorError
+
+    b = _bind(water, "interpret")
+    st = b.initial_state(water.sampler_state(), jax.random.PRNGKey(0),
+                         temperature=300.0)
+    st = st.replace(sweep_overflow=jnp.asarray(True))
+    for _ in range(2):
+        with pytest.raises(IntegratorError):
+            b.run(st, 2)
+
+
 def test_alchemical_coulomb_exception_parity():
     """'coulomb' PME treatment with alchemically-involved EXCEPTION pairs:
     the dense AlchemicalNonbondedTerm must subtract the same plain-Coulomb
