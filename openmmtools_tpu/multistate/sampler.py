@@ -666,29 +666,62 @@ class MultiStateSampler:
                            out_shardings=self._sharding)
         return jax.jit(iteration_fn)
 
-    def _build_batched_fn(self, k: int):
+    def _build_batched_fn(self, k: int, adapt_hooks=None,
+                          adapt_example=None):
         """One device program advancing k whole iterations; returns the
         final carry plus per-iteration (energies, states, accepted,
-        proposed) stacks for host-side reporting."""
+        proposed) stacks for host-side reporting.
+
+        ``adapt_hooks`` optionally threads per-iteration adaptation state
+        through the scan (the SAMS logZ update): a
+        ``(mix_params_of, step, extra_outs_of)`` triple where
+        ``mix_params_of(a)`` derives the mix-kernel params from the
+        adaptation state, ``step(a, carry)`` advances it after each
+        iteration, and ``extra_outs_of(a)`` appends its per-iteration
+        outputs. The second program argument is then the adaptation pytree
+        (``adapt_example`` supplies its structure for sharding) instead of
+        fixed mix params. Keeping ONE builder here means the jit/sharding
+        plumbing and scan shape can't drift between the base and SAMS
+        paths."""
         program = self._iteration_program
 
-        def batched(carry, mix_params):
-            def body(c, _):
-                c = program(c, mix_params)
-                return c, (c.energies, c.replica_states, c.n_accepted,
-                           c.n_proposed)
+        if adapt_hooks is None:
+            def batched(carry, mix_params):
+                def body(c, _):
+                    c = program(c, mix_params)
+                    return c, (c.energies, c.replica_states, c.n_accepted,
+                               c.n_proposed)
 
-            carry, outs = jax.lax.scan(body, carry, None, length=k)
-            return carry, outs
+                carry, outs = jax.lax.scan(body, carry, None, length=k)
+                return carry, outs
+
+            second_example = self._mix_params()
+        else:
+            mix_params_of, adapt_step, extra_outs_of = adapt_hooks
+
+            def batched(carry, adapt):
+                def body(cs, _):
+                    c, a = cs
+                    c = program(c, mix_params_of(a))
+                    a = adapt_step(a, c)
+                    return (c, a), (c.energies, c.replica_states,
+                                    c.n_accepted, c.n_proposed,
+                                    *extra_outs_of(a))
+
+                (carry, adapt), outs = jax.lax.scan(
+                    body, (carry, adapt), None, length=k)
+                return carry, adapt, outs
+
+            second_example = adapt_example
 
         if self._sharding is not None:
             from jax.sharding import NamedSharding, PartitionSpec as P
 
             replicated = NamedSharding(self._sharding.rng_key.mesh, P())
-            mix_shardings = jax.tree.map(lambda _: replicated,
-                                         self._mix_params())
+            second_shardings = jax.tree.map(lambda _: replicated,
+                                            second_example)
             return jax.jit(batched,
-                           in_shardings=(self._sharding, mix_shardings))
+                           in_shardings=(self._sharding, second_shardings))
         return jax.jit(batched)
 
     # subclass hooks: the mix kernel is traced with ``mix_params`` (host-side
