@@ -215,8 +215,12 @@ def bar_free_energy(w_f, w_r, tol=1e-10, max_iter=1000):
       sum_f 1/(1 + exp(M + w_f - df)) = sum_r 1/(1 + exp(-(M + w_r + df)))
     with M = ln(n_f/n_r). Returns (df, ddf).
     """
-    w_f = jnp.asarray(w_f, dtype=jnp.float64)
-    w_r = jnp.asarray(w_r, dtype=jnp.float64)
+    # f64 when enabled; silently-degraded f32 otherwise (the bisection is
+    # robust in f32 — requesting float64 without x64 just emits a
+    # truncation warning per call)
+    dtype = jnp.float64 if jax.config.jax_enable_x64 else jnp.float32
+    w_f = jnp.asarray(w_f, dtype=dtype)
+    w_r = jnp.asarray(w_r, dtype=dtype)
     n_f, n_r = w_f.shape[0], w_r.shape[0]
     m = jnp.log(n_f / n_r)
 
@@ -227,8 +231,8 @@ def bar_free_energy(w_f, w_r, tol=1e-10, max_iter=1000):
                 - logsumexp(-jnp.logaddexp(0.0, -m + w_r + df)))
 
     # bisection on df (robust, jittable)
-    lo = jnp.asarray(-500.0, jnp.float64)
-    hi = jnp.asarray(500.0, jnp.float64)
+    lo = jnp.asarray(-500.0, dtype)
+    hi = jnp.asarray(500.0, dtype)
 
     def body(_, carry):
         lo, hi = carry
