@@ -111,6 +111,46 @@ def test_replica_exchange_harmonic_ladder(tmp_path, scheme):
     reporter.close()
 
 
+def test_analyzer_enthalpy_entropy(tmp_path):
+    """get_enthalpy / get_entropy on the harmonic ladder: <u>_k = 3/2
+    exactly for EVERY stiffness K (equipartition in reduced units), so
+    Delta H ~ 0 and Delta S ~ -Delta f analytically; errors come from the
+    augmented-state MBAR expectation covariance (multistateanalyzer.py:
+    1988-2024) and must be positive, finite, and honest at the 6-sigma
+    level."""
+    ho, states = _make_states()
+    sampler = ReplicaExchangeSampler(
+        mcmc_moves=_move(), number_of_iterations=300,
+        online_analysis_interval=None, rng_seed=11)
+    reporter = MultiStateReporter(str(tmp_path / "hs.h5"),
+                                  checkpoint_interval=100)
+    sampler.create(states, SamplerState(positions=ho.positions),
+                   storage=reporter)
+    sampler.run()
+
+    analyzer = MultiStateSamplerAnalyzer(reporter)
+    df, ddf = analyzer.get_free_energy()
+    dh, ddh = analyzer.get_enthalpy()
+    ds, dds = analyzer.get_entropy()
+    k_last = len(K_LADDER) - 1
+
+    # identity: ds = dh - df entry-wise
+    np.testing.assert_allclose(ds, dh - df, atol=1e-10)
+    # error structure: zero diagonal, positive finite off-diagonal
+    for name, err in (("ddh", ddh), ("dds", dds)):
+        assert np.all(np.isfinite(err)), name
+        assert np.allclose(np.diag(err), 0.0), name
+        off = err[~np.eye(err.shape[0], dtype=bool)]
+        assert np.all(off > 0), name
+    # analytic: <u>_k = 3/2 for every K -> Delta H ~ 0
+    assert abs(dh[0, k_last]) < max(6 * ddh[0, k_last], 0.2), (
+        dh[0, k_last], ddh[0, k_last])
+    # and Delta S ~ -Delta f
+    analytic_df = _analytic_f(K_LADDER[k_last]) - _analytic_f(K_LADDER[0])
+    assert abs(ds[0, k_last] + analytic_df) < max(6 * dds[0, k_last], 0.25)
+    reporter.close()
+
+
 def test_checkpoint_resume(tmp_path):
     ho, states = _make_states()
     path = str(tmp_path / "resume.h5")
