@@ -415,6 +415,7 @@ class BoundIntegrator:
             switch_width=term.switch_width, dielectric=term.dielectric,
             ewald_alpha=term.ewald_alpha, shift_rf=term.shift_rf,
             switch_coulomb=term.switch_coulomb,
+            shell_block=getattr(integ, "sweep_shell_block", None) or 8,
             skin=getattr(integ, "neighbor_skin", None) or 0.1,
             mask_shells=mask_shells,
             alchemical=alchemical,
@@ -702,7 +703,7 @@ class BoundIntegrator:
         self._fused = FusedSortedBAOAB(
             system.n_particles, float(term.cutoff), term.switch_width,
             float(sig[0]), float(eps[0]), float(mass[0]),
-            integ.timestep, integ.collision_rate, sort_interval=100,
+            integ.timestep, integ.collision_rate, sort_interval=250,
             tokens=tuple(self.tokens))
 
     def _build_nbr(self, x, box):
@@ -1192,7 +1193,7 @@ class LangevinIntegrator:
                  measure_shadow_work=False, measure_heat=False,
                  neighborlist="auto", neighbor_skin=None,
                  neighbor_rebuild_interval=None, sweep="auto",
-                 sweep_sort_interval=None):
+                 sweep_sort_interval=None, sweep_shell_block=None):
         self.temperature = temperature
         self.collision_rate = collision_rate
         self.timestep = timestep
@@ -1210,6 +1211,7 @@ class LangevinIntegrator:
         # (interpret = CPU interpreter, for tests); None disables
         self.sweep = sweep
         self.sweep_sort_interval = sweep_sort_interval
+        self.sweep_shell_block = sweep_shell_block
         parse_splitting(self.splitting)  # fail fast
         self._bound: Dict[int, BoundIntegrator] = {}
 

@@ -270,41 +270,47 @@ def mshake_positions(x, x_ref, constraints: Constraints, spec: ClusterSpec,
     # exact recurrence dr_c = sum_d w_cd lam_d s_d — no per-iteration
     # gathers or scatter-adds (which dominate the in-program cost of the
     # old formulation: each iteration re-gathered x[i], x[j] and scattered
-    # two (C,3) updates into the full (N,3) array). Block quantities are
-    # kept as per-slot (G,) / (G,3) arrays and the tiny B x B contractions
-    # are unrolled at trace time: batched (G,B,B) matvecs pad to the MXU
-    # tile on TPU, while unrolled fma chains stay in the fused VPU path.
+    # two (C,3) updates into the full (N,3) array). Block quantities stay
+    # as (G, B) / (G, B, 3) ARRAYS and only the contraction index d is
+    # unrolled at trace time: a full (G,B,3)x(G,B,3) einsum would lower to
+    # a heavily-padded batched matmul on TPU, while a full scalar unroll
+    # (the first redesign) costs O(B^2) tiny-array ops per iteration and
+    # is latency-bound in-program — the d-unrolled array form keeps the
+    # op count at O(B) fused VPU ops over (G, B)-shaped tiles.
     B = spec.block
     xi0, xj0 = _barrier((x[i], x[j]))
     s_blk = s[spec.cons]                        # (G, B, 3)
     r_blk = (xi0 - xj0)[spec.cons]              # (G, B, 3)
+    d0_blk = d0sq[spec.cons]                    # (G, B)
+    w_blk = spec.w                              # (G, B, B)
+    vb = spec.valid                             # (G, B)
 
-    sb = [s_blk[:, b, :] for b in range(B)]            # B x (G, 3)
-    rb = [r_blk[:, b, :] for b in range(B)]
-    vb = [spec.valid[:, b] for b in range(B)]
-    d0b = [(d0sq[spec.cons])[:, b] for b in range(B)]  # (G,)
-    wmat = [[spec.w[:, b, d] for d in range(B)] for b in range(B)]
-    # A built from unrolled dot products (not einsum: a (G,B,3)x(G,B,3)
-    # batched contraction lowers to a padded batched matmul on TPU);
-    # padded slots stay nonsingular via spec.w's identity rows
-    A = jnp.stack([
-        jnp.stack([2.0 * wmat[b][d] * jnp.sum(sb[b] * sb[d], axis=-1)
+    def dot3(a, b):
+        # explicit component fma chain: never a reduce the compiler could
+        # pattern-match into a (padded) dot
+        return (a[..., 0] * b[..., 0] + a[..., 1] * b[..., 1]
+                + a[..., 2] * b[..., 2])
+
+    # A[:, b, d] = 2 w_bd (s_b . s_d); padded slots stay nonsingular via
+    # spec.w's identity rows (their off-diagonal couplings are zero, so
+    # the inverse is block-diagonal w.r.t. pads and valid lambdas never
+    # mix with pad residuals)
+    A = jnp.stack([2.0 * w_blk[:, :, d] * dot3(s_blk, s_blk[:, d:d + 1, :])
                    for d in range(B)], axis=-1)
-        for b in range(B)], axis=-2)
     A_inv = _inv_small(A, B)
-    ainv = [[A_inv[:, b, d] for d in range(B)] for b in range(B)]
-    lam_tot = [jnp.zeros(spec.cons.shape[0], x.dtype) for _ in range(B)]
+    lam_tot = jnp.zeros(d0_blk.shape, x.dtype)
 
     for _ in range(n_iter):
-        g = [jnp.sum(rb[d] * rb[d], axis=-1) - d0b[d] for d in range(B)]
-        lam = [-sum(ainv[b][d] * g[d] for d in range(B)) * vb[b]
-               for b in range(B)]
-        rb = [rb[c] + sum((wmat[c][d] * lam[d])[:, None] * sb[d]
-                          for d in range(B)) for c in range(B)]
-        lam_tot = [lam_tot[b] + lam[b] for b in range(B)]
+        g = dot3(r_blk, r_blk) - d0_blk                     # (G, B)
+        lam = -sum(A_inv[:, :, d] * g[:, d:d + 1]
+                   for d in range(B)) * vb
+        r_blk = r_blk + sum(
+            (w_blk[:, :, d] * lam[:, d:d + 1])[:, :, None]
+            * s_blk[:, d:d + 1, :] for d in range(B))
+        lam_tot = lam_tot + lam
 
     n_c = constraints.n_constraints
-    lam_blk = jnp.stack(lam_tot, axis=1) * spec.valid   # (G, B)
+    lam_blk = lam_tot * spec.valid                          # (G, B)
     lam = jnp.zeros((n_c,), x.dtype).at[spec.cons.reshape(-1)].add(
         lam_blk.reshape(-1))
     di, dj = _barrier(((lam[:, None] * imi) * s,
@@ -329,13 +335,16 @@ def mrattle_velocities(x, v, constraints: Constraints, spec: ClusterSpec,
 
     B = spec.block
     r_blk = r[spec.cons]
-    rbl = [r_blk[:, b, :] for b in range(B)]
-    # unrolled A build (see mshake_positions: einsum here lowers to a
-    # padded batched matmul on TPU)
-    A = jnp.stack([
-        jnp.stack([spec.w[:, b, d] * jnp.sum(rbl[b] * rbl[d], axis=-1)
+
+    def dot3(a, b):
+        return (a[..., 0] * b[..., 0] + a[..., 1] * b[..., 1]
+                + a[..., 2] * b[..., 2])
+
+    # d-unrolled array-form A build (see mshake_positions: a full einsum
+    # lowers to a padded batched matmul, a full scalar unroll is
+    # latency-bound on op count)
+    A = jnp.stack([spec.w[:, :, d] * dot3(r_blk, r_blk[:, d:d + 1, :])
                    for d in range(B)], axis=-1)
-        for b in range(B)], axis=-2)
     # pad diagonal: spec.w identity rows give A = |r_pad|^2 on the diagonal
     # only if r_pad != 0; guard by adding identity on invalid slots
     eye = jnp.eye(B, dtype=x.dtype)
@@ -347,9 +356,8 @@ def mrattle_velocities(x, v, constraints: Constraints, spec: ClusterSpec,
     rhs = jnp.sum(dv * r, axis=-1)              # (C,)
     rhs_blk = rhs[spec.cons] * spec.valid
     A_inv = _inv_small(A, B)
-    mu_blk = jnp.stack([
-        sum(A_inv[:, b, d] * rhs_blk[:, d] for d in range(B))
-        for b in range(B)], axis=-1) * spec.valid
+    mu_blk = sum(A_inv[:, :, d] * rhs_blk[:, d:d + 1]
+                 for d in range(B)) * spec.valid
     n_c = constraints.n_constraints
     mu = jnp.zeros((n_c,), v.dtype).at[spec.cons.reshape(-1)].add(
         mu_blk.reshape(-1))
