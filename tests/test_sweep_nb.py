@@ -320,3 +320,33 @@ def test_sweep_alchemical_decoupled_sterics():
     u_d = float(sum(sd.potentials))
     u_s = float(sum(s2.potentials))
     assert abs(u_d - u_s) < 2e-3 * max(abs(u_d), 1.0), (u_d, u_s)
+
+
+def test_exclusion_bitfield_empty_and_overflow_drop():
+    """ADVICE round-2 items 1-2: zero exception pairs must not crash
+    (jnp.max over an empty array), and a pair whose sorted separation
+    exceeds the bitfield coverage is DROPPED (no clamped bit corrupting
+    another shell) while max_sep still reports the overflow."""
+    from openmmtools_tpu.ops.sweep_nb import build_exclusion_bitfield
+
+    n_pad = 256
+    inv_perm = jnp.arange(n_pad, dtype=jnp.int32)
+
+    # empty exception list: all-zero field, max_sep 0
+    field, max_sep = build_exclusion_bitfield(
+        jnp.zeros((0, 2), jnp.int32), inv_perm, n_pad, mask_rows=2)
+    assert field.shape == (2, n_pad)
+    assert int(jnp.count_nonzero(field)) == 0
+    assert int(max_sep) == 0
+
+    # one in-range pair (sep 3) + one overflowing pair (sep 100 > 64):
+    # the in-range bit is set, the overflow sets NO bit anywhere, and
+    # max_sep reports 100 so the caller's overflow check fires
+    pairs = jnp.asarray([[10, 13], [20, 120]], jnp.int32)
+    field, max_sep = build_exclusion_bitfield(pairs, inv_perm, n_pad,
+                                              mask_rows=2)
+    assert int(max_sep) == 100
+    f = np.array(field)
+    assert f[(3 - 1) // 32, 10] == 1 << ((3 - 1) % 32)
+    f[(3 - 1) // 32, 10] = 0
+    assert np.count_nonzero(f) == 0
