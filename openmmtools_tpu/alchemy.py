@@ -225,7 +225,7 @@ class AlchemicalNonbondedTerm:
         lam_s_regions = _region_lambdas(params, self.lambda_sterics_names, dtype)
         lam_e_regions = _region_lambdas(params, self.lambda_electrostatics_names,
                                         dtype)
-        rid = self.region_id
+        rid = jnp.asarray(self.region_id)
         rid_i = rid[:, None]
         rid_j = rid[None, :]
         lam_s = self._pair_lambdas(rid_i, rid_j, lam_s_regions,
@@ -350,7 +350,7 @@ class AlchemicalNonbondedTerm:
         lam_e_regions = _region_lambdas(params,
                                         self.lambda_electrostatics_names,
                                         dtype)
-        rid = self.region_id
+        rid = jnp.asarray(self.region_id)
         i = self.exception_index[:, 0]
         j = self.exception_index[:, 1]
         de = x[i] - x[j]
@@ -565,8 +565,9 @@ class AbsoluteAlchemicalFactory:
                 # entirely by the plain-Coulomb direct-space expression;
                 # reciprocal space sees ZERO alchemical charge at every
                 # lambda (reference pme_treatment='coulomb' semantics)
-                mask = jnp.asarray((region_id >= 0).astype(np.float32))
-                terms.append(term.replace(charge=term.charge * (1.0 - mask)))
+                mask = (region_id >= 0).astype(np.float32)
+                terms.append(term.replace(
+                    charge=np.asarray(term.charge) * (1.0 - mask)))
             elif (isinstance(term, EwaldReciprocalTerm)
                     and self.alchemical_pme_treatment == "exact"):
                 # exact-PME: lambda_electrostatics scales alchemical charges
@@ -575,7 +576,7 @@ class AbsoluteAlchemicalFactory:
                     raise AlchemyError(
                         "exact PME treatment supports one alchemical region")
                 terms.append(term.replace(
-                    alch_mask=jnp.asarray((region_id >= 0).astype(np.float32)),
+                    alch_mask=(region_id >= 0).astype(np.float32),
                     lambda_name=f"lambda_electrostatics{suffix(regions[0])}"))
             elif type(term).__name__ in ("GBSAOBCTerm",):
                 # alchemically-modified GB (reference
@@ -586,7 +587,7 @@ class AbsoluteAlchemicalFactory:
                     raise AlchemyError(
                         "multiple alchemical regions are not supported for "
                         "GBSAOBCForce (reference alchemy.py:2168)")
-                mask = jnp.asarray((region_id >= 0).astype(np.float32))
+                mask = (region_id >= 0).astype(np.float32)
                 terms.append(term.replace(
                     alchemical=mask,
                     lambda_name=f"lambda_electrostatics{suffix(regions[0])}"))
@@ -603,8 +604,50 @@ class AbsoluteAlchemicalFactory:
                 terms.append(self._alchemical_torsions(term, region_id,
                                                        regions, suffix))
             else:
+                self._check_unhandled_term(term, region_id)
                 terms.append(term)
         return reference_system.replace(terms=tuple(terms))
+
+    @staticmethod
+    def _check_unhandled_term(term, region_id):
+        """Refuse to silently pass through an *unknown* interacting term that
+        touches alchemical atoms (reference guard: CustomNonbondedForce
+        passthrough check, alchemy.py:2040). Known bonded terms pass through
+        unsoftened by design (softening is opt-in via
+        ``alchemical_bonds/angles/torsions``); external one-particle fields
+        and the Ewald reciprocal term (direct-space treatment) are
+        deliberately unmodified."""
+        from openmmtools_tpu.ops.pme import EwaldReciprocalTerm
+        from openmmtools_tpu.system import (
+            CustomExternalTerm,
+            HarmonicAngleTerm,
+            HarmonicBondTerm,
+            PeriodicTorsionTerm,
+        )
+
+        if isinstance(term, (HarmonicBondTerm, HarmonicAngleTerm,
+                             PeriodicTorsionTerm, CustomExternalTerm,
+                             EwaldReciprocalTerm)):
+            return
+        idx_arrays = []
+        for attr in ("index", "particles"):
+            a = getattr(term, attr, None)
+            if a is not None:
+                idx_arrays.append(np.asarray(a).reshape(-1).astype(np.int64))
+        if idx_arrays:
+            touched = np.concatenate(idx_arrays)
+            touches = bool(np.any(region_id[touched] >= 0))
+        else:
+            # no index structure: assume an all-particle interaction
+            # (e.g. a custom pair term) — it necessarily touches the region
+            touches = True
+        if touches:
+            raise AlchemyError(
+                f"cannot alchemically modify term type "
+                f"{type(term).__name__}: it interacts with atoms of an "
+                "alchemical region but no alchemical rewrite is registered "
+                "for it (silent passthrough would leave those interactions "
+                "unsoftened at every lambda)")
 
     # -- per-force-type rewrites -------------------------------------------
     def _alchemical_nonbonded(self, term: NonbondedTerm, region_id, regions,
@@ -633,7 +676,7 @@ class AbsoluteAlchemicalFactory:
             shift_rf=not switched_rf,
             switch_coulomb=switched_rf,
             charge=term.charge, sigma=term.sigma, epsilon=term.epsilon,
-            region_id=jnp.asarray(region_id),
+            region_id=np.asarray(region_id),
             exception_index=term.exception_index,
             exception_chargeprod=term.exception_chargeprod,
             exception_sigma=term.exception_sigma,
@@ -676,7 +719,7 @@ class AbsoluteAlchemicalFactory:
                 explicit = np.zeros_like(mask, dtype=bool)
                 explicit[np.asarray(list(requested), dtype=np.int64)] = True
                 mask[explicit] = 1.0
-        return jnp.asarray(mask)
+        return mask
 
     def _alchemical_bonds(self, term, region_id, regions, suffix):
         mask = self._term_mask(term.index, region_id, regions,

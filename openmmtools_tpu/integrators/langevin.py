@@ -428,7 +428,7 @@ class BoundIntegrator:
         self._sweep_kernel = kernel
         self._sweep_term = term
         self._sweep_alch = term if alchemical else None
-        self._sweep_sqrt_eps = jnp.sqrt(term.epsilon)
+        self._sweep_sqrt_eps = _np.sqrt(_np.asarray(term.epsilon))
         self.sweep_sort_interval = getattr(
             integ, "sweep_sort_interval", None) or 100
         # dispersion tail: the pair-averaged integral is configuration-

@@ -219,7 +219,8 @@ def parse_inpcrd(path: str, return_box: bool = False):
 
 
 def _f32(x):
-    return jnp.asarray(x, dtype=jnp.float32)
+    # numpy: System construction is pure-host (see models/testsystems.py _f32)
+    return np.asarray(x, dtype=np.float32)
 
 
 def create_system_from_prmtop(prmtop_path: str, constraints: Optional[str] = "h-bonds",
@@ -295,13 +296,13 @@ def create_system_from_prmtop(prmtop_path: str, constraints: Optional[str] = "h-
     bond_index = np.stack([keep["i"], keep["j"]], axis=1) if keep["i"] else \
         np.zeros((0, 2), dtype=np.int64)
     bond_terms = HarmonicBondTerm(
-        index=jnp.asarray(bond_index, dtype=jnp.int32),
+        index=np.asarray(bond_index, dtype=np.int32),
         length=_f32(bond_r0[keep["t"]] if keep["t"] else np.zeros(0)),
         k=_f32(bond_k[keep["t"]] if keep["t"] else np.zeros(0)))
 
     if c_idx:
         constraints_obj = Constraints(
-            index=jnp.asarray(np.asarray(c_idx), dtype=jnp.int32),
+            index=np.asarray(c_idx, dtype=np.int32),
             distance=_f32(np.asarray(c_dist)))
     else:
         constraints_obj = no_constraints()
@@ -322,7 +323,7 @@ def create_system_from_prmtop(prmtop_path: str, constraints: Optional[str] = "h-
     a_k = np.concatenate([ak_h, ak])
     a_t = np.concatenate([at_h, at])
     angle_terms = HarmonicAngleTerm(
-        index=jnp.asarray(np.stack([a_i, a_j, a_k], axis=1), dtype=jnp.int32),
+        index=np.asarray(np.stack([a_i, a_j, a_k], axis=1), dtype=np.int32),
         angle=_f32(ang_t0[a_t]), k=_f32(ang_k[a_t]))
 
     # dihedrals ------------------------------------------------------------
@@ -347,8 +348,8 @@ def create_system_from_prmtop(prmtop_path: str, constraints: Optional[str] = "h-
     d_l = np.abs(d_l_signed) // 3
     d_t = d_all[:, 4] - 1
     torsion_terms = PeriodicTorsionTerm(
-        index=jnp.asarray(np.stack([d_i, d_j, d_k, d_l], axis=1),
-                          dtype=jnp.int32),
+        index=np.asarray(np.stack([d_i, d_j, d_k, d_l], axis=1),
+                         dtype=np.int32),
         periodicity=_f32(np.abs(dih_per[d_t])),
         phase=_f32(dih_phase[d_t]),
         k=_f32(dih_k[d_t]))
@@ -398,7 +399,7 @@ def create_system_from_prmtop(prmtop_path: str, constraints: Optional[str] = "h-
             raise ValueError("periodic method requested but prmtop has no "
                              "BOX_DIMENSIONS")
         box_lengths = data["BOX_DIMENSIONS"][1:4] * A2NM  # [angle, a, b, c]
-        default_box = jnp.diag(_f32(box_lengths))
+        default_box = np.diag(_f32(box_lengths))
     alpha = None
     if nonbonded_method in ("pme", "ewald"):
         from openmmtools_tpu.ops.pme import ewald_alpha
@@ -407,7 +408,7 @@ def create_system_from_prmtop(prmtop_path: str, constraints: Optional[str] = "h-
     exc_arr = np.asarray(exc_index, dtype=np.int64).reshape(-1, 2)
     nonbonded = NonbondedTerm(
         charge=_f32(charges), sigma=_f32(sigmas), epsilon=_f32(epsilons),
-        exception_index=jnp.asarray(exc_arr, dtype=jnp.int32),
+        exception_index=np.asarray(exc_arr, dtype=np.int32),
         exception_chargeprod=_f32(exc_qq),
         exception_sigma=_f32(exc_sig),
         exception_epsilon=_f32(exc_eps),

@@ -58,7 +58,7 @@ class SodiumChlorideCrystal(TestSystem):
         alpha = ewald_alpha(cutoff)
         nb = NonbondedTerm(
             charge=_f32(charges), sigma=_f32(sigmas), epsilon=_f32(epsilons),
-            exception_index=jnp.zeros((0, 2), jnp.int32),
+            exception_index=np.zeros((0, 2), np.int32),
             exception_chargeprod=_f32([]), exception_sigma=_f32([]),
             exception_epsilon=_f32([]),
             method="ewald", cutoff=cutoff, switch_width=switch_width,
@@ -69,10 +69,10 @@ class SodiumChlorideCrystal(TestSystem):
         self.system = System(
             masses=_f32(masses), terms=(nb, rec),
             constraints=no_constraints(),
-            default_box=jnp.diag(_f32([box_edge] * 3)), periodic=True)
+            default_box=np.diag(_f32([box_edge] * 3)), periodic=True)
         positions = np.zeros((2, 3), dtype=np.float32)
         positions[1] = 2.814 * A
-        self.positions = jnp.asarray(positions)
+        self.positions = np.asarray(positions)
 
 
 class DiatomicFluid(TestSystem):
@@ -94,7 +94,7 @@ class DiatomicFluid(TestSystem):
         length = volume ** (1.0 / 3.0)
         if cutoff is None:
             cutoff = min(3.0 * sigma, 0.49 * length)
-        box = jnp.diag(_f32([length] * 3))
+        box = np.diag(_f32([length] * 3))
 
         charges = np.tile([charge, -charge], nmolecules)
         mol = np.arange(nmolecules)[:, None] * 2
@@ -103,7 +103,7 @@ class DiatomicFluid(TestSystem):
         nb = NonbondedTerm(
             charge=_f32(charges), sigma=_f32(np.full(n, sigma)),
             epsilon=_f32(np.full(n, epsilon)),
-            exception_index=jnp.asarray(pair_idx, jnp.int32),
+            exception_index=np.asarray(pair_idx, np.int32),
             exception_chargeprod=_f32(np.zeros(nmolecules)),
             exception_sigma=_f32(np.full(nmolecules, sigma)),
             exception_epsilon=_f32(np.zeros(nmolecules)),
@@ -111,17 +111,17 @@ class DiatomicFluid(TestSystem):
             use_dispersion_correction=dispersion_correction)
         terms = [nb]
         if constraint:
-            constraints = Constraints(index=jnp.asarray(pair_idx, jnp.int32),
+            constraints = Constraints(index=np.asarray(pair_idx, np.int32),
                                       distance=_f32(np.full(nmolecules, r0)))
         else:
             constraints = no_constraints()
             terms.append(HarmonicBondTerm(
-                index=jnp.asarray(pair_idx, jnp.int32),
+                index=np.asarray(pair_idx, np.int32),
                 length=_f32(np.full(nmolecules, r0)),
                 k=_f32(np.full(nmolecules, K))))
 
         # place molecule centers subrandomly, orientations random
-        centers = subrandom_particle_positions(nmolecules, np.asarray(box))
+        centers = subrandom_particle_positions(nmolecules, box)
         rng = np.random.default_rng(0)
         axes = rng.normal(size=(nmolecules, 3))
         axes /= np.linalg.norm(axes, axis=1, keepdims=True)
@@ -131,7 +131,7 @@ class DiatomicFluid(TestSystem):
         self.system = System(masses=_f32(np.full(n, mass)),
                              terms=tuple(terms), constraints=constraints,
                              default_box=box, periodic=True)
-        self.positions = jnp.asarray(positions, dtype=jnp.float32)
+        self.positions = np.asarray(positions, dtype=np.float32)
         self.nmolecules = nmolecules
 
 
@@ -179,21 +179,21 @@ class ConstraintCoupledHarmonicOscillator(TestSystem):
         super().__init__()
         self.K, self.d, self.mass = K, d, mass
         well = CustomExternalTerm(
-            particles=jnp.asarray([0], jnp.int32),
+            particles=np.asarray([0], np.int32),
             global_defaults={"K_ccho": _f32(K)},
             expression="(K_ccho/2.0)*(x**2+y**2+z**2)")
         well2 = CustomExternalTerm(
-            particles=jnp.asarray([1], jnp.int32),
+            particles=np.asarray([1], np.int32),
             global_defaults={"K_ccho2": _f32(K), "d_ccho": _f32(d)},
             expression="(K_ccho2/2.0)*((x-d_ccho)**2+y**2+z**2)")
-        constraints = Constraints(index=jnp.asarray([[0, 1]], jnp.int32),
+        constraints = Constraints(index=np.asarray([[0, 1]], np.int32),
                                   distance=_f32([d]))
         self.system = System(masses=_f32([mass, mass]),
                              terms=(well, well2), constraints=constraints,
                              default_box=None, periodic=False)
         positions = np.zeros((2, 3), dtype=np.float32)
         positions[1, 0] = d
-        self.positions = jnp.asarray(positions)
+        self.positions = np.asarray(positions)
         self.ndof = 6 - 1
 
 
@@ -210,7 +210,7 @@ class LennardJonesGrid(LennardJonesFluid):
                                     np.arange(nz), indexing="ij"),
                         axis=-1).reshape(-1, 3).astype(np.float64)
         scale = self.box_edge / np.array([nx, ny, nz])
-        self.positions = jnp.asarray((grid + 0.5) * scale, dtype=jnp.float32)
+        self.positions = np.asarray((grid + 0.5) * scale, dtype=np.float32)
 
 
 class CustomLennardJonesFluidMixture(LennardJonesFluid):
@@ -267,7 +267,7 @@ class DoubleWellDimer_WCAFluid(WCAFluid):
         idx = self._bond_indices(ndimers)
         if ndimers:
             term = DoubleWellBondTerm(
-                index=jnp.asarray(idx, jnp.int32),
+                index=np.asarray(idx, np.int32),
                 h=_f32(np.full(len(idx), h)), r0=_f32(np.full(len(idx), r0)),
                 w=_f32(np.full(len(idx), w)))
             self.system = self.system.replace(
@@ -276,7 +276,7 @@ class DoubleWellDimer_WCAFluid(WCAFluid):
             x = np.array(self.positions)
             for a, b in idx:
                 x[b] = x[a] + np.array([r0, 0.0, 0.0])
-            self.positions = jnp.asarray(x)
+            self.positions = np.asarray(x)
 
     @staticmethod
     def _bond_indices(ndimers):
@@ -332,7 +332,7 @@ class _PrmtopSystem(TestSystem):
         self.system = create_system_from_prmtop(
             prmtop, constraints=constraints,
             implicit_solvent=self._implicit, gb_model=self._gb_model)
-        self.positions = jnp.asarray(parse_inpcrd(crd), dtype=jnp.float32)
+        self.positions = np.asarray(parse_inpcrd(crd), dtype=np.float32)
         self.topology = AmberTopology(parse_prmtop(prmtop))
         self.ndof = (3 * self.system.n_particles
                      - self.system.constraints.n_constraints)
@@ -425,8 +425,8 @@ class AlanineDipeptideExplicit(_PrmtopSystem):
         self.system = create_system_from_prmtop(
             prmtop, constraints=constraints, nonbonded_method="pme",
             cutoff=cutoff)
-        self.positions = jnp.asarray(
-            parse_inpcrd(os.path.join(base, self._crd)), dtype=jnp.float32)
+        self.positions = np.asarray(
+            parse_inpcrd(os.path.join(base, self._crd)), dtype=np.float32)
         self.topology = AmberTopology(parse_prmtop(prmtop))
         self.ndof = (3 * self.system.n_particles
                      - self.system.constraints.n_constraints)
@@ -457,9 +457,9 @@ class DHFRExplicit(TestSystem):
         self.system = create_system_from_prmtop(
             prmtop, constraints=constraints, nonbonded_method="pme",
             cutoff=cutoff)
-        self.positions = jnp.asarray(
+        self.positions = np.asarray(
             parse_pdb_positions(os.path.join(base, "system.pdb"))[
-                : self.system.n_particles], dtype=jnp.float32)
+                : self.system.n_particles], dtype=np.float32)
         self.topology = AmberTopology(parse_prmtop(prmtop))
         self.ndof = (3 * self.system.n_particles
                      - self.system.constraints.n_constraints)
@@ -488,9 +488,9 @@ class HostGuestExplicit(_PrmtopSystem):
         self.system = create_system_from_prmtop(
             prmtop, constraints=constraints, nonbonded_method="pme",
             cutoff=cutoff)
-        self.positions = jnp.asarray(
+        self.positions = np.asarray(
             parse_inpcrd(os.path.join(base, "complex-explicit.inpcrd")),
-            dtype=jnp.float32)
+            dtype=np.float32)
         self.topology = AmberTopology(parse_prmtop(prmtop))
         self.ndof = (3 * self.system.n_particles
                      - self.system.constraints.n_constraints)
@@ -563,7 +563,7 @@ class MethanolBox(TestSystem):
         self.system = create_system_from_prmtop(
             prmtop, constraints=constraints,
             nonbonded_method=nonbonded_method, cutoff=cutoff)
-        self.positions = jnp.asarray(positions, dtype=jnp.float32)
+        self.positions = np.asarray(positions, dtype=np.float32)
         self.topology = AmberTopology(parse_prmtop(prmtop))
         self.ndof = (3 * self.system.n_particles
                      - self.system.constraints.n_constraints)
@@ -593,8 +593,8 @@ class DNADodecamerExplicit(TestSystem):
         self.system = create_system_from_prmtop(
             prmtop, constraints=constraints, nonbonded_method="pme",
             cutoff=cutoff)
-        self.positions = jnp.asarray(
-            parse_inpcrd(os.path.join(base, "inpcrd")), dtype=jnp.float32)
+        self.positions = np.asarray(
+            parse_inpcrd(os.path.join(base, "inpcrd")), dtype=np.float32)
         self.topology = AmberTopology(parse_prmtop(prmtop))
         self.ndof = (3 * self.system.n_particles
                      - self.system.constraints.n_constraints)
@@ -622,16 +622,16 @@ class CustomGBForceSystem(TestSystem):
         nb = NonbondedTerm(
             charge=_f32(charges), sigma=_f32(np.full(n, sigma)),
             epsilon=_f32(np.full(n, epsilon)),
-            exception_index=jnp.zeros((0, 2), jnp.int32),
+            exception_index=np.zeros((0, 2), np.int32),
             exception_chargeprod=_f32([]), exception_sigma=_f32([]),
             exception_epsilon=_f32([]),
             method="cutoff_periodic", cutoff=cutoff)
         gb = GBSAOBCTerm(charge=_f32(charges), radius=_f32(radii),
                          scale=_f32(scales), solvent_dielectric=80.0)
-        box = jnp.diag(_f32([box_size] * 3))
+        box = np.diag(_f32([box_size] * 3))
         self.system = System(masses=_f32(np.full(n, mass)), terms=(nb, gb),
                              constraints=no_constraints(), default_box=box,
                              periodic=True)
-        self.positions = jnp.asarray(
-            subrandom_particle_positions(n, np.asarray(box)),
-            dtype=jnp.float32)
+        self.positions = np.asarray(
+            subrandom_particle_positions(n, box),
+            dtype=np.float32)

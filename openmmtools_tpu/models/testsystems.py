@@ -41,7 +41,13 @@ ATM = 1.01325                # bar per atmosphere
 
 
 def _f32(x):
-    return jnp.asarray(x, dtype=jnp.float32)
+    # numpy, not jnp: TestSystem construction must be pure-host — building a
+    # device array here allocates TPU buffers (and fingerprint/np.asarray
+    # round-trips fetch them back) before any compute, which crashed the
+    # round-3 driver bench on a transient relay error (VERDICT r3 weak #1).
+    # numpy leaves become baked compile-time constants under jit (free per
+    # call), unlike closed-over device arrays (~30 ms/call, CLAUDE.md rule 2).
+    return np.asarray(x, dtype=np.float32)
 
 
 def subrandom_particle_positions(n_particles: int, box: np.ndarray,
@@ -91,8 +97,10 @@ class TestSystem:
 
     def thermodynamic_state(self, temperature, pressure=None) -> ThermodynamicState:
         return ThermodynamicState(
-            system=self.system, temperature=jnp.asarray(temperature),
-            pressure=None if pressure is None else jnp.asarray(pressure))
+            system=self.system,
+            temperature=np.asarray(temperature, dtype=np.float32),
+            pressure=None if pressure is None
+            else np.asarray(pressure, dtype=np.float32))
 
     @property
     def analytical_properties(self):
@@ -145,7 +153,7 @@ class HarmonicOscillator(TestSystem):
         super().__init__()
         self.K, self.mass, self.U0 = K, mass, U0
         term = CustomExternalTerm(
-            particles=jnp.arange(1, dtype=jnp.int32),
+            particles=np.arange(1, dtype=np.int32),
             global_defaults={
                 "testsystems_HarmonicOscillator_K": _f32(K),
                 "testsystems_HarmonicOscillator_x0": _f32(0.0),
@@ -164,7 +172,7 @@ class HarmonicOscillator(TestSystem):
             default_box=None,
             periodic=False,
         )
-        self.positions = jnp.zeros((1, 3), dtype=jnp.float32)
+        self.positions = np.zeros((1, 3), dtype=np.float32)
         self.ndof = 3
 
     def get_potential_expectation(self, state: ThermodynamicState):
@@ -192,7 +200,7 @@ class PowerOscillator(TestSystem):
         self.K = K * KCAL / (A ** self.b)  # kJ/mol/nm^b
         self.mass = mass
         term = CustomExternalTerm(
-            particles=jnp.arange(1, dtype=jnp.int32),
+            particles=np.arange(1, dtype=np.int32),
             global_defaults={"testsystems_PowerOscillator_K": _f32(self.K)},
             expression=(
                 f"testsystems_PowerOscillator_K*(x**{self.b} + y**{self.b} + z**{self.b})"
@@ -201,7 +209,7 @@ class PowerOscillator(TestSystem):
         self.system = System(
             masses=_f32([mass]), terms=(term,), constraints=no_constraints(),
             default_box=None, periodic=False)
-        self.positions = jnp.zeros((1, 3), dtype=jnp.float32)
+        self.positions = np.zeros((1, 3), dtype=np.float32)
         self.ndof = 3
 
     def get_potential_expectation(self, state: ThermodynamicState):
@@ -241,7 +249,7 @@ class HarmonicOscillatorArray(TestSystem):
         self.K, self.d, self.mass, self.N = K, d, mass, N
         x0 = np.arange(N) * d
         term = HarmonicWellArrayTerm(
-            particles=jnp.arange(N, dtype=jnp.int32),
+            particles=np.arange(N, dtype=np.int32),
             x0=_f32(x0),
             global_defaults={"testsystems_HarmonicOscillatorArray_K": _f32(K)},
         )
@@ -250,7 +258,7 @@ class HarmonicOscillatorArray(TestSystem):
             constraints=no_constraints(), default_box=None, periodic=False)
         positions = np.zeros((N, 3), dtype=np.float32)
         positions[:, 0] = x0
-        self.positions = jnp.asarray(positions)
+        self.positions = np.asarray(positions)
         self.ndof = 3 * N
 
     def get_potential_expectation(self, state: ThermodynamicState):
@@ -273,7 +281,7 @@ class CustomExternalForcesTestSystem(TestSystem):
         terms = []
         for i, expr in enumerate(energy_expressions):
             terms.append(CustomExternalTerm(
-                particles=jnp.arange(n_particles, dtype=jnp.int32),
+                particles=np.arange(n_particles, dtype=np.int32),
                 global_defaults={},
                 expression=expr,
                 force_group=i,
@@ -281,7 +289,7 @@ class CustomExternalForcesTestSystem(TestSystem):
         self.system = System(
             masses=_f32(np.full(n_particles, mass)), terms=tuple(terms),
             constraints=no_constraints(), default_box=None, periodic=False)
-        self.positions = jnp.zeros((n_particles, 3), dtype=jnp.float32)
+        self.positions = np.zeros((n_particles, 3), dtype=np.float32)
         self.ndof = 3 * n_particles
 
 
@@ -308,26 +316,26 @@ class Diatom(TestSystem):
         self.use_central_potential = use_central_potential
 
         terms = [HarmonicBondTerm(
-            index=jnp.asarray([[0, 1]], dtype=jnp.int32),
+            index=np.asarray([[0, 1]], dtype=np.int32),
             length=_f32([r0]), k=_f32([K]))]
         if use_central_potential:
             Kcentral = 1.0 * KCAL  # kcal/mol/nm^2 in reference
             terms.append(CustomExternalTerm(
-                particles=jnp.arange(2, dtype=jnp.int32),
+                particles=np.arange(2, dtype=np.int32),
                 global_defaults={"testsystems_Diatom_Kcentral": _f32(Kcentral)},
                 expression="(testsystems_Diatom_Kcentral/2.0)*(x**2 + y**2 + z**2)",
             ))
         constraints = no_constraints()
         if constraint:
             constraints = Constraints(
-                index=jnp.asarray([[0, 1]], dtype=jnp.int32),
+                index=np.asarray([[0, 1]], dtype=np.int32),
                 distance=_f32([r0]))
         self.system = System(
             masses=_f32([m1, m2]), terms=tuple(terms), constraints=constraints,
             default_box=None, periodic=False)
         positions = np.zeros((2, 3), dtype=np.float32)
         positions[1, 0] = r0
-        self.positions = jnp.asarray(positions)
+        self.positions = np.asarray(positions)
         self.ndof = 6 - (1 if constraint else 0)
 
     def get_potential_expectation(self, state: ThermodynamicState):
@@ -358,14 +366,14 @@ class IdealGas(TestSystem):
             volume = nparticles * kB * temperature / (pressure * BAR_TO_KJ_PER_MOL_NM3)
         self.volume0 = volume
         length = volume ** (1.0 / 3.0)
-        box = jnp.diag(_f32([length, length, length]))
+        box = np.diag(_f32([length, length, length]))
         # a "null" nonbonded term so NPT machinery has a periodic interaction
         # to rescale (reference adds a null NonbondedForce, testsystems.py:2678)
         nb = NonbondedTerm(
             charge=_f32(np.zeros(nparticles)),
             sigma=_f32(np.full(nparticles, 1.0)),
             epsilon=_f32(np.zeros(nparticles)),
-            exception_index=jnp.zeros((0, 2), dtype=jnp.int32),
+            exception_index=np.zeros((0, 2), dtype=np.int32),
             exception_chargeprod=_f32([]), exception_sigma=_f32([]),
             exception_epsilon=_f32([]),
             method="cutoff_periodic", cutoff=min(1.0, length * 0.49),
@@ -374,9 +382,9 @@ class IdealGas(TestSystem):
         self.system = System(
             masses=_f32(np.full(nparticles, mass)), terms=(nb,),
             constraints=no_constraints(), default_box=box, periodic=True)
-        self.positions = jnp.asarray(
-            subrandom_particle_positions(nparticles, np.asarray(box)),
-            dtype=jnp.float32)
+        self.positions = np.asarray(
+            subrandom_particle_positions(nparticles, box),
+            dtype=np.float32)
         self.ndof = 3 * nparticles
 
     def get_potential_expectation(self, state):
@@ -416,7 +424,7 @@ def _lj_nonbonded(n, sigma, epsilon, charge, method, cutoff, switch_width,
         charge=_f32(charges),
         sigma=_f32(np.full(n, sigma)),
         epsilon=_f32(np.full(n, epsilon)),
-        exception_index=jnp.zeros((0, 2), dtype=jnp.int32),
+        exception_index=np.zeros((0, 2), dtype=np.int32),
         exception_chargeprod=_f32([]), exception_sigma=_f32([]),
         exception_epsilon=_f32([]),
         method=method, cutoff=cutoff, switch_width=switch_width,
@@ -452,7 +460,7 @@ class LennardJonesCluster(TestSystem):
         nb = _lj_nonbonded(n, sigma, epsilon, None, method, cutoff,
                            switch_width, False)
         restraint = CustomExternalTerm(
-            particles=jnp.arange(n, dtype=jnp.int32),
+            particles=np.arange(n, dtype=np.int32),
             global_defaults={"testsystems_LennardJonesCluster_K": _f32(K)},
             expression=("(testsystems_LennardJonesCluster_K/2.0)"
                         "*(x**2 + y**2 + z**2)"),
@@ -460,7 +468,7 @@ class LennardJonesCluster(TestSystem):
         self.system = System(
             masses=_f32(np.full(n, mass)), terms=(nb, restraint),
             constraints=no_constraints(), default_box=None, periodic=False)
-        self.positions = jnp.asarray(positions)
+        self.positions = np.asarray(positions)
 
 
 class LennardJonesFluid(TestSystem):
@@ -488,7 +496,7 @@ class LennardJonesFluid(TestSystem):
         volume = nparticles * sigma**3 / reduced_density
         length = volume ** (1.0 / 3.0)
         self.box_edge = length
-        box = jnp.diag(_f32([length, length, length]))
+        box = np.diag(_f32([length, length, length]))
 
         if shift:
             switch_width = None  # shift handled below via a constant offset
@@ -521,8 +529,8 @@ class LennardJonesFluid(TestSystem):
                                         indexing="ij"), axis=-1).reshape(-1, 3)
             positions = (grid[:nparticles] + 0.5) * (length / n_side)
         else:
-            positions = subrandom_particle_positions(nparticles, np.asarray(box))
-        self.positions = jnp.asarray(positions, dtype=jnp.float32)
+            positions = subrandom_particle_positions(nparticles, box)
+        self.positions = np.asarray(positions, dtype=np.float32)
 
 
 @pytree_dataclass
@@ -564,15 +572,15 @@ class WCAFluid(TestSystem):
         self.sigma, self.epsilon = sigma, epsilon
         volume = nparticles * sigma**3 / density
         length = volume ** (1.0 / 3.0)
-        box = jnp.diag(_f32([length, length, length]))
+        box = np.diag(_f32([length, length, length]))
         term = WCATerm(sigma=_f32(sigma), epsilon=_f32(epsilon),
                        n_particles=nparticles)
         self.system = System(
             masses=_f32(np.full(nparticles, mass)), terms=(term,),
             constraints=no_constraints(), default_box=box, periodic=True)
-        self.positions = jnp.asarray(
-            subrandom_particle_positions(nparticles, np.asarray(box)),
-            dtype=jnp.float32)
+        self.positions = np.asarray(
+            subrandom_particle_positions(nparticles, box),
+            dtype=np.float32)
 
 
 class AlanineDipeptideVacuum(TestSystem):
@@ -603,7 +611,7 @@ class AlanineDipeptideVacuum(TestSystem):
                 f"alanine dipeptide data not found under {base}; set "
                 "OPENMMTOOLS_TPU_DATA")
         self.system = create_system_from_prmtop(prmtop, constraints=constraints)
-        self.positions = jnp.asarray(parse_inpcrd(crd), dtype=jnp.float32)
+        self.positions = np.asarray(parse_inpcrd(crd), dtype=np.float32)
         self.topology = AmberTopology(parse_prmtop(prmtop))
         self.ndof = 3 * self.system.n_particles - \
             self.system.constraints.n_constraints
@@ -635,7 +643,7 @@ class AlanineDipeptideImplicit(TestSystem):
                 f"alanine dipeptide data not found under {base}")
         self.system = create_system_from_prmtop(
             prmtop, constraints=constraints, implicit_solvent=True)
-        self.positions = jnp.asarray(parse_inpcrd(crd), dtype=jnp.float32)
+        self.positions = np.asarray(parse_inpcrd(crd), dtype=np.float32)
         self.topology = AmberTopology(parse_prmtop(prmtop))
         self.ndof = 3 * self.system.n_particles - \
             self.system.constraints.n_constraints
@@ -655,7 +663,7 @@ class LennardJonesPair(TestSystem):
             constraints=no_constraints(), default_box=None, periodic=False)
         positions = np.zeros((2, 3), dtype=np.float32)
         positions[1, 0] = 2.0 ** (1.0 / 6.0) * sigma
-        self.positions = jnp.asarray(positions)
+        self.positions = np.asarray(positions)
         self.ligand_indices = [0]
         self.receptor_indices = [1]
 

@@ -169,7 +169,7 @@ class WaterBox(TestSystem):
             alpha = ewald_alpha(cutoff, ewald_error_tolerance)
         nb = NonbondedTerm(
             charge=_f32(charges), sigma=_f32(sigmas), epsilon=_f32(epsilons),
-            exception_index=jnp.asarray(excl, dtype=jnp.int32),
+            exception_index=np.asarray(excl, dtype=np.int32),
             exception_chargeprod=_f32(np.zeros(e_count)),
             exception_sigma=_f32(np.full(e_count, 0.1)),
             exception_epsilon=_f32(np.zeros(e_count)),
@@ -197,19 +197,19 @@ class WaterBox(TestSystem):
                 np.full(n_waters, rHH),
             ])
             constraints = Constraints(
-                index=jnp.asarray(c_idx, dtype=jnp.int32),
+                index=np.asarray(c_idx, dtype=np.int32),
                 distance=_f32(c_dist))
         else:
             constraints = no_constraints()
             bond_idx = np.concatenate(
                 [base + np.array([0, 1]), base + np.array([0, 2])], axis=0)
             terms.append(HarmonicBondTerm(
-                index=jnp.asarray(bond_idx, dtype=jnp.int32),
+                index=np.asarray(bond_idx, dtype=np.int32),
                 length=_f32(np.full(2 * n_waters, p["rOH"])),
                 k=_f32(np.full(2 * n_waters, 462750.4))))
             ang_idx = base + np.array([1, 0, 2])
             terms.append(HarmonicAngleTerm(
-                index=jnp.asarray(ang_idx, dtype=jnp.int32),
+                index=np.asarray(ang_idx, dtype=np.int32),
                 angle=_f32(np.full(n_waters, p["aHOH"])),
                 k=_f32(np.full(n_waters, 836.8))))
 
@@ -221,10 +221,10 @@ class WaterBox(TestSystem):
             # weights (1 - 2w, w, w); w = dOM / (2 rOH cos(HOH/2))
             wgt = p["dOM"] / (2.0 * p["rOH"] * math.cos(p["aHOH"] / 2.0))
             vsites = VirtualSites(
-                site=jnp.asarray(base[:, 0] + 3, jnp.int32),
-                parents=jnp.asarray(
+                site=np.asarray(base[:, 0] + 3, np.int32),
+                parents=np.asarray(
                     np.stack([base[:, 0], base[:, 0] + 1, base[:, 0] + 2],
-                             axis=1), jnp.int32),
+                             axis=1), np.int32),
                 weights=_f32(np.tile([1.0 - 2.0 * wgt, wgt, wgt],
                                      (n_waters, 1))),
                 wcross=_f32(np.zeros(n_waters)))
@@ -244,18 +244,18 @@ class WaterBox(TestSystem):
             o = base[:, 0]
             parents1 = np.stack([o, o + 1, o + 2], axis=1)
             vsites = VirtualSites(
-                site=jnp.asarray(np.concatenate([o + 3, o + 4]), jnp.int32),
-                parents=jnp.asarray(
-                    np.concatenate([parents1, parents1], axis=0), jnp.int32),
+                site=np.asarray(np.concatenate([o + 3, o + 4]), np.int32),
+                parents=np.asarray(
+                    np.concatenate([parents1, parents1], axis=0), np.int32),
                 weights=_f32(np.tile([1.0 - 2.0 * w, w, w],
                                      (2 * n_waters, 1))),
                 wcross=_f32(np.concatenate([np.full(n_waters, -wc),
                                             np.full(n_waters, wc)])))
-        box = jnp.diag(_f32([box_edge, box_edge, box_edge]))
+        box = np.diag(_f32([box_edge, box_edge, box_edge]))
         self.system = System(
             masses=_f32(masses), terms=tuple(terms), constraints=constraints,
             default_box=box, virtual_sites=vsites, periodic=True)
-        self.positions = jnp.asarray(positions, dtype=jnp.float32)
+        self.positions = np.asarray(positions, dtype=np.float32)
         self.ndof = 3 * n_atoms - constraints.n_constraints if constrained \
             else 3 * n_atoms
 
@@ -301,7 +301,7 @@ class WaterCluster(TestSystem):
                                base + np.array([1, 2])], axis=0)
         nb = NonbondedTerm(
             charge=_f32(charges), sigma=_f32(sigmas), epsilon=_f32(epsilons),
-            exception_index=jnp.asarray(excl, dtype=jnp.int32),
+            exception_index=np.asarray(excl, dtype=np.int32),
             exception_chargeprod=_f32(np.zeros(excl.shape[0])),
             exception_sigma=_f32(np.full(excl.shape[0], 0.1)),
             exception_epsilon=_f32(np.zeros(excl.shape[0])),
@@ -314,14 +314,14 @@ class WaterCluster(TestSystem):
             c_dist = np.concatenate([np.full(n_waters, p["rOH"]),
                                      np.full(n_waters, p["rOH"]),
                                      np.full(n_waters, rHH)])
-            constraints = Constraints(index=jnp.asarray(c_idx, jnp.int32),
+            constraints = Constraints(index=np.asarray(c_idx, np.int32),
                                       distance=_f32(c_dist))
         else:
             constraints = no_constraints()
         self.system = System(masses=_f32(masses), terms=(nb,),
                              constraints=constraints, default_box=None,
                              periodic=False)
-        self.positions = jnp.asarray(positions, dtype=jnp.float32)
+        self.positions = np.asarray(positions, dtype=np.float32)
 
 
 # ---------------------------------------------------------------------------
@@ -347,12 +347,14 @@ def _discharged_system(system, h_lj=False):
         if isinstance(t, NonbondedTerm):
             sigma, epsilon = t.sigma, t.epsilon
             if h_lj:
-                zero_eps = epsilon == 0.0
-                epsilon = jnp.where(zero_eps, 0.0157, epsilon)
-                sigma = jnp.where(zero_eps, 0.006, sigma)
+                zero_eps = np.asarray(epsilon) == 0.0
+                epsilon = np.where(zero_eps, 0.0157, epsilon).astype(np.float32)
+                sigma = np.where(zero_eps, 0.006, sigma).astype(np.float32)
             t = t.replace(
-                charge=jnp.zeros_like(t.charge), sigma=sigma, epsilon=epsilon,
-                exception_chargeprod=jnp.zeros_like(t.exception_chargeprod))
+                charge=np.zeros_like(np.asarray(t.charge)),
+                sigma=sigma, epsilon=epsilon,
+                exception_chargeprod=np.zeros_like(
+                    np.asarray(t.exception_chargeprod)))
         new_terms.append(t)
     return system.replace(terms=tuple(new_terms))
 

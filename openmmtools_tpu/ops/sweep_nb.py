@@ -505,6 +505,17 @@ def build_exclusion_bitfield(pairs, inv_perm, n_pad, mask_rows):
     if pairs.shape[0] == 0:
         return (jnp.zeros((mask_rows, n_pad), jnp.int32),
                 jnp.zeros((), jnp.int32))
+    # dedupe canonicalized (min,max) pairs: the scatter below uses .add, so
+    # a duplicate exception — or the same pair listed both ways — would
+    # CARRY into a higher bit, masking the wrong shell while leaving the
+    # real exception unmasked (ADVICE round-3). Pairs come from the static
+    # system pytree (numpy), so this is a one-time host-side pass per trace;
+    # under a traced-pairs call (not used anywhere) dedupe is skipped.
+    try:
+        p = np.sort(np.asarray(pairs), axis=1)
+        pairs = np.unique(p, axis=0)
+    except jax.errors.TracerArrayConversionError:
+        pass
     si = inv_perm[pairs[:, 0]]
     sj = inv_perm[pairs[:, 1]]
     sep = jnp.mod(sj - si, n_pad)

@@ -350,3 +350,22 @@ def test_exclusion_bitfield_empty_and_overflow_drop():
     assert f[(3 - 1) // 32, 10] == 1 << ((3 - 1) % 32)
     f[(3 - 1) // 32, 10] = 0
     assert np.count_nonzero(f) == 0
+
+
+def test_exclusion_bitfield_duplicate_pairs_no_carry():
+    """ADVICE round-3: a duplicate exception pair — or the same pair listed
+    both (i,j) and (j,i) — must set ONE bit, not carry into a higher bit
+    (which would mask the wrong shell and leave the real exception
+    unmasked)."""
+    from openmmtools_tpu.ops.sweep_nb import build_exclusion_bitfield
+
+    n_pad = 256
+    inv_perm = jnp.arange(n_pad, dtype=jnp.int32)
+    pairs = jnp.asarray([[10, 13], [10, 13], [13, 10]], jnp.int32)
+    field, max_sep = build_exclusion_bitfield(pairs, inv_perm, n_pad,
+                                              mask_rows=2)
+    assert int(max_sep) == 3
+    f = np.array(field)
+    assert f[(3 - 1) // 32, 10] == 1 << ((3 - 1) % 32)
+    f[(3 - 1) // 32, 10] = 0
+    assert np.count_nonzero(f) == 0
