@@ -26,6 +26,10 @@ class ReplicaExchangeSampler(MultiStateSampler):
     'swap-neighbors', or None (no mixing).
     """
 
+    # accepted/proposed counters record Metropolis swap outcomes
+    # (replicaexchange.py:294-349 semantics; see reporter.write_mixing_scheme)
+    _mixing_statistics_scheme = "metropolis-swap"
+
     def __init__(self, *args, replica_mixing_scheme="swap-all", **kwargs):
         super().__init__(*args, **kwargs)
         if replica_mixing_scheme not in ("swap-all", "swap-neighbors", None):

