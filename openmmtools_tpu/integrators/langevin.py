@@ -835,20 +835,37 @@ class BoundIntegrator:
 
     def _emit_block_start(self, env: _Env):
         e_old = self._total_potential(env) + self._kinetic(env)
-        env.stash = (env.x, env.v, dict(env.U), dict(env.F), e_old)
+        env.stash = (env.x, env.v, dict(env.U), dict(env.F), e_old,
+                     env.protocol_work)
 
     def _emit_block_end(self, env: _Env):
-        x0, v0, U0, F0, e_old = env.stash
+        x0, v0, U0, F0, e_old, w0 = env.stash
         e_new = self._total_potential(env) + self._kinetic(env)
+        # Metropolize on the block's SHADOW work (integrators.py:1550
+        # 'exp(-(shadow_work)/kT)'), i.e. the energy change NOT accounted
+        # for by H-step protocol work — raw dE would wrongly suppress
+        # acceptance by the lambda-jump energy in NCMC splittings like the
+        # default 'O { V R H R V } O' (no O inside a block, so no heat term)
+        shadow = (e_new - e_old) - (env.protocol_work - w0)
         env.key, sub = jax.random.split(env.key)
         u = jax.random.uniform(sub, dtype=e_new.dtype)
-        accept = u < jnp.exp(-(e_new - e_old) / env.kT)
+        accept = u < jnp.exp(-shadow / env.kT)
         env.x = jnp.where(accept, env.x, x0)
         # momentum flip on rejection (GHMC; integrators.py:1556)
         env.v = jnp.where(accept, env.v, -v0)
-        for g in self.groups:
-            env.U[g] = jnp.where(accept, env.U[g], U0[g])
-            env.F[g] = jnp.where(accept, env.F[g], F0[g])
+        toks = self.tokens
+        if "H" in toks[toks.index("{"):toks.index("}")]:
+            # global params advanced inside the block: the stashed U/F were
+            # computed at the OLD lambda and are stale at the reverted
+            # positions — recompute at (selected x, current params)
+            for g in self.groups:
+                env.U[g] = None
+                env.F[g] = None
+            self._ensure_forces(env)
+        else:
+            for g in self.groups:
+                env.U[g] = jnp.where(accept, env.U[g], U0[g])
+                env.F[g] = jnp.where(accept, env.F[g], F0[g])
         env.n_accepted = env.n_accepted + accept.astype(jnp.int32)
         env.n_proposed = env.n_proposed + 1
         env.stash = None

@@ -19,6 +19,7 @@ from __future__ import annotations
 
 from typing import Dict, Optional
 
+import jax
 import jax.numpy as jnp
 
 from openmmtools_tpu.integrators.langevin import (
@@ -48,6 +49,31 @@ class BoundNonequilibriumIntegrator(BoundIntegrator):
         env.heat = jnp.where(reset, zero, env.heat)
         env.lambda_step = jnp.where(reset, 0, env.lambda_step)
         env.lambda_ = self._lambda_schedule(env.lambda_step).astype(env.x.dtype)
+        # The reference reset also re-evaluates every alchemical function at
+        # lambda0 (_add_alchemical_reset_step, integrators.py:1905-1911) —
+        # without it, a wrap-around protocol starts from the lambda=1
+        # parameter values and its first H charges no work. Trace-time
+        # guard: schedules that end where they start (Periodic's 0->1->0)
+        # need no param snap-back, and pay no extra force evaluation.
+        funcs = self.integrator.alchemical_functions
+        if not funcs:
+            return
+        n_H = max(1, self.n_H)
+        with jax.ensure_compile_time_eval():
+            lam0 = float(self.integrator._schedule(0, n_H))
+            lam_end = float(self.integrator._schedule(cycle * n_H, n_H))
+        if lam_end == lam0:
+            return
+        new_params = dict(env.params)
+        for name, expr in funcs.items():
+            v0 = jnp.asarray(math_eval(expr, {"lambda": lam0}),
+                             dtype=env.x.dtype)
+            new_params[name] = jnp.where(reset, v0, env.params[name])
+        env.params = new_params
+        # params (conditionally) changed: carried force caches are stale
+        for g in self.groups:
+            env.U[g] = None
+            env.F[g] = None
 
     def _emit_H(self, env):
         functions = self.integrator.alchemical_functions
@@ -125,18 +151,21 @@ class AlchemicalNonequilibriumLangevinIntegrator(NonequilibriumLangevinIntegrato
                  splitting: Optional[str] = None, n_steps_neq=100, **kwargs):
         super().__init__(splitting=splitting, **kwargs)
         self.alchemical_functions = dict(alchemical_functions or {})
-        if n_steps_neq < 1:
-            raise IntegratorError("n_steps_neq must be >= 1")
+        if n_steps_neq < 0:
+            raise IntegratorError("n_steps_neq must be >= 0")
+        # n_steps_neq == 0: instantaneous switching — one integrator step
+        # completes the whole protocol (integrators.py:1776-1782,1833)
         self.n_steps_neq = n_steps_neq
         if "H" not in self.splitting.upper().split():
             raise IntegratorError("alchemical splitting must contain an H step")
 
     def _schedule(self, lambda_step, n_H: int):
-        n = max(1, self.n_steps_neq * n_H)
+        # instantaneous switching: n_lambda_steps = n_H (integrators.py:1833)
+        n = max(1, self.n_steps_neq) * max(1, n_H)
         return jnp.clip(jnp.asarray(lambda_step, jnp.float32) / n, 0.0, 1.0)
 
     def _n_steps_per_cycle(self) -> int:
-        return self.n_steps_neq
+        return max(1, self.n_steps_neq)
 
     def initial_params(self):
         """Global parameter values at lambda = 0."""
