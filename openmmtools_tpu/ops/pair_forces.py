@@ -62,11 +62,14 @@ def dense_pair_energy_forces(
     lj_scale=None,
     shift_rf=True,
     switch_coulomb=False,
+    exclude_index=None,
 ):
     """Energy and forces of the dense all-pairs LJ+Coulomb sum.
 
     Returns ``(U, F)`` with ``U`` scalar, ``F`` of shape (N, 3); exactly
     the value and ``-grad`` of :func:`ops.nonbonded.all_pairs_energy`.
+    ``exclude_index`` pairs are masked out of the sum (see that function's
+    docstring for the f32 subtract-back cancellation rationale).
     """
     n = x.shape[0]
     dtype = x.dtype
@@ -97,6 +100,11 @@ def dense_pair_energy_forces(
     mask = row != col
     if cutoff is not None and method != "no_cutoff":
         mask = mask & (r2 < cutoff * cutoff)
+    if exclude_index is not None and exclude_index.shape[0] > 0:
+        keep = jnp.ones((n, n), jnp.bool_)
+        keep = keep.at[exclude_index[:, 0], exclude_index[:, 1]].set(False)
+        keep = keep.at[exclude_index[:, 1], exclude_index[:, 0]].set(False)
+        mask = mask & jax.lax.optimization_barrier(keep)
 
     # clamp masked-out entries to a safe distance (double-where pattern)
     inv_r2 = jnp.where(mask, 1.0 / jnp.maximum(r2, 1e-12), 0.0)

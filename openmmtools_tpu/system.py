@@ -142,25 +142,14 @@ class NonbondedTerm:
             alpha=self.ewald_alpha, periodic=self.periodic,
             charge_scale=charge_scale, lj_scale=lj_scale,
             shift_rf=self.shift_rf, switch_coulomb=self.switch_coulomb,
+            exclude_index=self.exception_index,
         )
-        # exceptions: subtract standard pair interaction, add exception term
+        # exceptions REPLACE the combined-rule interaction: their pairs are
+        # masked out of the dense sum above (not subtracted back — the f32
+        # cancellation costs ~0.3 kJ/mol on bonded molecules) and computed
+        # like bonded terms: plain LJ+Coulomb, no cutoff truncation, no
+        # reaction-field/erfc modification (OpenMM semantics).
         if self.exception_index.shape[0] > 0:
-            i = self.exception_index[:, 0]
-            j = self.exception_index[:, 1]
-            q = self.charge if charge_scale is None else self.charge * charge_scale
-            eps = self.epsilon if lj_scale is None else self.epsilon * lj_scale
-            e = e - nonbonded.pair_list_energy(
-                x, box, self.exception_index,
-                q[i] * q[j],
-                0.5 * (self.sigma[i] + self.sigma[j]),
-                jnp.sqrt(eps[i] * eps[j]),
-                method=self.method, cutoff=self.cutoff,
-                switch_width=self.switch_width, dielectric=self.dielectric,
-                alpha=self.ewald_alpha, periodic=self.periodic,
-                shift_rf=self.shift_rf, switch_coulomb=self.switch_coulomb,
-            )
-            # OpenMM computes exceptions like bonded terms: plain LJ+Coulomb,
-            # no cutoff truncation, no reaction-field/erfc modification.
             e = e + nonbonded.pair_list_energy(
                 x, box, self.exception_index,
                 self.exception_chargeprod, self.exception_sigma,
@@ -197,29 +186,17 @@ class NonbondedTerm:
             switch_width=self.switch_width, dielectric=self.dielectric,
             alpha=self.ewald_alpha, periodic=self.periodic,
             charge_scale=charge_scale, lj_scale=lj_scale,
-            shift_rf=self.shift_rf, switch_coulomb=self.switch_coulomb)
+            shift_rf=self.shift_rf, switch_coulomb=self.switch_coulomb,
+            exclude_index=self.exception_index)
         if self.exception_index.shape[0] > 0:
-            i = self.exception_index[:, 0]
-            j = self.exception_index[:, 1]
-            q = self.charge if charge_scale is None \
-                else self.charge * charge_scale
-            eps = self.epsilon if lj_scale is None \
-                else self.epsilon * lj_scale
-            u_sub, f_sub = pair_forces.pair_list_energy_forces(
-                x, box, self.exception_index, q[i] * q[j],
-                0.5 * (self.sigma[i] + self.sigma[j]),
-                jnp.sqrt(eps[i] * eps[j]),
-                method=self.method, cutoff=self.cutoff,
-                switch_width=self.switch_width, dielectric=self.dielectric,
-                alpha=self.ewald_alpha, periodic=self.periodic,
-                shift_rf=self.shift_rf,
-                switch_coulomb=self.switch_coulomb)
+            # masked out of the dense sum above; add the exception term
+            # (bonded-style, no cutoff/RF/erfc) — see energy()
             u_exc, f_exc = pair_forces.pair_list_energy_forces(
                 x, box, self.exception_index, self.exception_chargeprod,
                 self.exception_sigma, self.exception_epsilon,
                 method="no_cutoff", periodic=self.periodic)
-            u = u - u_sub + u_exc
-            f = f - f_sub + f_exc
+            u = u + u_exc
+            f = f + f_exc
         if self.use_dispersion_correction and self.periodic:
             # constant-volume tail correction: energy shift, zero force
             u = u + nonbonded.dispersion_correction_energy(
@@ -231,8 +208,11 @@ class NonbondedTerm:
         """Energy via a fixed-capacity neighbor list (production MD path).
 
         ``nbr``: :class:`openmmtools_tpu.ops.neighborlist.NeighborList` built
-        with ``r_list >= cutoff``. Exceptions are handled exactly as in
-        :meth:`energy` (subtract standard pair, add exception pair).
+        with ``r_list >= cutoff``. Exceptions here use subtract-then-add
+        (the list has no exclusion info); this costs ~1e-4 of the excepted
+        pairs' magnitude in f32 — acceptable for this auto-CPU-only path,
+        while :meth:`energy`/:meth:`energy_forces` mask exceptions out of
+        the dense sum exactly.
         """
         from openmmtools_tpu.ops.neighborlist import neighbor_energy
 

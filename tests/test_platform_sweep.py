@@ -1,0 +1,55 @@
+"""CI-mode slice of the every-system platform parity sweep
+(scripts/test_platforms.py; reference scripts/test_openmm_platforms.py:154
+ENERGY_TOLERANCE = 0.06 kcal/mol).
+
+The full catalog runs as the one-command hardware pass; here a fast,
+representative subset (one system per force family) keeps the sweep
+machinery exercised in CI on the CPU backend.
+"""
+import numpy as np
+import pytest
+
+from openmmtools_tpu.scripts.test_platforms import run_sweep
+
+FAST_SUBSET = [
+    "HarmonicOscillator",        # external field + global params
+    "IdealGas",                  # no forces
+    "LennardJonesCluster",       # no_cutoff LJ
+    "LennardJonesFluid",         # periodic cutoff + switch + dispersion
+    "SodiumChlorideCrystal",     # bare Coulomb + LJ
+    "AlanineDipeptideVacuum",    # full bonded + 1-4 exceptions
+    "TolueneImplicit",           # GBSA-OBC
+    "WaterBox",                  # PME + constraints + exclusions
+]
+
+
+def test_sweep_fast_subset(tmp_path):
+    results, failures = run_sweep(
+        names=FAST_SUBSET, failure_dir=str(tmp_path / "failures"),
+        verbose=False)
+    assert not failures, [
+        (name, key) for name, key, _ in failures]
+    assert len(results) == len(FAST_SUBSET)
+    # every row carries the cpu/f32 check with real numbers
+    for row in results:
+        chk = row["checks"]["cpu/f32"]
+        assert isinstance(chk, dict) and chk["ok"], row
+
+
+def test_exception_masking_precision():
+    """The dense path must not pay f32 subtract-back cancellation on
+    exception pairs: alanine dipeptide's f32 energy stays within 1e-3
+    kJ/mol of f64 (was 0.27 kJ/mol with subtract-back)."""
+    import jax
+
+    from openmmtools_tpu.models import AlanineDipeptideVacuum
+
+    ts = AlanineDipeptideVacuum()
+    x = ts.sampler_state().positions
+    u32 = float(ts.system.energy(x, None))
+    with jax.enable_x64(True):
+        import jax.numpy as jnp
+
+        u64 = float(ts.system.energy(
+            jnp.asarray(np.asarray(x), jnp.float64), None))
+    assert abs(u32 - u64) < 1e-3, (u32, u64)

@@ -129,7 +129,10 @@ _ENERGY_PINS = {
     "HostGuestVacuum": -2506.99,
     "HostGuestImplicit": -3088.39,
     "LysozymeImplicit": -25583.18,
-    "MethanolBox": 1277.07,
+    # re-pinned after exclusion masking replaced exception subtract-back:
+    # the old 1277.07 carried ~6 kJ/mol of f32 cancellation error
+    # (f64 reference: 1271.0531)
+    "MethanolBox": 1271.05,
 }
 
 
