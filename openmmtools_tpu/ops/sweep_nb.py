@@ -177,6 +177,7 @@ class SweepNonbonded:
         sig_row = par[0:1, :]
         se_row = par[1:2, :]
         q_row = par[2:3, :]
+        keq_row = ke * q_row     # hoisted: one multiply for all blocks
         if self.alchemical:
             a_row = par[3:4, :]   # 0/1 alchemical flag
             lam_s_na, lam_s_aa = lam[0], lam[1]
@@ -206,8 +207,20 @@ class SweepNonbonded:
         accE[:, :] = jnp.zeros((bs, n), dtype)
 
         row_iota = jax.lax.broadcasted_iota(jnp.int32, (bs, 1), 0)
-        mask_block_cap = self.mask_shells // bs  # blocks covered by bitfield
         blocks_per_word = 32 // bs
+        # dynamic exclusion coverage: the highest bitfield word with any
+        # bit set bounds the exception-pair sorted separation — blocks
+        # beyond it skip the bit-extraction math entirely (split loop
+        # below). One (R, n) reduction per sweep; at DHFR the static cap
+        # (mask_shells/bs = 256 blocks) covers ~half the sweep while the
+        # measured separation covers a few percent.
+        word_nz = jnp.sum(
+            (excl_ref[:, :] != 0).astype(jnp.float32), axis=1, keepdims=True)
+        word_iota = jax.lax.broadcasted_iota(
+            jnp.float32, (self.mask_rows, 1), 0)
+        rows_used = jnp.max(
+            jnp.where(word_nz > 0, word_iota + 1.0, 0.0)).astype(jnp.int32)
+        mask_block_cap = rows_used * blocks_per_word  # dynamic, traced
 
         if self.method in ("pme", "ewald"):
             alpha = self.alpha
@@ -217,7 +230,8 @@ class SweepNonbonded:
             c_rf = ((1.0 / self.rc) * (3.0 * self.dielectric)
                     / (2.0 * self.dielectric + 1.0)) if self.shift_rf else 0.0
 
-        def body(i, _):
+        def make_body(with_excl):
+          def body(i, _):
             it = n_blk - 1 - i
             s0 = 1 + it * bs
             srow = s0 + row_iota
@@ -240,16 +254,17 @@ class SweepNonbonded:
             pair_ok = r2 > 1e-12
             mask = (r2 < rc2) & pair_ok
 
-            # exception-pair bits for this block's shells (s0 .. s0+bs-1):
-            # word row (s0-1)//32, bit offset (s0-1)%32 + k
-            word_idx = jnp.minimum((s0 - 1) // 32, self.mask_rows - 1)
-            word = excl_ref[pl.ds(word_idx, 1), :]          # (1, n) int32
-            bit_off = (s0 - 1) % 32 + row_iota              # (bs, 1)
-            bits = jax.lax.shift_right_logical(
-                jnp.broadcast_to(word, (bs, n)),
-                jnp.broadcast_to(bit_off, (bs, n))) & 1
-            excluded = (bits == 1) & (it < mask_block_cap)
-            mask = mask & jnp.logical_not(excluded)
+            if with_excl:
+                # exception-pair bits for this block's shells (s0..s0+bs-1):
+                # word row (s0-1)//32, bit offset (s0-1)%32 + k
+                word_idx = jnp.minimum((s0 - 1) // 32, self.mask_rows - 1)
+                word = excl_ref[pl.ds(word_idx, 1), :]      # (1, n) int32
+                bit_off = (s0 - 1) % 32 + row_iota          # (bs, 1)
+                bits = jax.lax.shift_right_logical(
+                    jnp.broadcast_to(word, (bs, n)),
+                    jnp.broadcast_to(bit_off, (bs, n))) & 1
+                excluded = (bits == 1) & (it < mask_block_cap)
+                mask = mask & jnp.logical_not(excluded)
 
             inv_r = jnp.where(mask, _fast_rsqrt(r2), jnp.zeros((), dtype))
             inv_r2 = inv_r * inv_r
@@ -299,7 +314,7 @@ class SweepNonbonded:
                 w_lj = eps * (48.0 * s12 - 24.0 * s6) * inv_r2
 
             # Coulomb
-            qq = (ke * q_row) * pj_ref[2 * bs:3 * bs, :]
+            qq = keq_row * pj_ref[2 * bs:3 * bs, :]
             if self.method in ("pme", "ewald"):
                 z = alpha * r
                 ez = jnp.exp(-z * z)
@@ -358,7 +373,15 @@ class SweepNonbonded:
             pj_ref[:, :] = pltpu.roll(pj_ref[:, :], bs, axis=1)
             return 0
 
-        jax.lax.fori_loop(0, n_blk, body, 0)
+          return body
+
+        # split loop: blocks are swept high-shell -> low-shell (it = n_blk-1-i)
+        # and only the LAST `mask_block_cap` blocks (lowest shells) can hold
+        # exception bits — the rest run an exclusion-free body. Staircase
+        # rolls carry across both loops (i is continuous).
+        split = n_blk - jnp.minimum(mask_block_cap, n_blk)
+        jax.lax.fori_loop(0, split, make_body(False), 0)
+        jax.lax.fori_loop(split, n_blk, make_body(True), 0)
 
         refs["u_sm"][0] = jnp.sum(accE[:, :])
         F_rows = []
