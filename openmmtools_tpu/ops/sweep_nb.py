@@ -217,7 +217,7 @@ class SweepNonbonded:
         word_nz = jnp.sum(
             (excl_ref[:, :] != 0).astype(jnp.float32), axis=1, keepdims=True)
         word_iota = jax.lax.broadcasted_iota(
-            jnp.float32, (self.mask_rows, 1), 0)
+            jnp.int32, (self.mask_rows, 1), 0).astype(jnp.float32)
         rows_used = jnp.max(
             jnp.where(word_nz > 0, word_iota + 1.0, 0.0)).astype(jnp.int32)
         mask_block_cap = rows_used * blocks_per_word  # dynamic, traced

@@ -638,3 +638,110 @@ def test_unhandled_interacting_term_raises():
     with pytest.raises(AlchemyError, match="DoubleWellBondTerm"):
         factory.create_alchemical_system(
             sys_bad, AlchemicalRegion(alchemical_atoms=[0]))
+
+
+def test_lambda_trace_waterbox():
+    """Reference tests/test_alchemy.py:1674 lambda_trace: the alchemical
+    water box's energy along the (lambda_elec, lambda_sterics) decoupling
+    path is finite everywhere, continuous (no softcore jumps), and hits
+    both endpoints exactly: full-lambda == unmodified system, zero-lambda
+    == environment-only energy."""
+    import jax
+
+    from openmmtools_tpu.models.water import AlchemicalWaterBox, WaterBox
+
+    kwargs = dict(box_edge=1.9, cutoff=0.85, switch_width=0.1, seed=3)
+    awb = AlchemicalWaterBox(**kwargs)
+    wb = WaterBox(**kwargs)
+    x = awb.positions
+    box = awb.system.default_box
+
+    def u(lam_e, lam_s):
+        return float(awb.system.energy(
+            x, box, params={"lambda_electrostatics": lam_e,
+                            "lambda_sterics": lam_s}))
+
+    # the standard decoupling path: discharge first, then LJ off
+    path = ([(1.0 - t / 10.0, 1.0) for t in range(11)]
+            + [(0.0, 1.0 - t / 10.0) for t in range(1, 11)])
+    us = np.array([u(le, ls) for (le, ls) in path])
+    assert np.all(np.isfinite(us)), us
+    # continuity: refine the largest jump 10x and require it to shrink
+    jumps = np.abs(np.diff(us))
+    k = int(np.argmax(jumps))
+    (le0, ls0), (le1, ls1) = path[k], path[k + 1]
+    fine = np.array([u(le0 + (le1 - le0) * t / 10.0,
+                       ls0 + (ls1 - ls0) * t / 10.0) for t in range(11)])
+    assert np.abs(np.diff(fine)).max() < 0.5 * jumps[k] + 1e-3
+
+    # endpoint parity: lambda = 1 reproduces the unmodified system
+    u_ref = float(wb.system.energy(x, box))
+    assert abs(us[0] - u_ref) < 5e-3 * max(1.0, abs(u_ref)), (us[0], u_ref)
+
+    # lambda = 0: the first molecule is fully decoupled — equal to the
+    # energy with that molecule's charges/epsilons zeroed in the reference
+    # system's dense path (environment + intramolecular-only terms differ
+    # by the decoupled molecule's internal nonbonded energy, which for
+    # rigid 3-site water with all pairs excluded is zero)
+    spm = wb.system.n_particles // wb.n_waters
+    from openmmtools_tpu.system import NonbondedTerm
+    term = [t for t in wb.system.terms if isinstance(t, NonbondedTerm)][0]
+    import numpy as _np
+    q = _np.asarray(term.charge).copy()
+    eps = _np.asarray(term.epsilon).copy()
+    q[:spm] = 0.0
+    eps[:spm] = 0.0
+    import dataclasses as _dc
+    env_term = _dc.replace(term, charge=q, epsilon=eps)
+    env_sys = _dc.replace(
+        wb.system, terms=tuple(env_term if t is term else t
+                               for t in wb.system.terms))
+    u_env = float(env_sys.energy(x, box))
+    assert abs(us[-1] - u_env) < 5e-3 * max(1.0, abs(u_env)), (us[-1], u_env)
+
+
+def test_overlap_lambda_one_statistical(lj_fluid):
+    """Reference tests/test_alchemy.py:1496 overlap_check analog: over MD
+    samples from the reference system, u_alch(lambda=1) - u_ref must be a
+    CONSTANT (zero configurational variance) — lambda=1 is the identical
+    Hamiltonian, so any drift with configuration is a softcore/exception
+    reconstruction bug that single-configuration parity can miss."""
+    import jax
+
+    from openmmtools_tpu.alchemy import (
+        AbsoluteAlchemicalFactory,
+        AlchemicalRegion,
+    )
+    from openmmtools_tpu.integrators import BAOABIntegrator
+
+    from openmmtools_tpu.states import SamplerState
+
+    factory = AbsoluteAlchemicalFactory()
+    alch = factory.create_alchemical_system(
+        lj_fluid.system, AlchemicalRegion(alchemical_atoms=[0, 1, 2]))
+
+    integ = BAOABIntegrator(temperature=120.0, collision_rate=5.0,
+                            timestep=0.002)
+    bound = integ.bind(lj_fluid.system)
+    # jittered lattice start: the Sobol placement has hard overlaps whose
+    # clamped-softcore energies legitimately differ from plain LJ
+    n = lj_fluid.system.n_particles
+    L = float(np.diagonal(np.asarray(lj_fluid.system.default_box))[0])
+    m = int(np.ceil(n ** (1 / 3)))
+    grid = np.stack(np.meshgrid(*[np.arange(m)] * 3, indexing="ij"),
+                    axis=-1).reshape(-1, 3)[:n]
+    x0 = ((grid + 0.5) * (L / m) + np.random.default_rng(0).normal(
+        scale=0.02 * L / m, size=(n, 3))).astype(np.float32)
+    state = bound.initial_state(SamplerState(positions=x0),
+                                jax.random.PRNGKey(2), temperature=120.0)
+    box = lj_fluid.system.default_box
+    dus, scale = [], []
+    for _ in range(6):
+        state = bound.run_program(25)(state)
+        u_ref = float(lj_fluid.system.energy(state.positions, box))
+        u_alch = float(alch.energy(state.positions, box))
+        dus.append(u_alch - u_ref)
+        scale.append(abs(u_ref))
+    dus = np.asarray(dus)
+    assert np.all(np.isfinite(dus))
+    assert dus.std() < 2e-4 * max(np.mean(scale), 1.0), (dus, scale)

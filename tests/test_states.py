@@ -184,3 +184,171 @@ def test_compound_state(ho):
     resolved = compound.resolve()
     assert resolved.global_params["lambda_sterics"] == 0.5
     assert float(compound.temperature) == 300.0
+
+
+# ---------------------------------------------------------------------------
+# Reference-parity depth (tests/test_states.py regimes): ensembles,
+# compatibility grouping, stacking round-trips, protocol validation,
+# descriptor/validator machinery
+# ---------------------------------------------------------------------------
+
+
+def test_reduced_potential_npgammat():
+    """NPgammaT: u = beta [U + pV - gamma A], A = 2 * Lx * Ly (both
+    leaflets; reference states.py:1909-1932 semantics)."""
+    gas = IdealGas(nparticles=16)
+    T, p, gamma = 310.0, 2.0, 5.0
+    state = ThermodynamicState(system=gas.system,
+                               temperature=jnp.asarray(T),
+                               pressure=jnp.asarray(p),
+                               surface_tension=jnp.asarray(gamma))
+    ss = gas.sampler_state()
+    b = np.asarray(ss.box_vectors)
+    vol = float(np.linalg.det(b))
+    area = 2.0 * b[0, 0] * b[1, 1]
+    u = float(state.reduced_potential(ss))
+    U = float(state.potential_energy(ss))
+    beta = 1.0 / (kB * T)
+    expected = beta * (U + p * BAR_TO_KJ_PER_MOL_NM3 * vol
+                       - gamma * BAR_TO_KJ_PER_MOL_NM3 * area)
+    assert np.isclose(u, expected, rtol=1e-6)
+
+
+def test_reduced_potential_npt_requires_box():
+    """NPT without box vectors must raise, not silently drop the pV term
+    (reference raises ThermodynamicsError)."""
+    ho_ = HarmonicOscillator()
+    state = ho_.thermodynamic_state(300.0)
+    state = state.replace(pressure=jnp.asarray(1.0))
+    ss = SamplerState(positions=jnp.zeros((1, 3)))
+    with pytest.raises(Exception):
+        jax.block_until_ready(state.reduced_potential(ss))
+
+
+def test_group_by_compatibility_mixed():
+    """Same system structure with different parameter VALUES groups
+    together; structurally different systems do not
+    (reference states.py:186,1447-1504)."""
+    ho_ = HarmonicOscillator()
+    lj = LennardJonesPair()
+    s1 = ho_.thermodynamic_state(300.0)
+    s2 = ho_.thermodynamic_state(400.0)
+    # compatibility = identical pytree structure (the vmap/stacking
+    # contract): same global-parameter KEY SET with different values is
+    # compatible; a different key set or a different system is not
+    kname = "testsystems_HarmonicOscillator_K"
+    s1k = s1.replace(global_params={kname: jnp.asarray(100.0)})
+    s3 = s1.replace(global_params={kname: jnp.asarray(7.0)})
+    s4 = lj.thermodynamic_state(300.0)
+    groups, indices = group_by_compatibility([s1k, s4, s2, s3])
+    sets = sorted(sorted(ix) for ix in indices)
+    assert sets == [[0, 3], [1], [2]]
+    assert is_state_compatible(s1k, s3)
+    assert not is_state_compatible(s1k, s4)
+    assert not is_state_compatible(s1k, s2)  # differing key sets
+
+
+def test_stack_unstack_round_trip(ho):
+    from openmmtools_tpu.states import unstack_thermodynamic_states
+
+    ladder = create_thermodynamic_state_protocol(
+        ho.thermodynamic_state(300.0),
+        protocol={"temperature": [280.0, 300.0, 320.0],
+                  "testsystems_HarmonicOscillator_K": [50.0, 100.0, 150.0]})
+    stacked = stack_thermodynamic_states(ladder)
+    back = unstack_thermodynamic_states(stacked)
+    assert len(back) == 3
+    for orig, rt in zip(ladder, back):
+        assert np.isclose(float(orig.temperature), float(rt.temperature))
+        assert np.isclose(
+            float(orig.global_params["testsystems_HarmonicOscillator_K"]),
+            float(rt.global_params["testsystems_HarmonicOscillator_K"]))
+
+
+def test_protocol_validation_errors(ho):
+    ref = ho.thermodynamic_state(300.0)
+    with pytest.raises(ValueError):
+        create_thermodynamic_state_protocol(
+            ref, protocol={"temperature": [300.0, 310.0],
+                           "testsystems_HarmonicOscillator_K": [1.0]})
+    with pytest.raises(ValueError):
+        create_thermodynamic_state_protocol(ref, protocol={"temperature": []})
+
+
+def test_protocol_constants_applied(ho):
+    states = create_thermodynamic_state_protocol(
+        ho.thermodynamic_state(300.0),
+        protocol={"temperature": [280.0, 320.0]},
+        constants={"testsystems_HarmonicOscillator_K": 123.0})
+    for s in states:
+        assert float(s.global_params[
+            "testsystems_HarmonicOscillator_K"]) == 123.0
+
+
+def test_reduced_potential_at_states_matches_loop(ho):
+    ladder = create_thermodynamic_state_protocol(
+        ho.thermodynamic_state(300.0),
+        protocol={"temperature": [250.0, 300.0, 350.0, 400.0]})
+    ss = SamplerState(positions=jnp.asarray([[0.08, -0.02, 0.01]]))
+    u_vec = np.asarray(reduced_potential_at_states(
+        ss, stack_thermodynamic_states(ladder)))
+    u_loop = np.array([float(s.reduced_potential(ss)) for s in ladder])
+    np.testing.assert_allclose(u_vec, u_loop, rtol=1e-6)
+
+
+def test_sampler_state_stack_index_round_trip():
+    from openmmtools_tpu.states import index_sampler_state
+
+    sss = [SamplerState(positions=jnp.full((2, 3), float(i)),
+                        velocities=jnp.full((2, 3), 10.0 * i))
+           for i in range(4)]
+    batched = stack_sampler_states(sss)
+    for i in range(4):
+        one = index_sampler_state(batched, i)
+        np.testing.assert_allclose(np.asarray(one.positions), float(i))
+        np.testing.assert_allclose(np.asarray(one.velocities), 10.0 * i)
+
+
+def test_kinetic_energy(ho):
+    m = ho.mass
+    v = np.array([[0.5, -0.25, 1.0]])
+    ss = SamplerState(positions=jnp.zeros((1, 3)),
+                      velocities=jnp.asarray(v))
+    ke = float(ho.thermodynamic_state(300.0).kinetic_energy(ss))
+    assert np.isclose(ke, 0.5 * m * float((v ** 2).sum()), rtol=1e-6)
+
+
+class _ValidatedLambdaState(GlobalParameterState):
+    lambda_sterics = GlobalParameter(
+        "lambda_sterics", 1.0,
+        validator=lambda self, v: _validate_01(v))
+
+
+def test_global_parameter_validator_and_errors():
+    # validator contract mirrors the reference: invalid values raise
+    s = _ValidatedLambdaState(lambda_sterics=0.5)
+    assert s.lambda_sterics == 0.5
+    with pytest.raises(Exception):
+        _ValidatedLambdaState(lambda_sterics=1.5)
+    with pytest.raises(Exception):
+        s.set_parameter("nonexistent_parameter", 1.0)
+
+
+def test_global_parameter_function_variable_flow():
+    """GlobalParameterFunction: a parameter enslaved to an expression of
+    function variables re-evaluates when the variable is set
+    (reference states.py:3341-3395)."""
+    s = _ValidatedLambdaState(lambda_sterics=GlobalParameterFunction("x**2"))
+    s.set_function_variable("x", 0.5)
+    assert np.isclose(s.get_parameter("lambda_sterics"), 0.25)
+    s.set_function_variable("x", 1.0)
+    assert np.isclose(s.get_parameter("lambda_sterics"), 1.0)
+    assert s.get_function_variable("x") == 1.0
+
+
+def test_compound_state_unknown_attribute_raises(ho):
+    comp = CompoundThermodynamicState(
+        ho.thermodynamic_state(300.0), [_ValidatedLambdaState(lambda_sterics=1.0)])
+    assert comp.lambda_sterics == 1.0
+    with pytest.raises(AttributeError):
+        comp.definitely_not_an_attribute
