@@ -38,6 +38,11 @@ def _encode(value: Any) -> Any:
         }
     if dataclasses.is_dataclass(value) and not isinstance(value, type):
         return serialize(value)
+    if hasattr(value, "__getstate__") and not isinstance(value, type):
+        # arbitrary framework objects (MCMC moves, nested containers)
+        # round-trip through their __getstate__/__setstate__ like the
+        # reference's utils.serialize (utils/utils.py:611-691)
+        return serialize(value)
     raise TypeError(f"cannot serialize {type(value)!r}")
 
 
@@ -84,7 +89,11 @@ def deserialize(serialization: Dict[str, Any]) -> Any:
         cls = getattr(cls, part)
     if "_state" in data:
         instance = cls.__new__(cls)
-        instance.__setstate__(_decode(data["_state"]))
+        state = _decode(data["_state"])
+        if hasattr(instance, "__setstate__"):
+            instance.__setstate__(state)
+        else:  # plain objects: object.__getstate__ returned __dict__
+            instance.__dict__.update(state)
         return instance
     kwargs = {k: _decode(v) for k, v in data.items()}
     return cls(**kwargs)

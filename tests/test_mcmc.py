@@ -202,3 +202,99 @@ def test_barostat_move_scales_molecule_centroids():
     np.testing.assert_allclose(d, bond, rtol=1e-5)
     # volume actually moved
     assert abs(float(ss.volume) - L**3) > 1e-3
+
+
+# ---------------------------------------------------------------------------
+# Reference-parity depth (tests/test_mcmc.py:97 test_mcmc_expectations,
+# :463 test_moves_serialization, :544 test_metropolized_moves,
+# :251 test_barostat_move_frequency)
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize("move_factory", [
+    lambda: LangevinDynamicsMove(timestep=0.002, collision_rate=20.0,
+                                 n_steps=150),
+    lambda: LangevinSplittingDynamicsMove(
+        splitting="O V R V O", timestep=0.002, collision_rate=20.0,
+        n_steps=150),
+    lambda: GHMCMove(timestep=0.004, n_steps=150),
+    lambda: SequenceMove([
+        LangevinDynamicsMove(timestep=0.002, collision_rate=20.0,
+                             n_steps=75),
+        GHMCMove(timestep=0.004, n_steps=75)]),
+    lambda: WeightedMove([
+        (LangevinDynamicsMove(timestep=0.002, collision_rate=20.0,
+                              n_steps=150), 0.5),
+        (GHMCMove(timestep=0.004, n_steps=150), 0.5)]),
+], ids=["langevin", "splitting", "ghmc", "sequence", "weighted"])
+def test_mcmc_expectations_battery(ho, move_factory):
+    """Every move family reproduces <U> = 3/2 kT on the harmonic
+    oscillator (reference test_mcmc_expectations)."""
+    move = move_factory()
+    state = ho.thermodynamic_state(TEMP)
+    ss = SamplerState(positions=ho.positions)
+    us = []
+    for _ in range(40):
+        ss = move.apply(state, ss)
+        us.append(float(state.potential_energy(ss)))
+    mean_u = np.mean(us[10:])
+    expected = 1.5 * kB * TEMP
+    assert abs(mean_u - expected) < 0.35 * expected, (mean_u, expected)
+
+
+def test_moves_serialization_round_trip():
+    """Moves round-trip through serialize/deserialize with statistics and
+    nested containers intact (reference test_moves_serialization)."""
+    from openmmtools_tpu.utils.serialization import deserialize, serialize
+
+    move = SequenceMove([
+        LangevinDynamicsMove(timestep=0.004, collision_rate=3.0, n_steps=10),
+        WeightedMove([(GHMCMove(timestep=0.002, n_steps=5), 0.25),
+                      (MCDisplacementMove(displacement_sigma=0.2), 0.75)]),
+    ])
+    data = serialize(move)
+    back = deserialize(data)
+    assert isinstance(back, SequenceMove)
+    assert back.move_list[0].n_steps == 10
+    assert back.move_list[0].timestep == 0.004
+    inner = back.move_list[1]
+    assert isinstance(inner, WeightedMove)
+    assert [w for _, w in inner.move_set] == [0.25, 0.75]
+    assert inner.move_set[1][0].displacement_sigma == 0.2
+
+
+def test_metropolized_move_statistics(ho):
+    """Displacement/rotation moves track and reset acceptance statistics
+    (reference test_metropolized_moves)."""
+    # sigma_x of this oscillator is sqrt(kT/K) ~ 0.0077 nm: proposals at
+    # 0.008 nm get O(30%) Metropolis acceptance (0.05 would be ~e^-21)
+    move = MCDisplacementMove(displacement_sigma=0.008)
+    state = ho.thermodynamic_state(TEMP)
+    ss = SamplerState(positions=jnp.zeros((1, 3)))
+    for _ in range(30):
+        ss = move.apply(state, ss)
+    assert move.n_proposed == 30
+    assert 0 < move.n_accepted <= 30
+    frac = move.n_accepted / move.n_proposed
+    assert 0.1 < frac <= 1.0
+    move.statistics = {"n_accepted": 0, "n_proposed": 0}
+    assert move.n_accepted == 0 and move.n_proposed == 0
+
+    rot = MCRotationMove(atom_subset=[0])
+    ss = SamplerState(positions=jnp.asarray([[0.1, 0.0, 0.0]]))
+    for _ in range(10):
+        ss = rot.apply(state, ss)
+    assert rot.n_proposed == 10
+
+
+def test_sequence_move_preserves_statistics_order(ho):
+    """SequenceMove applies in order; each submove keeps its own stats."""
+    g1 = GHMCMove(timestep=0.004, n_steps=10)
+    g2 = GHMCMove(timestep=0.004, n_steps=20)
+    seq = SequenceMove([g1, g2])
+    state = ho.thermodynamic_state(TEMP)
+    ss = SamplerState(positions=ho.positions)
+    for _ in range(4):
+        ss = seq.apply(state, ss)
+    assert g1.n_proposed == 40
+    assert g2.n_proposed == 80
