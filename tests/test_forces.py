@@ -66,6 +66,67 @@ def test_flat_bottom_ssc_converges_to_well_volume():
                       atol=0.02)
 
 
+def test_centroid_restraint_matches_hand_computed_distance():
+    """Multi-atom groups restrain the distance between group centroids
+    (reference RadiallySymmetricCentroidRestraintForce, forces.py:854)."""
+    f = HarmonicRestraintForce(
+        spring_constant=jnp.asarray(200.0),
+        group1=jnp.asarray([0, 1, 2], dtype=jnp.int32),
+        group2=jnp.asarray([3, 4], dtype=jnp.int32))
+    x = jnp.asarray([[0.0, 0.0, 0.0], [0.2, 0.0, 0.0], [0.1, 0.3, 0.0],
+                     [1.0, 0.0, 0.0], [1.0, 0.4, 0.0]])
+    c1 = np.mean(np.asarray(x)[:3], axis=0)
+    c2 = np.mean(np.asarray(x)[3:], axis=0)
+    r = np.linalg.norm(c1 - c2)
+    assert np.isclose(float(f.energy(x, None, None)), 0.5 * 200.0 * r * r,
+                      rtol=1e-5)
+    # single-atom groups reduce to the bond variant
+    fb = HarmonicRestraintBondForce(spring_constant=jnp.asarray(200.0),
+                                    atom1=0, atom2=3)
+    fc = HarmonicRestraintForce(
+        spring_constant=jnp.asarray(200.0),
+        group1=jnp.asarray([0], dtype=jnp.int32),
+        group2=jnp.asarray([3], dtype=jnp.int32))
+    assert np.isclose(float(fb.energy(x, None, None)),
+                      float(fc.energy(x, None, None)), rtol=1e-6)
+
+
+def test_flat_bottom_centroid_well_and_control():
+    """Centroid flat-bottom: zero inside the well, harmonic in (r-r0) beyond,
+    scaled by the controlling parameter (forces.py:1013)."""
+    f = FlatBottomRestraintForce(
+        spring_constant=jnp.asarray(100.0), well_radius=jnp.asarray(0.5),
+        group1=jnp.asarray([0, 1], dtype=jnp.int32),
+        group2=jnp.asarray([2, 3], dtype=jnp.int32))
+    # centroids 0.3 apart -> inside the well
+    x_in = jnp.asarray([[0.0, 0.0, 0.0], [0.2, 0.0, 0.0],
+                        [0.3, 0.1, 0.0], [0.3, -0.1, 0.0]])
+    assert float(f.energy(x_in, None, None)) == 0.0
+    # centroids (0.1,0,0) and (0.9,0,0): 0.8 apart -> 0.3 beyond the well edge
+    x_out = jnp.asarray([[0.0, 0.0, 0.0], [0.2, 0.0, 0.0],
+                         [0.9, 0.1, 0.0], [0.9, -0.1, 0.0]])
+    u = float(f.energy(x_out, None, None))
+    assert np.isclose(u, 0.5 * 100.0 * 0.3**2, rtol=1e-5)
+    u_quarter = float(f.energy(x_out, None, {"lambda_restraints": 0.25}))
+    assert np.isclose(u_quarter, 0.25 * u, rtol=1e-6)
+
+
+def test_harmonic_ssc_square_well_modes():
+    """Square-well SSC uses the cutoff sphere volume / max_volume and
+    requires one of them (reference forces.py:400-670)."""
+    f = HarmonicRestraintBondForce(spring_constant=jnp.asarray(400.0))
+    with pytest.raises(ValueError):
+        f.compute_standard_state_correction(300.0, square_well=True)
+    rc = 0.8
+    ssc_r = f.compute_standard_state_correction(300.0, square_well=True,
+                                                radius_cutoff=rc)
+    v = 4.0 / 3.0 * math.pi * rc**3
+    assert np.isclose(ssc_r, -math.log(STANDARD_STATE_VOLUME / v), rtol=1e-6)
+    ssc_v = f.compute_standard_state_correction(300.0, square_well=True,
+                                                max_volume=v)
+    assert np.isclose(ssc_v, ssc_r, rtol=1e-12)
+
+
 def test_find_forces():
     pair = LennardJonesPair()
     matches = find_forces(pair.system, NonbondedTerm)
