@@ -60,6 +60,19 @@ class LRUCache:
 
     @time_to_live.setter
     def time_to_live(self, value):
+        # reference cache.py time_to_live setter semantics: re-assign every
+        # entry's expiration when the ttl changes, then purge
+        if value == self._ttl:
+            return
+        if self._ttl is None:
+            # entries had no expiration: let them live `value` more accesses
+            self._expirations = {k: self._n_access + value for k in self._data}
+        elif value is None:
+            self._expirations = {}
+        else:
+            delta = value - self._ttl
+            self._expirations = {k: exp + delta
+                                 for k, exp in self._expirations.items()}
         self._ttl = value
         self._flush_expired()
 
@@ -70,12 +83,15 @@ class LRUCache:
         return key in self._data
 
     def __getitem__(self, key):
-        self._n_access += 1
-        self._flush_expired()
+        # reference cache.py __getitem__: the access counter only moves on a
+        # successful read, and the accessed entry's expiration is refreshed
+        # BEFORE the purge — a read can never expire the entry it returns
         value = self._data[key]
+        self._n_access += 1
         self._order[key] = self._n_access
         if self._ttl is not None:
             self._expirations[key] = self._n_access + self._ttl
+            self._flush_expired()
         return value
 
     def __setitem__(self, key, value):

@@ -226,15 +226,19 @@ def minimize(thermodynamic_state: ThermodynamicState,
         x_min, u_min = jax.jit(
             lambda x: gradient_descent_minimize(system, x, box, params,
                                                 max_steps=max_iterations))(x0)
-    # never return something worse than the input
-    u0 = thermodynamic_state.potential_energy(sampler_state)
-    if bool(u_min > u0) or not bool(jnp.isfinite(u_min)):
-        return sampler_state
-    # re-project onto constraints if present
+    # re-project onto constraints if present — BEFORE the acceptance check:
+    # on constrained systems (rigid water) the unconstrained minimum can lie
+    # far off the constraint manifold, and the projection can raise the
+    # energy back above the input
     if system.constraints.n_constraints > 0:
         from openmmtools_tpu.ops.constraints import shake_positions
 
         x_min = shake_positions(x_min, x_min, system.constraints, system.masses)
+        u_min = make_energy_fn(system)(x_min, box, params)
+    # never return something worse than the input (final, post-projection)
+    u0 = thermodynamic_state.potential_energy(sampler_state)
+    if bool(u_min > u0) or not bool(jnp.isfinite(u_min)):
+        return sampler_state
     return sampler_state.replace(positions=x_min)
 
 

@@ -825,6 +825,47 @@ class MultiStateSampler:
             self.number_of_iterations += n_iterations
         self.run(n_iterations)
 
+    def equilibrate(self, n_iterations: int, mcmc_moves=None):
+        """Equilibrate all replicas (multistatesampler.py:649): full
+        iterations (propagate + energies + mixing) that do NOT advance the
+        iteration counter and are not written to storage. ``mcmc_moves``
+        optionally substitutes different equilibration moves (one move, or
+        one per thermodynamic state), restored afterwards."""
+        if self._carry is None:
+            raise RuntimeError("Cannot equilibrate replicas. The simulation "
+                               "must be created first.")
+        production_moves = self._mcmc_moves
+        if mcmc_moves is not None:
+            n_states = len(self._thermodynamic_states)
+            if not isinstance(mcmc_moves, (list, tuple)):
+                mcmc_moves = [mcmc_moves]
+            if len(mcmc_moves) not in (1, n_states):
+                raise RuntimeError(
+                    "The number of MCMCMoves (%d) and ThermodynamicStates "
+                    "(%d) for equilibration must be the same."
+                    % (len(mcmc_moves), n_states))
+            self._mcmc_moves = list(mcmc_moves)
+        swapped = mcmc_moves is not None
+        if swapped:
+            # different moves compile a different propagation program
+            self._iteration_fn = None
+            self._batched_cache = {}
+        try:
+            if self._iteration_fn is None:
+                self._iteration_fn = self._build_iteration_fn()
+            for _ in range(n_iterations):
+                self._carry = self._iteration_fn(self._carry,
+                                                 self._mix_params())
+            u = np.asarray(self._carry.energies)
+            s = np.asarray(self._carry.replica_states)
+            self._check_nan_energy(u, s)
+        finally:
+            self._mcmc_moves = production_moves
+            if swapped:
+                self._iteration_fn = None
+                self._batched_cache = {}
+        self._velocities_initialized = True
+
     def minimize(self, tolerance=1.0, max_iterations=500):
         """FIRE-minimize every replica (multistatesampler.py:1351)."""
         from openmmtools_tpu.integrators.minimize import fire_minimize

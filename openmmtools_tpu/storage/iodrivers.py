@@ -154,7 +154,32 @@ class HDF5IODriver(StorageIODriver):
         return self._h5
 
     # -- static write/read ---------------------------------------------------
-    def write(self, path: str, value: Any):
+    def write(self, path: str, value: Any, at_index: Optional[int] = None):
+        """Write a static variable; with ``at_index``, overwrite one row of
+        an EXISTING appended variable instead (reference storageinterface
+        ``write(data, at_index=...)`` — the variable must already be bound
+        and the index in range)."""
+        if at_index is not None:
+            if path not in self._h5 or not self._h5[path].attrs.get(
+                    "appendable", False):
+                raise KeyError(
+                    f"write(at_index=): {path!r} is not a bound appendable "
+                    "variable — append to it first")
+            ds = self._h5[path]
+            if not -ds.shape[0] <= at_index < ds.shape[0]:
+                raise IndexError(
+                    f"write(at_index={at_index}): {path!r} has "
+                    f"{ds.shape[0]} rows")
+            arr, ts, meta = _encode(value)
+            expected_meta = ds.attrs.get("type_meta")
+            if meta is not None and expected_meta != meta:
+                raise ValueError(
+                    f"write({path!r}, at_index=): metadata mismatch — "
+                    f"variable was created with {expected_meta!r}, got "
+                    f"{meta!r}")
+            ds[at_index] = arr
+            self._h5.flush()
+            return
         arr, ts, meta = _encode(value)
         if path in self._h5:
             del self._h5[path]

@@ -33,8 +33,9 @@ class _StorageNode:
         return self._path
 
     # -- variable operations (bind on first use) ----------------------------
-    def write(self, value: Any):
-        self._interface.storage_driver.write(self._path, value)
+    def write(self, value: Any, at_index: Optional[int] = None):
+        self._interface.storage_driver.write(self._path, value,
+                                             at_index=at_index)
 
     def append(self, value: Any):
         self._interface.storage_driver.append(self._path, value)

@@ -45,6 +45,89 @@ def test_lru_ttl():
     assert "a" not in c
 
 
+def test_lru_capacity_setter_shrinks():
+    """Shrinking capacity evicts oldest entries immediately
+    (reference cache.py capacity property semantics)."""
+    c = LRUCache(capacity=4)
+    for i, k in enumerate("abcd"):
+        c[k] = i
+    _ = c["a"]  # refresh 'a' so 'b' is now the oldest
+    c.capacity = 2
+    assert len(c) == 2
+    assert "a" in c and "d" in c and "b" not in c and "c" not in c
+
+
+def test_lru_ttl_refresh_on_access():
+    """Touching an entry extends its access-counted lifetime."""
+    c = LRUCache(time_to_live=3)
+    c["a"] = 1
+    c["b"] = 2      # access 2: a expires at 1+3=4
+    _ = c["a"]      # access 3: a now expires at 6
+    c["c"] = 3      # access 4: a still alive (would have died untouched)
+    assert "a" in c
+    c["d"] = 4      # access 5
+    c["e"] = 5      # access 6 -> a expires
+    assert "a" not in c
+
+
+def test_lru_ttl_setter_reassigns_expirations():
+    """Reference cache.py ttl-setter semantics: None->ttl grants every entry
+    ttl more accesses; ttl->ttl' shifts expirations by the difference;
+    ttl->None removes them."""
+    c = LRUCache()
+    c["a"] = 1
+    c["b"] = 2          # n_access = 2
+    c.time_to_live = 1  # both now expire at access 3
+    assert "a" in c and "b" in c
+    _ = c["b"]          # access 3: 'a' expires, 'b' refreshed to 4
+    assert "a" not in c and "b" in c
+    c.time_to_live = 5  # 'b' expiration shifts 4 -> 8
+    c["c"] = 3
+    c["d"] = 4
+    c["e"] = 5          # access 6: 'b' still alive under the extended ttl
+    assert "b" in c
+    c.time_to_live = None
+    for i in range(20):
+        c[f"k{i}"] = i
+    assert "b" in c     # no expiration once ttl is cleared
+
+
+def test_context_cache_incompatible_states_compile_separately():
+    """Structurally incompatible states (different system shapes) must not
+    share a binding; compatible ones must (reference cache.py:616-652)."""
+    from openmmtools_tpu.models import LennardJonesPair
+
+    cache = ContextCache()
+    ho = HarmonicOscillator()
+    lj = LennardJonesPair()
+    integ = BAOABIntegrator(temperature=300.0)
+    b_ho, _ = cache.get_context(ho.thermodynamic_state(300.0), integ)
+    b_lj, _ = cache.get_context(lj.thermodynamic_state(300.0), integ)
+    assert b_ho is not b_lj
+    assert len(cache) == 2
+    # different integrator settings also miss
+    b_dt, _ = cache.get_context(ho.thermodynamic_state(300.0),
+                                BAOABIntegrator(temperature=300.0,
+                                                timestep=0.004))
+    assert b_dt is not b_ho
+    assert len(cache) == 3
+    cache.empty()
+    assert len(cache) == 0
+
+
+def test_context_cache_default_integrator():
+    """get_context with no integrator builds a Langevin binding at the
+    state's temperature (reference cache.py:560)."""
+    ho = HarmonicOscillator()
+    cache = ContextCache()
+    bound, thermo = cache.get_context(ho.thermodynamic_state(321.0))
+    assert float(thermo.temperature) == 321.0
+    state = bound.initial_state(ho.sampler_state(), jax.random.PRNGKey(0),
+                                temperature=321.0)
+    state = bound.run(state, 5)
+    assert np.isfinite(float(state.positions.sum()))
+
+
 def test_context_cache_reuse():
     ho = HarmonicOscillator()
     cache = ContextCache()

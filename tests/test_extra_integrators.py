@@ -130,3 +130,75 @@ def test_hmc_integrator():
     stderr = np.std(us) / np.sqrt(len(us) / 4.0)
     assert abs(np.mean(us) - expected) < max(6 * stderr, 0.15 * expected), (
         np.mean(us), expected, stderr)
+
+
+def test_stabilities_all_presets():
+    """Reference test_integrators.py test_stabilities: every preset
+    integrator propagates a bonded + nonbonded system to finite state."""
+    from openmmtools_tpu.integrators import (
+        BAOABIntegrator,
+        GeodesicBAOABIntegrator,
+        GHMCIntegrator,
+        HMCIntegrator,
+        LangevinIntegrator,
+        VelocityVerletIntegrator,
+        VVVRIntegrator,
+    )
+    from openmmtools_tpu.models import Diatom, LennardJonesFluid
+
+    presets = [
+        LangevinIntegrator(temperature=TEMP, timestep=0.001),
+        BAOABIntegrator(temperature=TEMP, timestep=0.001),
+        GeodesicBAOABIntegrator(temperature=TEMP, timestep=0.001),
+        VVVRIntegrator(temperature=TEMP, timestep=0.001),
+        GHMCIntegrator(temperature=TEMP, timestep=0.001),
+        VelocityVerletIntegrator(timestep=0.0005),
+        NoseHooverChainVelocityVerletIntegrator(temperature=TEMP,
+                                                timestep=0.001),
+        AndersenVelocityVerletIntegrator(temperature=TEMP, timestep=0.001),
+        MetropolisMonteCarloIntegrator(temperature=TEMP),
+        HMCIntegrator(temperature=TEMP, nsteps=5, timestep=0.0005),
+    ]
+    systems = [Diatom(), LennardJonesFluid(nparticles=64, reduced_density=0.05)]
+    for ts in systems:
+        for integ in presets:
+            bound = integ.bind(ts.system)
+            s = bound.initial_state(SamplerState(positions=ts.positions),
+                                    jax.random.PRNGKey(7), temperature=TEMP)
+            s = bound.run(s, 100)
+            name = type(integ).__name__
+            assert bool(jnp.all(jnp.isfinite(s.positions))), (name, ts)
+            assert bool(jnp.all(jnp.isfinite(s.velocities))), (name, ts)
+            assert np.isfinite(float(sum(s.potentials))), (name, ts)
+
+
+def test_minimizer_across_testsystems():
+    """Reference test_mcmc.py test_minimizer_all_testsystems: minimize
+    never increases the energy and returns finite positions, across system
+    families (bonded, LJ, water, implicit-solvent)."""
+    from openmmtools_tpu.integrators import minimize
+    from openmmtools_tpu.models import (
+        Diatom,
+        HarmonicOscillator,
+        LennardJonesCluster,
+        LennardJonesFluid,
+        SodiumChlorideCrystal,
+        WaterCluster,
+    )
+    from openmmtools_tpu.states import ThermodynamicState
+
+    systems = [HarmonicOscillator(), Diatom(), LennardJonesCluster(),
+               LennardJonesFluid(nparticles=64, reduced_density=0.05),
+               SodiumChlorideCrystal(), WaterCluster(n_waters=4)]
+    for ts in systems:
+        thermo = ts.thermodynamic_state(temperature=TEMP)
+        ss = SamplerState(positions=jnp.asarray(ts.positions) +
+                          0.005 * jax.random.normal(
+                              jax.random.PRNGKey(11),
+                              jnp.asarray(ts.positions).shape))
+        u0 = float(thermo.potential_energy(ss))
+        out = minimize(thermo, ss, max_iterations=100)
+        u1 = float(thermo.potential_energy(out))
+        name = type(ts).__name__
+        assert bool(jnp.all(jnp.isfinite(out.positions))), name
+        assert u1 <= u0 + 1e-6, (name, u0, u1)

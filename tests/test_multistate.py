@@ -1078,3 +1078,42 @@ def test_mixing_scheme_tag(tmp_path):
     stats = MultiStateSamplerAnalyzer(rep2).generate_mixing_statistics()
     assert stats.scheme == "gibbs-jump"
     assert stats.transition_matrix.shape == (len(K_LADDER), len(K_LADDER))
+
+
+def test_equilibrate(tmp_path):
+    """Reference test_sampling.py test_equilibrate: equilibration runs full
+    iterations without advancing the iteration counter or writing storage;
+    substituted equilibration moves are restored afterwards."""
+    ho, states = _make_states()
+    sampler = ReplicaExchangeSampler(
+        mcmc_moves=_move(), number_of_iterations=5,
+        online_analysis_interval=None, rng_seed=3)
+    reporter = MultiStateReporter(str(tmp_path / "eq.h5"),
+                                  checkpoint_interval=5)
+    sampler.create(states, SamplerState(positions=ho.positions),
+                   storage=reporter)
+    x0 = np.asarray(sampler._carry.positions).copy()
+    production_moves = sampler.mcmc_moves
+
+    # equilibrate with a DIFFERENT move than production
+    eq_move = _move(n_steps=5)
+    sampler.equilibrate(3, mcmc_moves=eq_move)
+    assert sampler.iteration == 0
+    assert reporter.read_last_iteration(last_checkpoint=False) in (0, -1, None)
+    assert not np.allclose(np.asarray(sampler._carry.positions), x0)
+    assert sampler.mcmc_moves is production_moves
+
+    # wrong-length move list is an error (reference RuntimeError)
+    with pytest.raises(RuntimeError):
+        sampler.equilibrate(1, mcmc_moves=[eq_move, eq_move])
+
+    # uncreated sampler is an error
+    fresh = ReplicaExchangeSampler(mcmc_moves=_move(),
+                                   number_of_iterations=1)
+    with pytest.raises(RuntimeError):
+        fresh.equilibrate(1)
+
+    # production continues normally afterwards
+    sampler.run(2)
+    assert sampler.iteration == 2
+    reporter.close()

@@ -167,3 +167,27 @@ def test_analysis_velocities_round_trip(tmp_path):
     assert v is not None and v.shape[0] >= 4 and v.shape[2] == 1
     assert np.all(np.isfinite(v[1:]))
     rep.close()
+
+
+def test_write_at_index(tmp_path):
+    """Reference test_storage_interface.py at_index semantics: overwrite one
+    row of an appended series; unbound target or out-of-range index raise."""
+    from openmmtools_tpu.storage import StorageInterface
+
+    si = StorageInterface(str(tmp_path / "ai.h5"))
+    # must be bound (appended to) first
+    with pytest.raises(KeyError):
+        si.traj.energy.write(1.0, at_index=0)
+    for v in (1.0, 2.0, 3.0):
+        si.traj.energy.append(v)
+    si.traj.energy.write(99.0, at_index=1)
+    assert si.traj.energy.read_appended() == [1.0, 99.0, 3.0]
+    si.traj.energy.write(7.0, at_index=-1)   # negative indexing
+    assert si.traj.energy.read_appended(index=2) == 7.0
+    with pytest.raises(IndexError):
+        si.traj.energy.write(0.0, at_index=3)
+    # a static (non-appended) variable is not an at_index target
+    si.meta.title.write("hello")
+    with pytest.raises(KeyError):
+        si.meta.title.write("x", at_index=0)
+    si.close()
