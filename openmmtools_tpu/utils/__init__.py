@@ -10,6 +10,10 @@ from openmmtools_tpu.utils.pytree import pytree_dataclass, static_field
 from openmmtools_tpu.utils.timing import Timer, time_it, with_timer
 from openmmtools_tpu.utils.math_eval import math_eval, sanitize_expression
 from openmmtools_tpu.utils.serialization import serialize, deserialize
+from openmmtools_tpu.utils.introspection import (
+    find_all_subclasses,
+    find_subclass,
+)
 from openmmtools_tpu.utils.platforms import (
     get_available_platforms,
     get_fastest_platform,
@@ -39,6 +43,8 @@ __all__ = [
     "sanitize_expression",
     "serialize",
     "deserialize",
+    "find_all_subclasses",
+    "find_subclass",
     "get_available_platforms",
     "get_fastest_platform",
     "platform_supports_precision",

@@ -245,3 +245,52 @@ def test_temporary_directory():
         assert os.path.isdir(d)
         open(os.path.join(d, "f.txt"), "w").write("x")
     assert not os.path.exists(d)
+
+
+def test_find_all_subclasses_and_find_subclass():
+    """Reference utils.py:735/:767 contracts: transitive subclass discovery,
+    abstract filtering, and unique-name lookup errors."""
+    import abc
+
+    from openmmtools_tpu.utils import find_all_subclasses, find_subclass
+
+    class Base:
+        pass
+
+    class Mid(Base, abc.ABC):
+        @abc.abstractmethod
+        def f(self):
+            ...
+
+    class Leaf(Mid):
+        def f(self):
+            return 1
+
+    class Other(Base):
+        pass
+
+    all_cls = find_all_subclasses(Base)
+    assert {Base, Mid, Leaf, Other} <= all_cls
+    concrete = find_all_subclasses(Base, discard_abstract=True)
+    assert Mid not in concrete and {Base, Leaf, Other} <= concrete
+    assert find_all_subclasses(Base, include_parent=False) >= {Mid, Leaf}
+    assert Base not in find_all_subclasses(Base, include_parent=False)
+
+    assert find_subclass(Base, "Leaf") is Leaf
+    with pytest.raises(ValueError):
+        find_subclass(Base, "Nope")
+
+    class Dup1:
+        pass
+
+    first = type("Same", (Dup1,), {})
+    second = type("Same", (Dup1,), {})
+    assert first is not second
+    with pytest.raises(ValueError):
+        find_subclass(Dup1, "Same")
+
+    # a real-framework hierarchy: every MCMCMove preset is discoverable
+    from openmmtools_tpu.mcmc import LangevinDynamicsMove, MCMCMove
+    assert LangevinDynamicsMove in find_all_subclasses(MCMCMove)
+    assert find_subclass(MCMCMove, "LangevinDynamicsMove") \
+        is LangevinDynamicsMove
