@@ -352,3 +352,34 @@ def test_compound_state_unknown_attribute_raises(ho):
     assert comp.lambda_sterics == 1.0
     with pytest.raises(AttributeError):
         comp.definitely_not_an_attribute
+
+
+def test_volume_properties():
+    """Reference test_property_volume: NVT state exposes the box volume;
+    NPT state defers to the sampler state's box (volume None on the state)."""
+    gas = IdealGas(nparticles=16)
+    nvt = gas.thermodynamic_state(temperature=300.0)
+    box = np.asarray(gas.system.default_box)
+    assert np.isclose(float(nvt.volume), float(np.linalg.det(box)), rtol=1e-6)
+    npt = nvt.replace(pressure=1.0)
+    assert npt.volume is None
+    ss = gas.sampler_state()
+    assert np.isclose(float(ss.volume), float(np.linalg.det(box)), rtol=1e-6)
+    assert SamplerState(positions=jnp.zeros((3, 3))).volume is None
+
+
+def test_states_serialization_round_trip(ho):
+    """Reference test_states_serialization: states survive
+    serialize/deserialize with identical reduced potentials."""
+    from openmmtools_tpu.utils import deserialize, serialize
+
+    thermo = ho.thermodynamic_state(311.0)
+    ss = SamplerState(positions=ho.positions)
+    blob = serialize(thermo)
+    thermo2 = deserialize(blob)
+    assert type(thermo2) is ThermodynamicState
+    assert float(thermo2.temperature) == 311.0
+    assert np.isclose(float(thermo.reduced_potential(ss)),
+                      float(thermo2.reduced_potential(ss)), rtol=1e-6)
+    ss2 = deserialize(serialize(ss))
+    assert np.allclose(np.asarray(ss2.positions), np.asarray(ss.positions))
