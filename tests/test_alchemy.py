@@ -745,3 +745,28 @@ def test_overlap_lambda_one_statistical(lj_fluid):
     dus = np.asarray(dus)
     assert np.all(np.isfinite(dus))
     assert dus.std() < 2e-4 * max(np.mean(scale), 1.0), (dus, scale)
+
+
+def test_alchemical_system_serialization_round_trip():
+    """Reference test_alchemy.py test_serialization: the factory output and
+    AlchemicalState survive serialize/deserialize with identical energies at
+    intermediate lambdas."""
+    from openmmtools_tpu.utils import deserialize, serialize
+
+    ts = LennardJonesFluid(nparticles=64, reduced_density=0.05)
+    factory = AbsoluteAlchemicalFactory()
+    region = AlchemicalRegion(alchemical_atoms=list(range(8)))
+    alch = factory.create_alchemical_system(ts.system, region)
+    alch2 = deserialize(serialize(alch))
+
+    state = AlchemicalState.from_system(alch)
+    state2 = deserialize(serialize(state))
+    assert state2.lambda_sterics == state.lambda_sterics
+
+    x = jnp.asarray(ts.positions)
+    box = ts.system.default_box
+    for lam in (1.0, 0.5, 0.0):
+        params = {"lambda_sterics": lam, "lambda_electrostatics": lam}
+        u1 = float(alch.energy(x, box, params))
+        u2 = float(alch2.energy(x, box, params))
+        assert np.isclose(u1, u2, rtol=1e-6), (lam, u1, u2)
