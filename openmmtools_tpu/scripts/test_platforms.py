@@ -40,7 +40,8 @@ FORCE_RTOL = 5e-3
 # systems needing constructor args or external data files are reported
 # as skipped explicitly (parity with the reference, which constructs all)
 _SLOW = {"DHFRExplicit", "DNADodecamerExplicit", "LysozymeImplicit",
-         "HostGuestExplicit", "GiantWaterBox"}
+         "HostGuestExplicit", "GiantWaterBox", "GiantFlexibleWaterBox",
+         "GiantFlexibleDischargedWaterBox"}
 
 
 def _evaluate(system, x64, backend, positions):
