@@ -485,9 +485,12 @@ class MonteCarloBarostatMove(MetropolizedMove):
     to per-particle scaling.
     """
 
-    def __init__(self, volume_scale=0.01, **kwargs):
+    def __init__(self, volume_scale=0.01, n_attempts=1, **kwargs):
         super().__init__(**kwargs)
         self.volume_scale = volume_scale
+        # reference default is 5 attempts per apply (mcmc.py:1645); the
+        # attempts run as one scanned device program here
+        self.n_attempts = int(n_attempts)
         self._kernels = {}  # per-system: molecule ids are baked in
         self._molecules_cache = {}
 
@@ -571,11 +574,20 @@ class MonteCarloBarostatMove(MetropolizedMove):
             return jax.tree.map(
                 lambda a, b: jnp.where(accept, a, b), ss_new, ss), accept
 
-        if cache_key not in self._kernels:
-            self._kernels[cache_key] = jax.jit(kernel)
-        new_ss, accept = self._kernels[cache_key](ts, sampler_state, key)
-        self.n_proposed += 1
-        self.n_accepted += int(accept)
+        def n_attempt_kernel(ts, ss, key):
+            def body(carry_ss, k):
+                out_ss, acc = kernel(ts, carry_ss, k)
+                return out_ss, acc
+            keys = jax.random.split(key, self.n_attempts)
+            final_ss, accepts = jax.lax.scan(body, ss, keys)
+            return final_ss, jnp.sum(accepts)
+
+        kernel_key = (cache_key, self.n_attempts)
+        if kernel_key not in self._kernels:
+            self._kernels[kernel_key] = jax.jit(n_attempt_kernel)
+        new_ss, n_acc = self._kernels[kernel_key](ts, sampler_state, key)
+        self.n_proposed += self.n_attempts
+        self.n_accepted += int(n_acc)
         return new_ss
 
 

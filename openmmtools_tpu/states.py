@@ -99,6 +99,21 @@ class SamplerState:
             bad = bad | jnp.any(~jnp.isfinite(self.velocities))
         return bad
 
+    def __getitem__(self, item):
+        """Atom-subset selection (reference states.py:2297-2325).
+
+        An integer returns a single-atom state with positions shape (1, 3);
+        a slice or index sequence returns that subset. Box vectors carry
+        over unchanged; the reference nulls its cached energies/CVs here,
+        which have no analog on this frozen pytree.
+        """
+        if isinstance(item, int) or (
+                hasattr(item, "shape") and getattr(item, "ndim", None) == 0):
+            item = slice(item, item + 1) if int(item) != -1 else slice(-1, None)
+        pos = self.positions[item]
+        vel = None if self.velocities is None else self.velocities[item]
+        return dataclasses.replace(self, positions=pos, velocities=vel)
+
 
 def stack_sampler_states(states: Sequence[SamplerState]) -> SamplerState:
     """Stack replicas into a batched SamplerState with leading axis N."""

@@ -28,6 +28,15 @@ _BINARY_OPS = {
     ast.FloorDiv: operator.floordiv,
     ast.Pow: operator.pow,
     ast.Mod: operator.mod,
+    # reference utils.py:280-282: & | (and the keywords and/or) operate
+    # BITWISE — on set-valued variables they are intersection/union
+    ast.BitAnd: operator.and_,
+    ast.BitOr: operator.or_,
+}
+
+_BOOL_OPS = {
+    ast.And: operator.and_,
+    ast.Or: operator.or_,
 }
 
 _COMPARE_OPS = {
@@ -54,12 +63,22 @@ def _step_hm(x):
 _FUNCTIONS: Dict[str, Any] = {
     "step": _step,
     "step_hm": _step_hm,
+    "sign": jnp.sign,
     "sqrt": jnp.sqrt,
     "exp": jnp.exp,
     "log": jnp.log,
     "sin": jnp.sin,
     "cos": jnp.cos,
     "tan": jnp.tan,
+    # the reference resolves any math-module name (utils.py:319); cover the
+    # commonly-used inverse/hyperbolic set with their jnp (traceable) forms
+    "asin": jnp.arcsin,
+    "acos": jnp.arccos,
+    "atan": jnp.arctan,
+    "atan2": jnp.arctan2,
+    "sinh": jnp.sinh,
+    "cosh": jnp.cosh,
+    "tanh": jnp.tanh,
     "abs": jnp.abs,
     "min": lambda *a: jnp.minimum.reduce(list(map(jnp.asarray, a))) if len(a) > 2 else jnp.minimum(*a),
     "max": lambda *a: jnp.maximum.reduce(list(map(jnp.asarray, a))) if len(a) > 2 else jnp.maximum(*a),
@@ -126,6 +145,13 @@ def math_eval(expression: str, variables: Mapping[str, Any] | None = None,
             if type(node.op) not in _BINARY_OPS:
                 raise ValueError(f"operator {node.op!r} not allowed")
             return _BINARY_OPS[type(node.op)](ev(node.left), ev(node.right))
+        if isinstance(node, ast.BoolOp):
+            # reference utils.py:301-310: and/or fold BITWISE left-to-right
+            op = _BOOL_OPS[type(node.op)]
+            out = ev(node.values[0])
+            for v in node.values[1:]:
+                out = op(out, ev(v))
+            return out
         if isinstance(node, ast.Compare):
             if len(node.ops) != 1:
                 raise ValueError("chained comparisons not supported")

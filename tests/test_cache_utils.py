@@ -1,6 +1,7 @@
 """ContextCache/LRUCache, parallel helpers, utils (Timer, math_eval,
 serialization) tests."""
 import time
+import math
 
 import jax
 import jax.numpy as jnp
@@ -294,3 +295,69 @@ def test_find_all_subclasses_and_find_subclass():
     assert LangevinDynamicsMove in find_all_subclasses(MCMCMove)
     assert find_subclass(MCMCMove, "LangevinDynamicsMove") \
         is LangevinDynamicsMove
+
+def test_sanitize_expression_battery():
+    """Reference test_sanitize_expression (test_utils.py:76): reserved words
+    are rewritten everywhere they appear as whole identifiers; names that
+    merely contain the word as a prefix/suffix are untouched."""
+    from openmmtools_tpu.utils.math_eval import sanitize_expression
+
+    word, s_word = "lambda", "_sanitized__lambda"
+    cases = [
+        (word, s_word),
+        ("(" + word + ")", "(" + s_word + ")"),
+        ("( " + word + " )", "( " + s_word + " )"),
+        (word + "_suffix", word + "_suffix"),
+        ("prefix_" + word, "prefix_" + word),
+        ("2+" + word + "-" + word + "_suffix/(" + word + " - 3)",
+         "2+" + s_word + "-" + word + "_suffix/(" + s_word + " - 3)"),
+    ]
+    for expr, expected in cases:
+        s_expr, s_vars = sanitize_expression(expr, {word: 5.0})
+        assert s_expr == expected, (s_expr, expected)
+        assert word not in s_vars and s_vars[s_word] == 5.0
+
+
+def test_math_eval_reference_battery():
+    """Reference test_math_eval cases (test_utils.py:108), including the
+    bitwise-set semantics of &/or and the step conventions."""
+    from openmmtools_tpu.utils.math_eval import math_eval
+
+    cases = [
+        ("1 + 3", None, 4),
+        ("x + y", {"x": 1.5, "y": 2}, 3.5),
+        ("(x + lambda) / z * 4", {"x": 1, "lambda": 2, "z": 3}, 4.0),
+        ("-((x + y) / z * 4)**2", {"x": 1, "y": 2, "z": 3}, -16.0),
+        ("ceil(0.8) + acos(x) + step(0.5 - x) + step(0.5)", {"x": 1}, 2),
+        ("step_hm(x)", {"x": 0}, 0.5),
+        ("sign(-0.3) + sign(0.0) + sign(8)", None, 0.0),
+        ("myset & myset2", {"myset": {1, 2, 3}, "myset2": {2, 3, 4}}, {2, 3}),
+        ("myset or myset2", {"myset": {1, 2, 3}, "myset2": {2, 3, 4}},
+         {1, 2, 3, 4}),
+        ("(myset or my2set) & myset3",
+         {"myset": {1, 2}, "my2set": {3, 4}, "myset3": {2, 3}}, {2, 3}),
+        ("myset and myset2", {"myset": {1, 2, 3}, "myset2": {2, 3, 4}},
+         {2, 3}),
+    ]
+    for expr, variables, expected in cases:
+        got = math_eval(expr, variables)
+        if isinstance(expected, set):
+            assert got == expected, (expr, got)
+        else:
+            assert float(got) == pytest.approx(float(expected)), (expr, got)
+
+
+def test_math_eval_traced_expression():
+    """Expressions stay jittable/differentiable when fed tracers — the
+    property AlchemicalFunction relies on (no reference analog: Lepton
+    runs on-device there, math_eval runs in-trace here)."""
+    from openmmtools_tpu.utils.math_eval import math_eval
+
+    f = jax.jit(lambda lam: math_eval(
+        "step(lambda - 0.5) * sin(lambda) + atan2(lambda, 2.0)",
+        {"lambda": lam}))
+    x = 0.75
+    expect = math.sin(x) + math.atan2(x, 2.0)
+    assert float(f(x)) == pytest.approx(expect, rel=1e-6)
+    g = jax.grad(lambda lam: math_eval("lambda**3", {"lambda": lam}))(2.0)
+    assert float(g) == pytest.approx(12.0, rel=1e-6)

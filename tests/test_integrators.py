@@ -369,3 +369,45 @@ def test_lbfgs_minimizer():
     _, u_f = jax.jit(
         lambda x: fire_minimize(ts.system, x, max_steps=150))(x0)
     assert float(u_l) <= float(u_f) + 1.0
+
+def test_temperature_change_mid_run(ho):
+    """Reference test_temperature_getter_setter (test_integrators.py:831):
+    the thermostat temperature is mutable mid-run. Here kT is a *traced*
+    field of IntegratorState, so retargeting the thermostat is a
+    state.replace(kT=...) — same compiled program (no retrace), and the
+    sampled potential ⟨U⟩ = (3/2) kT_new tracks the NEW temperature."""
+    integ = BAOABIntegrator(temperature=TEMP, collision_rate=20.0,
+                            timestep=0.002)
+    bound = integ.bind(ho.system)
+    state = bound.initial_state(SamplerState(positions=ho.positions),
+                                jax.random.PRNGKey(3), temperature=TEMP)
+    assert np.isclose(float(state.temperature), TEMP, rtol=1e-6)
+    state = bound.run(state, 2000)
+    fn_before = bound._run_cache.get(2000)
+
+    t_new = 450.0
+    state = state.replace(kT=jnp.asarray(kB * t_new, dtype=state.kT.dtype))
+    assert np.isclose(float(state.temperature), t_new, rtol=1e-6)
+    state = bound.run(state, 2000)  # re-equilibrate at the new temperature
+    assert bound._run_cache.get(2000) is fn_before  # no retrace
+
+    us = []
+    for _ in range(60):
+        state = bound.run(state, 200)
+        us.append(float(sum(state.potentials)))
+    mean_u, sem = np.mean(us), np.std(us) / math.sqrt(len(us))
+    expect = 1.5 * kB * t_new   # 3 quadratic dofs
+    assert abs(mean_u - expect) < max(6 * sem, 0.08 * expect), (mean_u, expect)
+
+
+def test_pretty_print_program(ho):
+    """PrettyPrintableIntegrator analog (reference integrators.py:58,
+    test_pretty_formatting :264): every token appears in the listing."""
+    integ = GHMCIntegrator(temperature=TEMP)
+    bound = integ.bind(ho.system)
+    text = bound.pretty_print()
+    assert "Metropolize" in text and "sqrt(kT/m)" in text
+    assert text.splitlines()[0].startswith("# splitting:")
+    mts = LangevinIntegrator(splitting="V0 V1 R O R V1 V0",
+                             temperature=TEMP).bind(ho.system)
+    assert "F[0]" in mts.pretty_print() and "F[1]" in mts.pretty_print()

@@ -14,6 +14,7 @@ from openmmtools_tpu.mcmc import (
     LangevinDynamicsMove,
     LangevinSplittingDynamicsMove,
     MCDisplacementMove,
+    MCMCMoveError,
     MCMCSampler,
     MCRotationMove,
     MonteCarloBarostatMove,
@@ -298,3 +299,34 @@ def test_sequence_move_preserves_statistics_order(ho):
         ss = seq.apply(state, ss)
     assert g1.n_proposed == 40
     assert g2.n_proposed == 80
+
+def test_barostat_move_n_attempts():
+    """Reference MonteCarloBarostatMove.n_attempts (mcmc.py:1645): each
+    apply makes n_attempts scanned MC volume attempts; statistics count
+    every attempt, and the NPT ideal-gas <V> stays exact."""
+    gas = IdealGas(nparticles=64)
+    temperature, pressure = 300.0, 2.0
+    ts = gas.thermodynamic_state(temperature=temperature).replace(
+        pressure=pressure)
+    move = MonteCarloBarostatMove(volume_scale=0.05, n_attempts=4, seed=7)
+    ss = gas.sampler_state()
+    vols = []
+    for i in range(400):
+        ss = move.apply(ts, ss)
+        vols.append(float(ss.volume))
+    assert move.statistics["n_proposed"] == 400 * 4
+    assert 0 < move.statistics["n_accepted"] <= move.statistics["n_proposed"]
+    # <V> = (N+1) kT / p for the MC-barostat ideal gas ensemble
+    expect = (64 + 1) * kB * temperature / (pressure * BAR_TO_KJ_PER_MOL_NM3)
+    mean_v = np.mean(vols[100:])
+    sem = np.std(vols[100:]) / np.sqrt(len(vols[100:]) / 10)
+    assert abs(mean_v - expect) < max(6 * sem, 0.1 * expect), (mean_v, expect)
+
+
+def test_barostat_move_requires_npt():
+    """A barostat move on an NVT state raises (reference mcmc.py:1674)."""
+    gas = IdealGas(nparticles=8)
+    ts = gas.thermodynamic_state(temperature=300.0)
+    move = MonteCarloBarostatMove()
+    with pytest.raises(MCMCMoveError, match="NPT"):
+        move.apply(ts, gas.sampler_state())

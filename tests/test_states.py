@@ -383,3 +383,34 @@ def test_states_serialization_round_trip(ho):
                       float(thermo2.reduced_potential(ss)), rtol=1e-6)
     ss2 = deserialize(serialize(ss))
     assert np.allclose(np.asarray(ss2.positions), np.asarray(ss.positions))
+
+def test_sampler_state_getitem_atom_subset():
+    """Reference test_operator_getitem (test_states.py:1405): integer →
+    single-atom state (1,3); slice/array → subset; box vectors carry over."""
+    key = jax.random.PRNGKey(0)
+    pos = jax.random.normal(key, (8, 3))
+    vel = jax.random.normal(jax.random.PRNGKey(1), (8, 3))
+    box = jnp.eye(3) * 2.5
+    ss = SamplerState(positions=pos, velocities=vel, box_vectors=box)
+
+    one = ss[3]
+    assert one.positions.shape == (1, 3)
+    assert one.velocities.shape == (1, 3)
+    assert np.allclose(np.asarray(one.positions[0]), np.asarray(pos[3]))
+    assert np.allclose(np.asarray(one.box_vectors), np.asarray(box))
+
+    last = ss[-1]
+    assert last.positions.shape == (1, 3)
+    assert np.allclose(np.asarray(last.positions[0]), np.asarray(pos[-1]))
+
+    sub = ss[2:6]
+    assert sub.positions.shape == (4, 3)
+    assert np.allclose(np.asarray(sub.velocities), np.asarray(vel[2:6]))
+
+    picked = ss[jnp.array([0, 5, 7])]
+    assert picked.positions.shape == (3, 3)
+    assert np.allclose(np.asarray(picked.positions[1]), np.asarray(pos[5]))
+
+    # no velocities → stays None
+    novel = SamplerState(positions=pos)[1:4]
+    assert novel.velocities is None and novel.positions.shape == (3, 3)
