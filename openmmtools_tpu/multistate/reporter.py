@@ -103,6 +103,14 @@ class MultiStateReporter:
         os.makedirs(os.path.dirname(os.path.abspath(self._storage_analysis)),
                     exist_ok=True)
         self._analysis = self._robust_open(h5py, self._storage_analysis, mode)
+        # In read mode a missing checkpoint file is tolerated: analysis
+        # (energies, states, online data) needs only the analysis file —
+        # the reference opens the checkpoint lazily for exactly this case
+        # (multistatereporter.py, tested test_sampling.py:2173). Reading
+        # checkpointed positions/velocities then raises.
+        if mode == "r" and not os.path.exists(self._storage_checkpoint):
+            self._checkpoint = None
+            return self
         self._checkpoint = self._robust_open(h5py, self._storage_checkpoint,
                                              mode)
         if mode == "w":
@@ -385,6 +393,10 @@ class MultiStateReporter:
     def read_checkpoint(self, iteration: Optional[int] = None
                         ) -> Dict[str, np.ndarray]:
         """Data of the last checkpoint at or before ``iteration``."""
+        if self._checkpoint is None:
+            raise IOError(
+                "checkpoint file %s is missing; positions/velocities are "
+                "unavailable (analysis-only open)" % self._storage_checkpoint)
         iters = self._checkpoint["checkpoint_iterations"][...]
         if iteration is None:
             idx = len(iters) - 1
@@ -401,6 +413,8 @@ class MultiStateReporter:
         return out
 
     def last_checkpoint_iteration(self) -> Optional[int]:
+        if self._checkpoint is None:
+            return None
         if "checkpoint_iterations" not in self._checkpoint:
             return None
         iters = self._checkpoint["checkpoint_iterations"][...]

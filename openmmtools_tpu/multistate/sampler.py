@@ -19,6 +19,7 @@ the reference's rank-0 star (multistatesampler.py:1500).
 from __future__ import annotations
 
 import logging
+import os
 import time
 from typing import Any, Dict, List, Optional, Sequence, Tuple
 
@@ -305,6 +306,11 @@ class MultiStateSampler:
             rng_key=jax.random.PRNGKey(self._rng_seed),
         )
         self._iteration = 0
+        # reference multistatesampler accepts a Reporter or a plain path
+        # string (tested at test_sampling.py:2186)
+        if isinstance(storage, (str, os.PathLike)):
+            from openmmtools_tpu.multistate.reporter import MultiStateReporter
+            storage = MultiStateReporter(os.fspath(storage))
         self._reporter = storage
         self._velocities_initialized = all(
             s.velocities is not None for s in sampler_states)

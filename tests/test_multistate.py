@@ -1117,3 +1117,122 @@ def test_equilibrate(tmp_path):
     sampler.run(2)
     assert sampler.iteration == 2
     reporter.close()
+
+def test_run_extend(tmp_path):
+    """Reference test_run_extend (test_sampling.py:1930): run to the
+    iteration limit, extend past it, storage and counters grow."""
+    ho, states = _make_states()
+    sampler = ReplicaExchangeSampler(
+        mcmc_moves=_move(5), number_of_iterations=6,
+        online_analysis_interval=None, rng_seed=5)
+    reporter = MultiStateReporter(str(tmp_path / "extend.h5"),
+                                  checkpoint_interval=3)
+    sampler.create(states, SamplerState(positions=ho.positions),
+                   storage=reporter)
+    sampler.run()
+    assert sampler.iteration == 6
+    sampler.run(10)  # past the limit: run() clamps at number_of_iterations
+    assert sampler.iteration == 6
+    sampler.extend(4)
+    assert sampler.iteration == 10
+    assert sampler.number_of_iterations == 10
+    reporter.open("r")
+    u, _ = reporter.read_energies()
+    reporter.close()
+    assert u.shape[0] == 11  # iterations 0..10
+
+    # resume from storage continues from the extended point
+    sampler2 = ReplicaExchangeSampler.from_storage(reporter)
+    assert sampler2.iteration in (9, 10)  # rolls back to last checkpoint
+
+
+def test_create_with_storage_path_string(tmp_path):
+    """Reference test_storage_reporter_and_string (test_sampling.py:2186):
+    create() accepts a plain path; a default reporter is constructed."""
+    ho, states = _make_states()
+    path = str(tmp_path / "by_path.h5")
+    sampler = ReplicaExchangeSampler(
+        mcmc_moves=_move(5), number_of_iterations=3,
+        online_analysis_interval=None, rng_seed=1)
+    sampler.create(states, SamplerState(positions=ho.positions), storage=path)
+    sampler.run()
+    assert os.path.exists(path)
+    with MultiStateReporter(path).open("r") as rep:
+        u, _ = rep.read_energies()
+    assert u.shape == (4, len(K_LADDER), len(K_LADDER))
+
+
+def test_analysis_opens_without_checkpoint(tmp_path):
+    """Reference test_analysis_opens_without_checkpoint (:2173): the
+    analyzer needs only the analysis file; a missing/moved checkpoint file
+    must not block free-energy analysis."""
+    ho, states = _make_states()
+    path = str(tmp_path / "nockpt.h5")
+    sampler = ReplicaExchangeSampler(
+        mcmc_moves=_move(), number_of_iterations=60,
+        online_analysis_interval=None, rng_seed=3)
+    reporter = MultiStateReporter(path, checkpoint_interval=10)
+    sampler.create(states, SamplerState(positions=ho.positions),
+                   storage=reporter)
+    sampler.run()
+    reporter.close()
+    ckpt = reporter._storage_checkpoint
+    os.rename(ckpt, ckpt + ".moved")
+    analyzer = MultiStateSamplerAnalyzer(MultiStateReporter(path))
+    df, ddf = analyzer.get_free_energy()
+    assert np.all(np.isfinite(df))
+
+
+def test_real_time_yaml_appends_across_resume(tmp_path):
+    """Reference test_real_time_analysis_yaml_restore (:2429): the
+    real-time YAML keeps appending after a from_storage resume, with
+    monotone iteration entries within each run."""
+    import yaml
+
+    ho, states = _make_states()
+    path = str(tmp_path / "rt.h5")
+    sampler = ReplicaExchangeSampler(
+        mcmc_moves=_move(5), number_of_iterations=4,
+        online_analysis_interval=2, online_analysis_minimum_iterations=0,
+        rng_seed=9)
+    reporter = MultiStateReporter(path, checkpoint_interval=2)
+    sampler.create(states, SamplerState(positions=ho.positions),
+                   storage=reporter)
+    sampler.run()
+    ypath = os.path.splitext(path)[0] + "_real_time.yaml"
+    assert os.path.exists(ypath)
+    with open(ypath) as fh:
+        docs1 = yaml.safe_load(fh)
+    assert docs1, "no real-time entries written"
+    n1 = len(docs1)
+
+    sampler2 = ReplicaExchangeSampler.from_storage(
+        MultiStateReporter(path, checkpoint_interval=2))
+    sampler2.extend(2)
+    with open(ypath) as fh:
+        docs2 = yaml.safe_load(fh)
+    assert len(docs2) > n1
+    iters = [d["iteration"] for d in docs2[n1:]]
+    assert iters == sorted(iters)
+    for d in docs2:
+        assert "iter_per_sec" in d or "seconds_per_iteration" in d or len(d) > 1
+
+
+def test_sams_state_histogram(tmp_path):
+    """Reference TestSingleReplicaSAMS.test_state_histogram (:2757): the
+    SAMS visit histogram counts every replica-state visit and sums to
+    n_replicas * n_iterations."""
+    ho, states = _make_states()
+    sampler = SAMSSampler(
+        mcmc_moves=_move(5), number_of_iterations=40,
+        state_update_scheme="global-jump", flatness_criteria="minimum-visits",
+        gamma0=1.0, online_analysis_interval=None, rng_seed=17)
+    reporter = MultiStateReporter(str(tmp_path / "hist.h5"),
+                                  checkpoint_interval=20)
+    sampler.create(states, SamplerState(positions=ho.positions),
+                   storage=reporter)
+    sampler.run()
+    hist = np.asarray(sampler._histogram)
+    assert hist.shape == (len(K_LADDER),)
+    assert hist.sum() == sampler.n_replicas * 40
+    assert (hist >= 0).all()
