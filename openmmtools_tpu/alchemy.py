@@ -47,8 +47,9 @@ from openmmtools_tpu.ops import bonded as bonded_ops
 from openmmtools_tpu.utils.pytree import pytree_dataclass, static_field
 
 
-class AlchemyError(Exception):
-    pass
+class AlchemyError(ValueError):
+    """Alchemical-factory error. Subclasses ValueError to match the
+    reference's _resolve_alchemical_region raises (alchemy.py:1042)."""
 
 
 # ---------------------------------------------------------------------------
@@ -242,6 +243,19 @@ class AlchemicalNonbondedTerm:
         mask = row < col
         if self.cutoff is not None and self.method != "no_cutoff":
             mask = mask & (r2_raw < self.cutoff * self.cutoff)
+        if self.exception_index.shape[0] > 0:
+            # exceptions REPLACE the combination-rule interaction: mask the
+            # pairs out of the dense sum instead of subtracting them back —
+            # 1-2 Coulomb pairs at r ~ 0.1 nm are ~1e3 kJ/mol each and the
+            # f32 subtract loses ~1e-4 of that (measured 0.50 kJ/mol at
+            # lambda=1 on alanine dipeptide vacuum; same redesign as
+            # ops/nonbonded.py pairwise_energy exclude_index)
+            keep = jnp.ones((n, n), jnp.bool_)
+            keep = keep.at[self.exception_index[:, 0],
+                           self.exception_index[:, 1]].set(False)
+            keep = keep.at[self.exception_index[:, 1],
+                           self.exception_index[:, 0]].set(False)
+            mask = mask & jax.lax.optimization_barrier(keep)
         r2 = jnp.where(mask, jnp.maximum(r2_raw, 1e-12), 1.0)
         r = jnp.sqrt(r2)
 
@@ -273,8 +287,10 @@ class AlchemicalNonbondedTerm:
                 r, self.cutoff - self.switch_width, self.cutoff)
         e = jnp.sum(jnp.where(mask, e_lj + e_coul, 0.0))
 
-        # exceptions replace the combination-rule interaction (subtract the
-        # standard pair, add the exception pair; both lambda-scaled)
+        # exceptions replace the combination-rule interaction: the standard
+        # pairs were masked out of the dense sum above, so only the
+        # exception pairs themselves are added here (plain no_cutoff
+        # kernels, lambda-scaled)
         if self.exception_index.shape[0] > 0:
             i = self.exception_index[:, 0]
             j = self.exception_index[:, 1]
@@ -287,33 +303,6 @@ class AlchemicalNonbondedTerm:
                                            self.annihilate_sterics)
             lam_e_exc = self._pair_lambdas(rid[i], rid[j], lam_e_regions,
                                            self.annihilate_electrostatics)
-            sig_e = 0.5 * (sig_safe[i] + sig_safe[j])
-            eps_e = jnp.sqrt(self.epsilon[i] * self.epsilon[j])
-            sub_lj = self._sterics(r2e, sig_e, eps_e, lam_s_exc)
-            if self.switch_width is not None and self.cutoff is not None:
-                sub_lj = sub_lj * nb_ops.switch_factor(
-                    re, self.cutoff - self.switch_width, self.cutoff)
-            if self.exact_electrostatics:
-                lam_p = jnp.concatenate([jnp.ones((1,), dtype),
-                                         lam_e_regions])[rid + 1]
-                qq_e = (self.charge[i] * self.charge[j]
-                        * lam_p[i] * lam_p[j])
-                sub_coul = nb_ops.coulomb_pair(
-                    re, qq_e, self.method, cutoff=self.cutoff,
-                    dielectric=self.dielectric, alpha=self.ewald_alpha)
-            else:
-                # involved= must match the standard pair sum above: under
-                # the 'coulomb' PME treatment an alchemically-involved
-                # exception pair ADDED plain qq/r, so the replace must
-                # subtract the same kernel — subtracting erfc here left a
-                # spurious qq*erf(alpha*r)/r per involved exception pair
-                sub_coul = self._electrostatics(
-                    re, self.charge[i] * self.charge[j], sig_e, lam_e_exc,
-                    involved=(rid[i] >= 0) | (rid[j] >= 0))
-            sub = sub_lj + sub_coul
-            if self.cutoff is not None and self.method != "no_cutoff":
-                sub = jnp.where(r2e < self.cutoff**2, sub, 0.0)
-            # exceptions themselves: plain (no_cutoff) kernels, lambda-scaled
             sig_exc = jnp.maximum(self.exception_sigma, 1e-6)
             add = sc.softcore_lj(
                 r2e, sig_exc, self.exception_epsilon, lam_s_exc,
@@ -323,7 +312,7 @@ class AlchemicalNonbondedTerm:
                 re, self.exception_chargeprod, sig_exc, lam_e_exc,
                 method="no_cutoff", beta=self.softcore_beta, d=self.softcore_d,
                 e=self.softcore_e, f=self.softcore_f)
-            e = e + jnp.sum(add) - jnp.sum(sub)
+            e = e + jnp.sum(add)
 
         if self.use_dispersion_correction and self.periodic:
             e = e + self._dispersion_correction(box, lam_s)
@@ -540,6 +529,20 @@ class AbsoluteAlchemicalFactory:
         region_id = np.full(n, -1, dtype=np.int32)
         for ridx, reg in enumerate(regions):
             atoms = np.asarray(list(reg.alchemical_atoms), dtype=np.int64)
+            # reference _resolve_alchemical_region validations
+            # (alchemy.py:1737 tests): indices must be part of the system,
+            # and a region must define SOMETHING alchemical
+            if atoms.size == 0 and not any(
+                    (reg.alchemical_bonds, reg.alchemical_angles,
+                     reg.alchemical_torsions)):
+                raise AlchemyError(
+                    "alchemical region defines no atoms, bonds, angles or "
+                    "torsions")
+            if atoms.size and (atoms.min() < 0 or atoms.max() >= n):
+                raise AlchemyError(
+                    f"alchemical atom indices out of range for a "
+                    f"{n}-particle system: "
+                    f"[{atoms.min()}, {atoms.max()}]")
             if np.any(region_id[atoms] >= 0):
                 raise AlchemyError("alchemical regions overlap")
             region_id[atoms] = ridx

@@ -92,10 +92,11 @@ class NonbondedTerm:
 
     ``exceptions`` *replace* the combination-rule interaction for their pairs
     (chargeprod/sigma/epsilon per pair); excluded pairs are exceptions with
-    zero parameters. Implementation: dense/neighbor sum over all pairs, then
-    subtract the standard interaction for every exception pair and add the
-    exception's own interaction — exact because the same functional form and
-    cutoff are used for the subtraction.
+    zero parameters. Implementation: dense/neighbor sum with exception pairs
+    MASKED OUT of the accumulation, then the exception's own interaction is
+    added — masking (not subtract-back) because 1-2 Coulomb pairs at
+    r ~ 0.1 nm are ~1e3 kJ/mol each and an f32 subtract loses ~1e-4 of that
+    (see ops/nonbonded.py pairwise_energy).
 
     ``method`` in {"no_cutoff", "cutoff_periodic", "cutoff_nonperiodic",
     "pme", "ewald"}. For pme/ewald this term contributes the *direct* space

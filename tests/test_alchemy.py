@@ -770,3 +770,223 @@ def test_alchemical_system_serialization_round_trip():
         u1 = float(alch.energy(x, box, params))
         u2 = float(alch2.energy(x, box, params))
         assert np.isclose(u1, u2, rtol=1e-6), (lam, u1, u2)
+
+# ---------------------------------------------------------------------------
+# lambda-trace matrix over molecular system families
+# (reference TestAbsoluteAlchemicalFactory runs lambda_trace/overlap over a
+#  system x treatment matrix, tests/test_alchemy.py:1674,1802)
+# ---------------------------------------------------------------------------
+
+_TRACE_CASES = {
+    # name -> (model ctor, alchemical atom selector, annihilate_elec)
+    "AlanineDipeptideVacuum": ("AlanineDipeptideVacuum",
+                               lambda ts: list(range(4)), True),
+    "TolueneImplicit": ("TolueneImplicit", lambda ts: list(range(5)), True),
+    "HostGuestVacuum": ("HostGuestVacuum",
+                        lambda ts: list(range(ts.system.n_particles - 18,
+                                              ts.system.n_particles)), False),
+}
+
+
+@pytest.mark.parametrize("name", sorted(_TRACE_CASES))
+def test_lambda_trace_molecular_matrix(name):
+    """Finite + continuous energy along the discharge-then-decouple path,
+    with exact lambda=1 parity, across bonded/GB/vacuum system families."""
+    import openmmtools_tpu.models as models
+
+    ctor, selector, annihilate = _TRACE_CASES[name]
+    ts = getattr(models.testsystems, ctor)()
+    atoms = selector(ts)
+    alch = _alchemical(ts.system, atoms,
+                       annihilate_electrostatics=annihilate)
+    x = ts.positions
+    box = ts.system.default_box
+
+    def u(lam_e, lam_s):
+        return float(alch.energy(x, box, params={
+            "lambda_electrostatics": lam_e, "lambda_sterics": lam_s}))
+
+    path = ([(1.0 - t / 5.0, 1.0) for t in range(6)]
+            + [(0.0, 1.0 - t / 5.0) for t in range(1, 6)])
+    us = np.array([u(le, ls) for (le, ls) in path])
+    assert np.all(np.isfinite(us)), (name, us)
+
+    # lambda=1 parity against the unmodified system
+    u_ref = float(ts.system.energy(x, box))
+    assert abs(us[0] - u_ref) < max(5e-3 * abs(u_ref), 0.05), (us[0], u_ref)
+
+    # continuity: refining the largest jump must shrink it
+    jumps = np.abs(np.diff(us))
+    k = int(np.argmax(jumps))
+    (le0, ls0), (le1, ls1) = path[k], path[k + 1]
+    fine = np.array([u(le0 + (le1 - le0) * t / 10.0,
+                       ls0 + (ls1 - ls0) * t / 10.0) for t in range(11)])
+    assert np.abs(np.diff(fine)).max() < 0.5 * jumps[k] + 1e-2, name
+
+# ---------------------------------------------------------------------------
+# lambda=0 noninteracting-energy oracles
+# (reference test_noninteracting_energy_components, tests/test_alchemy.py:2046)
+# ---------------------------------------------------------------------------
+
+
+def _zero_nb_params(system, atoms):
+    """Plain system with ``atoms``' charge/epsilon zeroed and every exception
+    touching them zeroed — the exact annihilated limit of those atoms."""
+    import dataclasses
+
+    from openmmtools_tpu.system import NonbondedTerm
+
+    sel = np.zeros(system.n_particles, bool)
+    sel[np.asarray(atoms)] = True
+    new_terms = []
+    for t in system.terms:
+        if isinstance(t, NonbondedTerm):
+            q = np.asarray(t.charge).copy()
+            eps = np.asarray(t.epsilon).copy()
+            q[sel] = 0.0
+            eps[sel] = 0.0
+            exc_q = np.asarray(t.exception_chargeprod).copy()
+            exc_e = np.asarray(t.exception_epsilon).copy()
+            if t.exception_index.shape[0] > 0:
+                touch = sel[np.asarray(t.exception_index)].any(axis=1)
+                exc_q[touch] = 0.0
+                exc_e[touch] = 0.0
+            t = dataclasses.replace(
+                t, charge=jnp.asarray(q), epsilon=jnp.asarray(eps),
+                exception_chargeprod=jnp.asarray(exc_q),
+                exception_epsilon=jnp.asarray(exc_e))
+        new_terms.append(t)
+    return dataclasses.replace(system, terms=tuple(new_terms))
+
+
+_NONINT_CASES = {
+    "AlanineDipeptideVacuum": ("AlanineDipeptideVacuum", lambda ts: list(range(6))),
+    "HostGuestVacuum": ("HostGuestVacuum",
+                        lambda ts: list(range(ts.system.n_particles - 18,
+                                              ts.system.n_particles))),
+}
+
+
+@pytest.mark.parametrize("name", sorted(_NONINT_CASES))
+def test_noninteracting_energy_annihilated(name):
+    """lambda=0 with annihilation == the plain system with the region's
+    nonbonded parameters (and its exceptions) zeroed — an exact identity."""
+    import openmmtools_tpu.models as models
+
+    ctor, selector = _NONINT_CASES[name]
+    ts = getattr(models.testsystems, ctor)()
+    atoms = selector(ts)
+    alch = _alchemical(ts.system, atoms,
+                       annihilate_electrostatics=True,
+                       annihilate_sterics=True)
+    x, box = ts.positions, ts.system.default_box
+    u0 = float(alch.energy(x, box, params={"lambda_electrostatics": 0.0,
+                                           "lambda_sterics": 0.0}))
+    u_oracle = float(_zero_nb_params(ts.system, atoms).energy(x, box))
+    assert np.isclose(u0, u_oracle, rtol=1e-5, atol=1e-4), (name, u0, u_oracle)
+
+
+@pytest.mark.parametrize("name", sorted(_NONINT_CASES))
+def test_noninteracting_energy_decoupled(name):
+    """lambda=0 with decoupling keeps the region's INTERNAL nonbonded energy:
+    u(0) == B + C - D where B zeroes the region, C zeroes the environment,
+    and D zeroes everything (bonded terms cancel exactly in C - D)."""
+    import openmmtools_tpu.models as models
+
+    ctor, selector = _NONINT_CASES[name]
+    ts = getattr(models.testsystems, ctor)()
+    atoms = selector(ts)
+    env = [i for i in range(ts.system.n_particles) if i not in set(atoms)]
+    alch = _alchemical(ts.system, atoms,
+                       annihilate_electrostatics=False,
+                       annihilate_sterics=False)
+    x, box = ts.positions, ts.system.default_box
+    u0 = float(alch.energy(x, box, params={"lambda_electrostatics": 0.0,
+                                           "lambda_sterics": 0.0}))
+    u_B = float(_zero_nb_params(ts.system, atoms).energy(x, box))
+    u_C = float(_zero_nb_params(ts.system, env).energy(x, box))
+    u_D = float(_zero_nb_params(ts.system, list(range(ts.system.n_particles))
+                                ).energy(x, box))
+    assert np.isclose(u0, u_B + u_C - u_D, rtol=1e-5, atol=1e-4), (
+        name, u0, u_B + u_C - u_D)
+
+
+def test_alchemical_state_check_system_consistency():
+    """AlchemicalState.check_system_consistency against the alchemical
+    system's declared lambdas (reference tests/test_alchemy.py:2763)."""
+    from openmmtools_tpu.states import GlobalParameterError
+
+    pair = LennardJonesPair()
+    alch = _alchemical(pair.system, [0])
+    state = AlchemicalState.from_system(alch)
+    state.check_system_consistency(alch)
+
+    state.lambda_sterics = 0.5
+    with pytest.raises(GlobalParameterError, match="Consistency check failed"):
+        state.check_system_consistency(alch)
+
+    # the plain (non-alchemical) system declares no lambdas at all
+    with pytest.raises(GlobalParameterError):
+        AlchemicalState.from_system(pair.system)
+
+
+def test_region_resolution_validation(lj_fluid):
+    """Reference test_resolve_alchemical_region (tests/test_alchemy.py:1789):
+    out-of-range atom indices and empty regions raise ValueError."""
+    factory = AbsoluteAlchemicalFactory()
+    with pytest.raises(ValueError):
+        factory.create_alchemical_system(
+            lj_fluid.system, AlchemicalRegion(alchemical_atoms=[10000000]))
+    with pytest.raises(ValueError):
+        factory.create_alchemical_system(
+            lj_fluid.system, AlchemicalRegion())
+
+
+def test_region_bonded_auto_discovery():
+    """alchemical_bonds=True softens exactly the bonds fully inside the
+    region: lambda_bonds=0 removes their energy, leaves the rest."""
+    import openmmtools_tpu.models as models
+
+    ts = models.testsystems.AlanineDipeptideVacuum()
+    region = AlchemicalRegion(alchemical_atoms=list(range(22)),
+                              alchemical_bonds=True, alchemical_angles=True,
+                              alchemical_torsions=True)
+    alch = AbsoluteAlchemicalFactory().create_alchemical_system(
+        ts.system, region)
+    x, box = ts.positions, ts.system.default_box
+    params1 = {"lambda_electrostatics": 1.0, "lambda_sterics": 1.0,
+               "lambda_bonds": 1.0, "lambda_angles": 1.0,
+               "lambda_torsions": 1.0}
+    u1 = float(alch.energy(x, box, params=params1))
+    u_ref = float(ts.system.energy(x, box))
+    assert np.isclose(u1, u_ref, rtol=1e-5, atol=1e-3), (u1, u_ref)
+
+    # whole molecule alchemical: lambda_bonds=0 kills ALL bond energy
+    u_nb = float(alch.energy(x, box, params={**params1, "lambda_bonds": 0.0,
+                                             "lambda_angles": 0.0,
+                                             "lambda_torsions": 0.0}))
+    from openmmtools_tpu.system import (HarmonicAngleTerm, HarmonicBondTerm,
+                                        PeriodicTorsionTerm)
+    u_bonded = sum(
+        float(t.energy(x, box)) for t in ts.system.terms
+        if isinstance(t, (HarmonicBondTerm, HarmonicAngleTerm,
+                          PeriodicTorsionTerm)))
+    assert np.isclose(u1 - u_nb, u_bonded, rtol=1e-5, atol=1e-3), (
+        u1 - u_nb, u_bonded)
+
+
+def test_get_energy_components_sums_to_total(lj_fluid):
+    """Diagnostic decomposition (reference get_energy_components,
+    alchemy.py:757): per-term energies sum to the system total at any
+    lambda."""
+    alch = _alchemical(lj_fluid.system, [0, 1, 2])
+    x = lj_fluid.positions
+    box = lj_fluid.system.default_box
+    for lam in (1.0, 0.5, 0.0):
+        params = {"lambda_electrostatics": lam, "lambda_sterics": lam}
+        comps = AbsoluteAlchemicalFactory.get_energy_components(
+            alch, x, box, params=params)
+        assert len(comps) == len(alch.terms)
+        total = sum(float(v) for v in comps.values())
+        u = float(alch.energy(x, box, params=params))
+        assert np.isclose(total, u, rtol=1e-6, atol=1e-6), (lam, total, u)
