@@ -96,7 +96,18 @@ class BoundNonequilibriumIntegrator(BoundIntegrator):
     def perturb(self, state: IntegratorState, new_params: Dict) -> IntegratorState:
         """Change global parameters between steps, charging the energy
         difference to protocol_work (integrators.py:2058 semantics)."""
-        u_old = sum(state.potentials[1:], state.potentials[0])
+        # Recompute u_old HERE instead of trusting the step program's cached
+        # potentials: the same f32 energy function rounds differently inside
+        # the scanned step program vs in this out-of-jit call (XLA
+        # fusion/FMA order, ~1e-5 relative), so differencing cached-vs-fresh
+        # would leak that cross-program noise into the work. Evaluating both
+        # sides in the same program makes the lambda-independent bulk cancel
+        # exactly (reference integrators.py:2103 evaluates both in-context).
+        u_old = jnp.zeros((), state.positions.dtype)
+        for g in self.groups:
+            u, _ = self._eval_group(g, state.positions, state.box,
+                                    state.global_params)
+            u_old = u_old + u
         forces, potentials = [], []
         for g in self.groups:
             u, f = self._eval_group(g, state.positions, state.box, new_params)

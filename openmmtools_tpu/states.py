@@ -28,6 +28,7 @@ from typing import Any, Callable, Dict, List, Mapping, Optional, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from openmmtools_tpu.constants import BAR_TO_KJ_PER_MOL_NM3, kB
 from openmmtools_tpu.system import System, kinetic_energy, make_energy_fn, volume
@@ -81,6 +82,21 @@ class SamplerState:
     positions: jax.Array                      # (N, 3) nm
     velocities: Optional[jax.Array] = None    # (N, 3) nm/ps
     box_vectors: Optional[jax.Array] = None   # (3, 3) nm
+
+    def __post_init__(self):
+        # Guarded construction check (reference states.py SamplerStateError
+        # INCONSISTENT_VELOCITIES, tests/test_states.py:1234): only fires
+        # when both leaves are real shaped arrays — jax's register_dataclass
+        # may rebuild this node with placeholder leaves (None, tracers of
+        # other ranks) during tree operations, which must never validate.
+        p, v = self.positions, self.velocities
+        if (hasattr(p, "shape") and hasattr(v, "shape")
+                and len(getattr(p, "shape", ())) >= 2
+                and len(getattr(v, "shape", ())) >= 2
+                and p.shape[-2] != v.shape[-2]):
+            raise SamplerStateError(
+                f"inconsistent velocities: shape {v.shape} does not match "
+                f"positions {p.shape}")
 
     @property
     def n_particles(self) -> int:
@@ -517,10 +533,11 @@ class GlobalParameterState:
         gp.update(self.parameters)
         return thermo.replace(global_params=gp)
 
-    @classmethod
-    def from_system(cls, system: System, parameters_name_suffix=None):
-        """Read controlled parameter defaults out of a System's terms
-        (reference states.py:3280 from_system)."""
+    @staticmethod
+    def _system_global_defaults(system: System) -> Dict[str, Any]:
+        """{name: default value} of every global parameter a System's terms
+        declare (the System carries standard values; live values are passed
+        per-evaluation as the ``params`` dict)."""
         defaults: Dict[str, Any] = {}
         for term in system.terms:
             gd = getattr(term, "global_defaults", None)
@@ -530,6 +547,13 @@ class GlobalParameterState:
                 pname = getattr(term, attr, None)
                 if pname is not None:
                     defaults.setdefault(pname, 1.0)
+        return defaults
+
+    @classmethod
+    def from_system(cls, system: System, parameters_name_suffix=None):
+        """Read controlled parameter defaults out of a System's terms
+        (reference states.py:3280 from_system)."""
+        defaults = cls._system_global_defaults(system)
         instance = cls(parameters_name_suffix=parameters_name_suffix)
         found = False
         for name in list(instance._parameters):
@@ -541,11 +565,40 @@ class GlobalParameterState:
                 f"system defines none of the parameters {sorted(instance._parameters)}")
         return instance
 
+    def check_system_consistency(self, system: System) -> None:
+        """Raise GlobalParameterError unless the system's declared global
+        parameters match this state (reference states.py
+        check_system_consistency, tests/test_states.py:2209): every resolved
+        parameter must exist in the system at the same value, and the system
+        must not declare a parameter this state controls but has set None.
+        """
+        defaults = self._system_global_defaults(system)
+        for name, value in self.parameters.items():
+            if name not in defaults:
+                raise GlobalParameterError(
+                    f"Consistency check failed: could not find global "
+                    f"parameter {name} in the system")
+            if not np.isclose(float(defaults[name]), float(value)):
+                raise GlobalParameterError(
+                    f"Consistency check failed: {name} is "
+                    f"{defaults[name]!r} in the system but {value!r} in "
+                    f"this state")
+        for name in defaults:
+            if name in self._parameters and self._parameters[name] is None:
+                raise GlobalParameterError(
+                    f"Consistency check failed: the system parameter {name} "
+                    f"is undefined (None) in this state")
+
     def __eq__(self, other):
+        # Function-valued parameters compare by their RESOLVED values
+        # (reference tests/test_states.py:2154: a state whose parameter is
+        # GlobalParameterFunction('lambda1 / 2') with lambda1=2 equals a
+        # plain lambda=1 state); None-controlled parameters drop out of
+        # ``parameters`` so controlling different subsets compares unequal.
         return (type(self) is type(other)
                 and self._suffix == other._suffix
-                and self._parameters == other._parameters
-                and self._function_variables == other._function_variables)
+                and set(self._parameters) == set(other._parameters)
+                and self.parameters == other.parameters)
 
     def __repr__(self):
         vals = ", ".join(f"{k}={v!r}" for k, v in self._parameters.items())

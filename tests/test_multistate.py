@@ -1236,3 +1236,24 @@ def test_sams_state_histogram(tmp_path):
     assert hist.shape == (len(K_LADDER),)
     assert hist.sum() == sampler.n_replicas * 40
     assert (hist >= 0).all()
+
+def test_energies_match_independent_recomputation():
+    """Reference _compute_energies_independently (test_sampling.py:1112):
+    the fused iteration program's N×K energy matrix equals a plain host
+    loop of reduced potentials over the final replica configurations."""
+    ho, states = _make_states()
+    sampler = ReplicaExchangeSampler(
+        mcmc_moves=_move(10), number_of_iterations=5,
+        online_analysis_interval=None, rng_seed=21)
+    sampler.create(states, SamplerState(positions=ho.positions))
+    sampler.run()
+    u_fused = sampler.energies_last_iteration
+
+    sstates = sampler.sampler_states
+    sstates = sstates() if callable(sstates) else sstates
+    u_indep = np.zeros_like(u_fused)
+    for i, ss in enumerate(sstates):
+        for k, ts in enumerate(states):
+            u_indep[i, k] = float(ts.reduced_potential(ss))
+    assert np.allclose(u_fused, u_indep, rtol=1e-5, atol=1e-4), (
+        np.abs(u_fused - u_indep).max())

@@ -377,3 +377,53 @@ def test_periodic_lambda_schedule_through_md():
                   + [1.0] * n_eq
                   + [1 - (i + 1) / n_neq for i in range(n_neq)][:-1] + [0.0])
     np.testing.assert_allclose(lams, expect_one * 2, atol=1e-6)
+
+
+def test_protocol_work_accumulation_alchemical_waterbox():
+    """Reference test_protocol_work_accumulation_waterbox
+    (tests/test_integrators.py:695): on an AlchemicalWaterBox (rigid TIP3P,
+    reaction field, SETTLE constraints) externally stepping
+    lambda_electrostatics 1 -> 0 during MD, the integrator's protocol work
+    must equal the independently-accumulated fixed-configuration Delta U.
+    (The reference's barostat variant is N/A here: the MC barostat is an
+    MCMC move, not an in-integrator hook, so box changes cannot interleave
+    with integrator steps inside one bound program.)"""
+    from openmmtools_tpu.integrators import (
+        ExternalPerturbationLangevinIntegrator as Ext,
+    )
+    from openmmtools_tpu.models import AlchemicalWaterBox
+
+    wb = AlchemicalWaterBox(box_edge=1.2, cutoff=0.55)
+    integ = Ext(splitting="V R O R V", temperature=T298,
+                collision_rate=90.0, timestep=0.001)
+    bound = integ.bind(wb.system)
+    params0 = {"lambda_electrostatics": 1.0, "lambda_sterics": 1.0}
+    state = bound.initial_state(wb.sampler_state(), jax.random.PRNGKey(11),
+                                temperature=T298, global_params=params0)
+    state = bound.run(state, 1)
+    box = wb.system.default_box
+
+    def group_energy(x, params):
+        return sum(float(bound._eval_group(g, x, box, params)[0])
+                   for g in bound.groups)
+
+    external = 0.0        # same evaluation path as perturb: tight identity
+    external_dense = 0.0  # independent dense-path sum: f32 cross-program
+    #                       floor (~1e-5 relative of the ~700 kJ/mol RF
+    #                       energy per eval, XLA fusion/FMA order)
+    nsteps = 10
+    for step in range(nsteps):
+        lam = 1.0 - float(step + 1) / nsteps
+        pold = dict(state.global_params)
+        pnew = {**pold, "lambda_electrostatics": lam}
+        x = state.positions
+        external += group_energy(x, pnew) - group_energy(x, pold)
+        external_dense += float(wb.system.energy(x, box, params=pnew)
+                                - wb.system.energy(x, box, params=pold))
+        state = bound.perturb(state, pnew)
+        state = bound.run(state, 1)
+        w = float(state.protocol_work)
+        assert np.isclose(w, external, rtol=1e-5, atol=5e-4), (
+            step, w, external)
+        assert np.isclose(w, external_dense, rtol=1e-3, atol=2e-2), (
+            step, w, external_dense)

@@ -414,3 +414,78 @@ def test_sampler_state_getitem_atom_subset():
     # no velocities → stays None
     novel = SamplerState(positions=pos)[1:4]
     assert novel.velocities is None and novel.positions.shape == (3, 3)
+
+
+def test_sampler_state_inconsistent_velocities():
+    """Reference test_inconsistent_n_particles (test_states.py:1234):
+    mismatched velocities raise SamplerStateError at construction."""
+    from openmmtools_tpu.states import SamplerStateError
+
+    pos = jnp.zeros((5, 3))
+    with pytest.raises(SamplerStateError, match="inconsistent velocities"):
+        SamplerState(positions=pos, velocities=jnp.zeros((4, 3)))
+    # consistent shapes (incl. batched) construct fine
+    SamplerState(positions=pos, velocities=jnp.zeros((5, 3)))
+    SamplerState(positions=jnp.zeros((2, 5, 3)), velocities=jnp.zeros((2, 5, 3)))
+    # pytree rebuilds with placeholder leaves must NOT validate
+    s = SamplerState(positions=pos, velocities=jnp.zeros((5, 3)))
+    jax.tree.map(lambda x: None, s, is_leaf=lambda x: x is None)
+    leaves, treedef = jax.tree.flatten(s)
+    jax.tree.unflatten(treedef, [object()] * len(leaves))
+
+
+def test_global_parameter_state_equality():
+    """Reference test_equality_operator (test_states.py:2125): resolved-value
+    comparison, suffix/subset sensitivity, function-valued parameters."""
+    s1 = _LambdaState(lambda_sterics=1.0)
+    s2 = _LambdaState(lambda_sterics=1.0)
+    s3 = _LambdaState(lambda_sterics=0.9)
+    s4 = _LambdaState(lambda_sterics=0.9, lambda_electrostatics=1.0)
+    s5 = _LambdaState(lambda_sterics=0.9, parameters_name_suffix="sfx")
+    assert s1 == s2
+    assert s2 != s3
+    assert s3 != s4
+    assert s3 != s5
+
+    class _MoreState(_LambdaState):
+        extra_parameter = GlobalParameter("extra_parameter", standard_value=1.0)
+
+    assert _LambdaState(lambda_sterics=0.9) != _MoreState(lambda_sterics=0.9)
+
+    # function-valued parameters compare by resolved value
+    s8 = _LambdaState(lambda_sterics=1.0)
+    s8.set_function_variable("lam1", 2.0)
+    s8.lambda_sterics = GlobalParameterFunction("lam1 / 2")
+    assert s1 == s8
+    s8.set_function_variable("lam1", 1.0)
+    assert s1 != s8
+
+
+def test_check_system_consistency(ho):
+    """Reference test_check_system_consistency (test_states.py:2209)."""
+    from openmmtools_tpu.states import GlobalParameterError
+
+    class _KState(GlobalParameterState):
+        testsystems_HarmonicOscillator_K = GlobalParameter(
+            "testsystems_HarmonicOscillator_K", standard_value=100.0)
+
+    system = ho.system
+    state = _KState.from_system(system)
+    # a system is consistent with the state read from it
+    state.check_system_consistency(system)
+
+    # state value differing from the system default -> error
+    state.testsystems_HarmonicOscillator_K = 2.0 * float(ho.K)
+    with pytest.raises(GlobalParameterError, match="Consistency check failed"):
+        state.check_system_consistency(system)
+
+    # system declares a parameter the state controls but set to None -> error
+    state2 = _KState.from_system(system)
+    state2.testsystems_HarmonicOscillator_K = None
+    with pytest.raises(GlobalParameterError, match="Consistency check failed"):
+        state2.check_system_consistency(system)
+
+    # state controls a parameter the system does not declare -> error
+    lam = _LambdaState(lambda_sterics=0.5)
+    with pytest.raises(GlobalParameterError, match="Consistency check failed"):
+        lam.check_system_consistency(system)

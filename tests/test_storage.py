@@ -191,3 +191,15 @@ def test_write_at_index(tmp_path):
     with pytest.raises(KeyError):
         si.meta.title.write("x", at_index=0)
     si.close()
+
+def test_read_trap(tmp_path):
+    """Reference test_read_trap (test_storage_interface.py:54): reading a
+    variable that was never written raises KeyError, not a silent None."""
+    from openmmtools_tpu.storage import StorageInterface
+
+    si = StorageInterface(str(tmp_path / "trap.h5"))
+    with pytest.raises(KeyError):
+        si.var1.read()
+    with pytest.raises(KeyError):
+        si.some.nested.thing.read()
+    si.close()
