@@ -122,7 +122,10 @@ class ParallelTemperingSampler(ReplicaExchangeSampler):
         mix_kernel = self._mix_kernel
 
         def iteration_fn(carry, mix_params):
-            key, mix_key, prop_key = jax.random.split(carry.rng_key, 3)
+            # counter-based keys (see MultiStateCarry): must match the base
+            # sampler's derivation so PT resumes are bitwise-continuous too
+            base_key = jax.random.fold_in(carry.rng_key, carry.iteration)
+            mix_key, prop_key = jax.random.split(base_key)
             states = carry.replica_states
             n_acc, n_prop = carry.n_accepted, carry.n_proposed
             if mix_kernel is not None:
@@ -138,7 +141,8 @@ class ParallelTemperingSampler(ReplicaExchangeSampler):
                 xs, carry.boxes, states)
             return carry.replace(
                 positions=xs, velocities=vs, replica_states=states,
-                energies=u, n_accepted=n_acc, n_proposed=n_prop, rng_key=key)
+                energies=u, n_accepted=n_acc, n_proposed=n_prop,
+                iteration=carry.iteration + 1)
 
         self._iteration_program = iteration_fn  # raw, for batched scans
         if self._sharding is not None:

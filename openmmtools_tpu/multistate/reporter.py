@@ -56,7 +56,9 @@ class MultiStateReporter:
     def __init__(self, storage: str, checkpoint_interval: int = 50,
                  checkpoint_storage: Optional[str] = None,
                  analysis_particle_indices=(),
-                 analysis_velocities: bool = False):
+                 analysis_velocities: bool = False,
+                 position_interval: int = 1,
+                 velocity_interval: int = 1):
         base, ext = os.path.splitext(storage)
         if not ext:
             storage = base + ".h5"
@@ -70,6 +72,11 @@ class MultiStateReporter:
         # also store per-iteration velocities of the analysis subset
         # (reference multistatereporter velocity storage option)
         self.analysis_velocities = bool(analysis_velocities)
+        # write analysis positions/velocities only every Nth iteration; 0
+        # disables entirely (reference position_interval/velocity_interval,
+        # multistatereporter.py:120-131)
+        self.position_interval = int(position_interval)
+        self.velocity_interval = int(velocity_interval)
         self._analysis = None
         self._checkpoint = None
 
@@ -310,10 +317,12 @@ class MultiStateReporter:
         (replica, state) mask, 1 where the energy was computed this
         iteration (reference multistatereporter.py:899-907; locality runs
         leave out-of-window entries unevaluated/+inf)."""
-        if analysis_positions is not None:
+        if (analysis_positions is not None and self.position_interval
+                and iteration % self.position_interval == 0):
             self._write_frame(self._analysis, "analysis_positions", iteration,
                               np.asarray(analysis_positions, dtype=np.float32))
-        if analysis_velocities is not None:
+        if (analysis_velocities is not None and self.velocity_interval
+                and iteration % self.velocity_interval == 0):
             self._write_frame(self._analysis, "analysis_velocities",
                               iteration,
                               np.asarray(analysis_velocities,
@@ -371,8 +380,12 @@ class MultiStateReporter:
 
     # -- checkpointing -------------------------------------------------------
     def write_checkpoint(self, iteration: int, positions, velocities,
-                         box_vectors=None):
-        """Full f4 coordinates every checkpoint_interval (:1597-1652)."""
+                         box_vectors=None, rng_iteration=None):
+        """Full f4 coordinates every checkpoint_interval (:1597-1652).
+
+        ``rng_iteration`` persists the sampler's counter-based RNG position
+        (it can run ahead of ``iteration`` after equilibrate()), so resume
+        continues the key stream instead of replaying it."""
         ckpt_index = iteration // self.checkpoint_interval
         self._write_frame(self._checkpoint, "positions", ckpt_index,
                           np.asarray(positions, dtype=np.float32))
@@ -381,6 +394,9 @@ class MultiStateReporter:
         if box_vectors is not None:
             self._write_frame(self._checkpoint, "box_vectors", ckpt_index,
                               np.asarray(box_vectors, dtype=np.float32))
+        if rng_iteration is not None:
+            self._write_frame(self._checkpoint, "rng_iterations", ckpt_index,
+                              np.asarray(rng_iteration, dtype=np.int64))
         self._write_frame(self._checkpoint, "checkpoint_iterations",
                           ckpt_index, np.asarray(iteration, dtype=np.int64))
         if self.analysis_particle_indices.size:
@@ -410,6 +426,9 @@ class MultiStateReporter:
                "velocities": self._checkpoint["velocities"][idx]}
         if "box_vectors" in self._checkpoint:
             out["box_vectors"] = self._checkpoint["box_vectors"][idx]
+        if "rng_iterations" in self._checkpoint:
+            out["rng_iteration"] = int(
+                self._checkpoint["rng_iterations"][idx])
         return out
 
     def last_checkpoint_iteration(self) -> Optional[int]:

@@ -44,7 +44,15 @@ logger = logging.getLogger(__name__)
 
 @pytree_dataclass
 class MultiStateCarry:
-    """Device-resident sampler state for one iteration step."""
+    """Device-resident sampler state for one iteration step.
+
+    RNG is counter-based: ``rng_key`` is the run's BASE key (never
+    advanced); each iteration derives its randomness as
+    ``fold_in(rng_key, iteration)`` and bumps the counter. This makes the
+    per-iteration key stream a pure function of (seed, iteration), so a
+    checkpoint resume continues the stream bitwise instead of replaying
+    iteration 0's randomness (SURVEY §7 "RNG discipline").
+    """
 
     positions: jax.Array                 # (N, P, 3)
     velocities: jax.Array                # (N, P, 3)
@@ -53,7 +61,8 @@ class MultiStateCarry:
     energies: jax.Array                  # (N, K) reduced potentials
     n_accepted: jax.Array                # (K, K) int32 swap statistics
     n_proposed: jax.Array                # (K, K) int32
-    rng_key: jax.Array
+    rng_key: jax.Array                   # base key, constant for the run
+    iteration: jax.Array                 # () int32 RNG counter
 
 
 
@@ -304,6 +313,7 @@ class MultiStateSampler:
             n_accepted=jnp.zeros((k, k), dtype=jnp.int32),
             n_proposed=jnp.zeros((k, k), dtype=jnp.int32),
             rng_key=jax.random.PRNGKey(self._rng_seed),
+            iteration=jnp.zeros((), dtype=jnp.int32),
         )
         self._iteration = 0
         # reference multistatesampler accepts a Reporter or a plain path
@@ -375,7 +385,7 @@ class MultiStateSampler:
             boxes=None if self._carry.boxes is None else replica_sharding,
             replica_states=replica_sharding, energies=replica_sharding,
             n_accepted=replicated, n_proposed=replicated,
-            rng_key=replicated)
+            rng_key=replicated, iteration=replicated)
         self._carry = jax.tree.map(
             lambda leaf, sh: jax.device_put(leaf, sh), self._carry,
             self._sharding,
@@ -424,6 +434,13 @@ class MultiStateSampler:
         sampler._reporter = reporter
         reporter.open(mode="a")
         sampler._iteration = it
+        # resume the counter-based RNG stream where it stopped (create()
+        # reset the counter to 0, which would replay the first run's keys);
+        # prefer the persisted counter (equilibrate() runs ahead of the
+        # iteration number), fall back to the iteration for old files
+        sampler._carry = sampler._carry.replace(
+            iteration=jnp.asarray(state_data.get("rng_iteration", it),
+                                  dtype=jnp.int32))
         # restore swap statistics
         acc, prop = reporter.read_mixing_statistics(it)
         if acc is not None:
@@ -646,7 +663,10 @@ class MultiStateSampler:
 
         def iteration_fn(carry: MultiStateCarry,
                          mix_params) -> MultiStateCarry:
-            key, mix_key, prop_key = jax.random.split(carry.rng_key, 3)
+            # counter-based keys: pure function of (base key, iteration) so
+            # checkpoint resume continues the stream bitwise
+            base_key = jax.random.fold_in(carry.rng_key, carry.iteration)
+            mix_key, prop_key = jax.random.split(base_key)
             states = carry.replica_states
             n_acc, n_prop = carry.n_accepted, carry.n_proposed
             if mix_kernel is not None:
@@ -662,7 +682,8 @@ class MultiStateSampler:
                 xs, carry.boxes, states)
             return carry.replace(
                 positions=xs, velocities=vs, replica_states=states,
-                energies=u, n_accepted=n_acc, n_proposed=n_prop, rng_key=key)
+                energies=u, n_accepted=n_acc, n_proposed=n_prop,
+                iteration=carry.iteration + 1)
 
         self._iteration_program = iteration_fn  # raw, for batched scans
         if self._sharding is not None:
@@ -968,7 +989,8 @@ class MultiStateSampler:
                     positions=np.asarray(self._carry.positions),
                     velocities=np.asarray(self._carry.velocities),
                     box_vectors=None if self._carry.boxes is None
-                    else np.asarray(self._carry.boxes))
+                    else np.asarray(self._carry.boxes),
+                    rng_iteration=int(self._carry.iteration))
             self._reporter.write_last_iteration(self._iteration)
 
     def _checkpoint_interval(self) -> int:

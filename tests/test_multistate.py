@@ -1257,3 +1257,69 @@ def test_energies_match_independent_recomputation():
             u_indep[i, k] = float(ts.reduced_potential(ss))
     assert np.allclose(u_fused, u_indep, rtol=1e-5, atol=1e-4), (
         np.abs(u_fused - u_indep).max())
+
+def test_resume_continues_rng_stream_bitwise(tmp_path):
+    """Counter-based per-iteration keys (fold_in(base, iteration)) make a
+    checkpoint resume CONTINUE the randomness instead of replaying
+    iteration 0's keys: 3 iterations + resume + 3 must equal 6 straight
+    iterations bitwise (reference resumes OpenMM's opaque RNG and can't
+    test this; counter-based keys are the TPU-native upgrade, SURVEY §7
+    'RNG discipline')."""
+    ho, states = _make_states()
+
+    def fresh(n_iter, storage=None):
+        s = ReplicaExchangeSampler(
+            mcmc_moves=_move(5), number_of_iterations=n_iter,
+            online_analysis_interval=None, rng_seed=7)
+        s.create(states, SamplerState(positions=ho.positions),
+                 storage=storage)
+        return s
+
+    # straight 6-iteration run (no storage)
+    sampler_a = fresh(6)
+    sampler_a.run()
+    u_a = np.asarray(sampler_a.energies_last_iteration)
+    x_a = np.asarray(sampler_a._carry.positions)
+
+    # 3 iterations, checkpoint, resume, 3 more
+    path = str(tmp_path / "split.h5")
+    reporter = MultiStateReporter(path, checkpoint_interval=1)
+    sampler_b = fresh(6, storage=reporter)
+    sampler_b.run(3)
+    reporter.close()
+    resumed = ReplicaExchangeSampler.from_storage(
+        MultiStateReporter(path, checkpoint_interval=1))
+    assert int(resumed._carry.iteration) == 3
+    resumed.run(3)
+    u_b = np.asarray(resumed.energies_last_iteration)
+    x_b = np.asarray(resumed._carry.positions)
+
+    np.testing.assert_array_equal(x_a, x_b)
+    np.testing.assert_array_equal(u_a, u_b)
+
+def test_reporter_position_velocity_intervals(tmp_path):
+    """Reference test_writer_sampler_states_pos_interval
+    (test_sampling.py:700): analysis positions/velocities honor their
+    write intervals; 0 disables the stream entirely."""
+    import h5py
+
+    ho, states = _make_states()
+    path = str(tmp_path / "intervals.h5")
+    reporter = MultiStateReporter(
+        path, checkpoint_interval=10,
+        analysis_particle_indices=[0], analysis_velocities=True,
+        position_interval=2, velocity_interval=0)
+    sampler = ReplicaExchangeSampler(
+        mcmc_moves=_move(5), number_of_iterations=5,
+        online_analysis_interval=None, rng_seed=3)
+    sampler.create(states, SamplerState(positions=ho.positions),
+                   storage=reporter)
+    sampler.run()
+    reporter.close()
+    with h5py.File(path, "r") as f:
+        pos = f["analysis_positions"]
+        # frames written at iterations 0, 2, 4 -> dataset reaches index 4
+        assert pos.shape[0] == 5
+        assert np.any(pos[4] != 0)
+        assert not np.any(pos[3])  # gap rows stay empty
+        assert "analysis_velocities" not in f
