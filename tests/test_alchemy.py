@@ -990,3 +990,43 @@ def test_get_energy_components_sums_to_total(lj_fluid):
         total = sum(float(v) for v in comps.values())
         u = float(alch.energy(x, box, params=params))
         assert np.isclose(total, u, rtol=1e-6, atol=1e-6), (lam, total, u)
+
+
+def test_pme_treatment_endpoint_equivalence():
+    """Endpoint semantics of the alchemical_pme_treatment modes
+    (alchemy.py:626-635): 'direct-space' and 'exact' reproduce the
+    unmodified PME system at lambda=1 ('coulomb' does NOT by design — it
+    swaps erfc+reciprocal for plain Coulomb on involved pairs, shifting
+    the potential by the self/exclusion reciprocal terms); at lambda=0
+    'exact' and 'coulomb' both leave the identical environment-only
+    system ('direct-space' keeps the alchemical charges' reciprocal
+    contribution — its documented approximation)."""
+    from openmmtools_tpu.models import PMEWaterBox
+
+    wb = PMEWaterBox(box_edge=1.2, cutoff=0.55)
+    spm = 3  # one rigid tip3p molecule
+    region = AlchemicalRegion(alchemical_atoms=list(range(spm)))
+    x, box = wb.positions, wb.system.default_box
+    u_ref = float(wb.system.energy(x, box))
+
+    u0, u1 = {}, {}
+    for treatment in ("direct-space", "exact", "coulomb"):
+        factory = AbsoluteAlchemicalFactory(
+            alchemical_pme_treatment=treatment)
+        alch = factory.create_alchemical_system(wb.system, region)
+        u1[treatment] = float(alch.energy(x, box, params={
+            "lambda_electrostatics": 1.0, "lambda_sterics": 1.0}))
+        u0[treatment] = float(alch.energy(x, box, params={
+            "lambda_electrostatics": 0.0, "lambda_sterics": 0.0}))
+
+    for treatment in ("direct-space", "exact"):
+        assert np.isclose(u1[treatment], u_ref, rtol=2e-4, atol=5e-3), (
+            treatment, u1[treatment], u_ref)
+    # coulomb's lambda=1 shift is the removed alchemical self/exclusion
+    # reciprocal terms — large and positive, not a small numerical error
+    assert u1["coulomb"] - u_ref > 10.0
+
+    assert np.isclose(u0["exact"], u0["coulomb"], rtol=2e-4, atol=5e-3), u0
+    # direct-space keeps the alchemical reciprocal contribution at
+    # lambda=0 (the documented approximation) — it must differ
+    assert abs(u0["direct-space"] - u0["exact"]) > 1e-2, u0
