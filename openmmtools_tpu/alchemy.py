@@ -158,6 +158,11 @@ class AlchemicalNonbondedTerm:
     annihilate_sterics: Tuple[bool, ...] = static_field(default=())
     annihilate_electrostatics: Tuple[bool, ...] = static_field(default=())
     region_interactions: Tuple[Tuple[int, int], ...] = static_field(default=())
+    # exception scaling law (reference consistent_exceptions, alchemy.py
+    # :629,1426-1470): False (default) scales exception chargeprod/epsilon
+    # LINEARLY with lambda in the plain kernels; True applies the same
+    # softcore expressions as regular interactions. Endpoints agree.
+    consistent_exceptions: bool = static_field(default=False)
     # 'exact' PME treatment: electrostatics by per-particle linear charge
     # scaling (matching the reciprocal-space scaling) instead of softcore
     exact_electrostatics: bool = static_field(default=False)
@@ -303,16 +308,8 @@ class AlchemicalNonbondedTerm:
                                            self.annihilate_sterics)
             lam_e_exc = self._pair_lambdas(rid[i], rid[j], lam_e_regions,
                                            self.annihilate_electrostatics)
-            sig_exc = jnp.maximum(self.exception_sigma, 1e-6)
-            add = sc.softcore_lj(
-                r2e, sig_exc, self.exception_epsilon, lam_s_exc,
-                alpha=self.softcore_alpha, a=self.softcore_a,
-                b=self.softcore_b, c=self.softcore_c)
-            add = add + sc.softcore_coulomb(
-                re, self.exception_chargeprod, sig_exc, lam_e_exc,
-                method="no_cutoff", beta=self.softcore_beta, d=self.softcore_d,
-                e=self.softcore_e, f=self.softcore_f)
-            e = e + jnp.sum(add)
+            e = e + jnp.sum(self._exception_add(r2e, re, lam_s_exc,
+                                                lam_e_exc))
 
         if self.use_dispersion_correction and self.periodic:
             e = e + self._dispersion_correction(box, lam_s)
@@ -322,6 +319,29 @@ class AlchemicalNonbondedTerm:
         return sc.softcore_lj(r2, sig, eps, lam, alpha=self.softcore_alpha,
                               a=self.softcore_a, b=self.softcore_b,
                               c=self.softcore_c)
+
+    def _exception_add(self, r2e, re, lam_s_exc, lam_e_exc):
+        """Exception pairs' own (no_cutoff) energies, lambda-scaled per the
+        consistent_exceptions law."""
+        sig_exc = jnp.maximum(self.exception_sigma, 1e-6)
+        if self.consistent_exceptions:
+            add = sc.softcore_lj(
+                r2e, sig_exc, self.exception_epsilon, lam_s_exc,
+                alpha=self.softcore_alpha, a=self.softcore_a,
+                b=self.softcore_b, c=self.softcore_c)
+            return add + sc.softcore_coulomb(
+                re, self.exception_chargeprod, sig_exc, lam_e_exc,
+                method="no_cutoff", beta=self.softcore_beta,
+                d=self.softcore_d, e=self.softcore_e, f=self.softcore_f)
+        # reference default (consistent_exceptions=False): exception
+        # chargeprod/epsilon scale LINEARLY with lambda in the plain
+        # kernels (alchemy.py:1443-1470 updates NonbondedForce exception
+        # parameters directly)
+        add = nb_ops.lj_pair(r2e, sig_exc,
+                             self.exception_epsilon * lam_s_exc)
+        return add + nb_ops.coulomb_pair(
+            re, self.exception_chargeprod * lam_e_exc, "no_cutoff",
+            dielectric=self.dielectric)
 
     def exception_add_energy(self, x, box, params=None):
         """Only the exception ADD part of :meth:`energy` (plain no_cutoff
@@ -351,16 +371,7 @@ class AlchemicalNonbondedTerm:
                                        self.annihilate_sterics)
         lam_e_exc = self._pair_lambdas(rid[i], rid[j], lam_e_regions,
                                        self.annihilate_electrostatics)
-        sig_exc = jnp.maximum(self.exception_sigma, 1e-6)
-        add = sc.softcore_lj(
-            r2e, sig_exc, self.exception_epsilon, lam_s_exc,
-            alpha=self.softcore_alpha, a=self.softcore_a,
-            b=self.softcore_b, c=self.softcore_c)
-        add = add + sc.softcore_coulomb(
-            re, self.exception_chargeprod, sig_exc, lam_e_exc,
-            method="no_cutoff", beta=self.softcore_beta, d=self.softcore_d,
-            e=self.softcore_e, f=self.softcore_f)
-        return jnp.sum(add)
+        return jnp.sum(self._exception_add(r2e, re, lam_s_exc, lam_e_exc))
 
     def _electrostatics(self, r, qq, sig, lam, involved=None):
         e = sc.softcore_coulomb(
@@ -674,6 +685,7 @@ class AbsoluteAlchemicalFactory:
             # reference default switch width: 1 A (forcefactories.py:34)
             switch_width = 0.1
         return AlchemicalNonbondedTerm(
+            consistent_exceptions=self.consistent_exceptions,
             exact_electrostatics=exact,
             coulomb_pme_treatment=coulomb,
             shift_rf=not switched_rf,

@@ -1030,3 +1030,36 @@ def test_pme_treatment_endpoint_equivalence():
     # direct-space keeps the alchemical reciprocal contribution at
     # lambda=0 (the documented approximation) — it must differ
     assert abs(u0["direct-space"] - u0["exact"]) > 1e-2, u0
+
+
+def test_consistent_exceptions_scaling_law():
+    """consistent_exceptions (reference alchemy.py:629): False (default)
+    scales exception parameters LINEARLY with lambda in the plain kernels,
+    True softcores them like regular interactions — endpoints identical,
+    intermediate lambdas differ for LJ exceptions."""
+    import openmmtools_tpu.models as models
+
+    ts = models.testsystems.AlanineDipeptideVacuum()
+    atoms = list(range(22))
+    x, box = ts.positions, ts.system.default_box
+    u_ref = float(ts.system.energy(x, box))
+
+    def u(consistent, lam):
+        factory = AbsoluteAlchemicalFactory(
+            consistent_exceptions=consistent)
+        alch = factory.create_alchemical_system(
+            ts.system, AlchemicalRegion(alchemical_atoms=atoms,
+                                        annihilate_sterics=True))
+        return float(alch.energy(x, box, params={
+            "lambda_electrostatics": lam, "lambda_sterics": lam}))
+
+    # endpoints agree across laws (and with the unmodified system at 1)
+    for consistent in (False, True):
+        assert np.isclose(u(consistent, 1.0), u_ref, rtol=1e-5, atol=1e-3)
+    u0_lin, u0_sc = u(False, 0.0), u(True, 0.0)
+    assert np.isclose(u0_lin, u0_sc, rtol=1e-5, atol=1e-3), (u0_lin, u0_sc)
+
+    # intermediate lambda: the 1-4 LJ exceptions follow different paths
+    mid_lin, mid_sc = u(False, 0.5), u(True, 0.5)
+    assert not np.isclose(mid_lin, mid_sc, rtol=1e-6, atol=1e-3), (
+        mid_lin, mid_sc)
