@@ -68,9 +68,12 @@ def measure():
         positions = np.asarray(jax.device_get(state.positions))
         dt = time.perf_counter() - tc
         if not bool(np.isfinite(positions).all()):
-            return 0.0
+            return 0.0, 0.0
         rates.append(chunk / dt)
-    return max(rates)
+    # max is the scored value (stall-robust, rationale above); the median
+    # rides along so relay degradation (max >> median) is distinguishable
+    # from a kernel regression (both drop) across rounds
+    return max(rates), float(np.median(rates))
 
 
 # relay stall windows can last minutes and inflate EVERY chunk in an
@@ -82,9 +85,12 @@ PLAUSIBILITY_FLOOR = 30_000.0
 
 def main():
     steps_per_sec = 0.0
+    median_rate = 0.0
     for attempt in range(1, MAX_ATTEMPTS + 1):
         try:
-            steps_per_sec = max(steps_per_sec, measure())
+            peak, med = measure()
+            if peak > steps_per_sec:
+                steps_per_sec, median_rate = peak, med
             if steps_per_sec >= PLAUSIBILITY_FLOOR:
                 break
             print(f"bench attempt {attempt}/{MAX_ATTEMPTS}: "
@@ -107,6 +113,7 @@ def main():
         "value": round(steps_per_sec, 1),
         "unit": "steps/s",
         "vs_baseline": round(steps_per_sec / 1.0e6, 4),
+        "median": round(median_rate, 1),
     }))
 
 

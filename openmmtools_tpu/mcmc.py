@@ -391,29 +391,33 @@ class MetropolizedMove(MCMCMove):
     def _propose_positions(self, key, sub_positions):
         raise NotImplementedError
 
-    def _apply(self, thermodynamic_state, sampler_state, key):
-        n = sampler_state.n_particles
+    def _metropolis_kernel(self, ts, ss, key):
+        """Pure propose→evaluate→accept transition (traceable): returns
+        ``(new_sampler_state, accept)``. Shared between the host-driven
+        ``apply`` path and the fused multistate move program
+        (sampler._compile_segment)."""
+        n = ss.positions.shape[0]
         subset = (jnp.arange(n, dtype=jnp.int32)
                   if self.atom_subset is None
                   else jnp.asarray(self.atom_subset, dtype=jnp.int32))
+        u_old = ts.reduced_potential(ss)
+        k1, k2 = jax.random.split(key)
+        sub_x = ss.positions[subset]
+        new_sub = self._propose_positions(k1, sub_x)
+        x_new = ss.positions.at[subset].set(new_sub)
+        ss_new = ss.replace(positions=x_new)
+        u_new = ts.reduced_potential(ss_new)
+        log_alpha = -(u_new - u_old)
+        accept = jnp.log(jax.random.uniform(k2)) < log_alpha
+        x_final = jnp.where(accept, x_new, ss.positions)
+        return ss.replace(positions=x_final), accept
 
-        def kernel(ts, ss, key):
-            u_old = ts.reduced_potential(ss)
-            k1, k2 = jax.random.split(key)
-            sub_x = ss.positions[subset]
-            new_sub = self._propose_positions(k1, sub_x)
-            x_new = ss.positions.at[subset].set(new_sub)
-            ss_new = ss.replace(positions=x_new)
-            u_new = ts.reduced_potential(ss_new)
-            log_alpha = -(u_new - u_old)
-            accept = jnp.log(jax.random.uniform(k2)) < log_alpha
-            x_final = jnp.where(accept, x_new, ss.positions)
-            return ss.replace(positions=x_final), accept
-
+    def _apply(self, thermodynamic_state, sampler_state, key):
         cache_key = ("kernel",)
         fn = self._kernel_cache.get(cache_key)
         if fn is None:
-            self._kernel_cache[cache_key] = fn = jax.jit(kernel)
+            self._kernel_cache[cache_key] = fn = jax.jit(
+                self._metropolis_kernel)
         new_ss, accept = fn(thermodynamic_state, sampler_state, key)
         self.n_proposed += 1
         self.n_accepted += int(accept)
@@ -531,58 +535,78 @@ class MonteCarloBarostatMove(MetropolizedMove):
         _, ids = np.unique(roots, return_inverse=True)
         return jnp.asarray(ids, jnp.int32), int(ids.max()) + 1 if n else 0
 
+    def _molecules_for(self, system):
+        """Cached molecule decomposition. Content-hash key: id() could alias
+        a stale decomposition after GC (ADVICE round-2 item 3)."""
+        cache_key = system.fingerprint
+        if cache_key not in self._molecules_cache:
+            self._molecules_cache[cache_key] = self._molecule_ids(system)
+        return self._molecules_cache[cache_key]
+
+    def _attempt_kernel(self, ts, ss, key, mol_ids, n_molecules):
+        """One pure volume-scaling Metropolis attempt (traceable): returns
+        ``(new_sampler_state, accept)``. Shared between the host-driven
+        ``apply`` path and the fused multistate move program."""
+        from openmmtools_tpu.constants import BAR_TO_KJ_PER_MOL_NM3
+
+        k1, k2 = jax.random.split(key)
+        box = ss.box_vectors
+        v_old = box_volume(box)
+        u_old = ts.potential_energy(ss)
+        # Symmetric proposal in ln V: V' = V exp(s(2u-1)). OpenMM proposes
+        # dV uniformly with a FIXED (host-adapted) width; the naive traced
+        # analog — width proportional to the *current* volume — is an
+        # asymmetric proposal (Hastings ratio V/V') whose missing
+        # correction biases <V> low by O(1/N) (measured ~5% at N=32 on the
+        # NPT ideal gas). The log-space walk is symmetric in ln V, needs no
+        # step-size adaptation inside a fused program, and is exactly
+        # unbiased with the (N_mol + 1) ln(V'/V) Jacobian below.
+        eps = self.volume_scale * (
+            2.0 * jax.random.uniform(k1, dtype=v_old.dtype) - 1.0)
+        v_new = v_old * jnp.exp(eps)
+        scale = jnp.exp(eps / 3.0)
+        box_new = box * scale
+        x = ss.positions
+        # rigid molecule translation: x += (scale - 1) * centroid[mol]
+        counts = jax.ops.segment_sum(
+            jnp.ones((x.shape[0],), x.dtype), mol_ids,
+            num_segments=n_molecules)
+        centers = jax.ops.segment_sum(
+            x, mol_ids, num_segments=n_molecules) / counts[:, None]
+        x_new = x + (scale - 1.0) * centers[mol_ids]
+        ss_new = ss.replace(positions=x_new, box_vectors=box_new)
+        u_new = ts.potential_energy(ss_new)
+        beta = ts.beta
+        p = ts.pressure * BAR_TO_KJ_PER_MOL_NM3
+        # molecule-COM scaling Jacobian V^N_mol (OpenMM's N_mol ln(V'/V))
+        # plus the ln-V proposal measure's extra ln(V'/V)
+        log_alpha = (-(beta * (u_new - u_old) + beta * p * (v_new - v_old))
+                     + (n_molecules + 1) * eps)
+        accept = jnp.log(jax.random.uniform(k2, dtype=v_old.dtype)) < log_alpha
+        return jax.tree.map(
+            lambda a, b: jnp.where(accept, a, b), ss_new, ss), accept
+
+    def _scan_attempts(self, ts, ss, key, mol_ids, n_molecules):
+        """n_attempts sequential volume moves under one scan: returns
+        ``(new_sampler_state, n_accepted)``."""
+        def body(carry_ss, k):
+            return self._attempt_kernel(ts, carry_ss, k, mol_ids,
+                                        n_molecules)
+
+        keys = jax.random.split(key, self.n_attempts)
+        final_ss, accepts = jax.lax.scan(body, ss, keys)
+        return final_ss, jnp.sum(accepts)
+
     def _apply(self, thermodynamic_state, sampler_state, key):
         ts = thermodynamic_state
         if ts.pressure is None:
             raise MCMCMoveError("MonteCarloBarostatMove requires an NPT state")
-        # content-hash key: id() could alias a stale molecule decomposition
-        # after GC (ADVICE round-2 item 3)
-        cache_key = ts.system.fingerprint
-        if cache_key not in self._molecules_cache:
-            self._molecules_cache[cache_key] = self._molecule_ids(ts.system)
-        mol_ids, n_molecules = self._molecules_cache[cache_key]
-
-        def kernel(ts, ss, key):
-            from openmmtools_tpu.constants import BAR_TO_KJ_PER_MOL_NM3
-
-            k1, k2 = jax.random.split(key)
-            box = ss.box_vectors
-            v_old = box_volume(box)
-            u_old = ts.potential_energy(ss)
-            dv = self.volume_scale * v_old * (
-                2.0 * jax.random.uniform(k1, dtype=v_old.dtype) - 1.0)
-            v_new = v_old + dv
-            scale = (v_new / v_old) ** (1.0 / 3.0)
-            box_new = box * scale
-            x = ss.positions
-            # rigid molecule translation: x += (scale - 1) * centroid[mol]
-            counts = jax.ops.segment_sum(
-                jnp.ones((x.shape[0],), x.dtype), mol_ids,
-                num_segments=n_molecules)
-            centers = jax.ops.segment_sum(
-                x, mol_ids, num_segments=n_molecules) / counts[:, None]
-            x_new = x + (scale - 1.0) * centers[mol_ids]
-            ss_new = ss.replace(positions=x_new, box_vectors=box_new)
-            u_new = ts.potential_energy(ss_new)
-            beta = ts.beta
-            p = ts.pressure * BAR_TO_KJ_PER_MOL_NM3
-            # dV proposed uniformly => Jacobian term N_mol ln(V'/V),
-            # matching OpenMM's MonteCarloBarostat acceptance rule
-            log_alpha = (-(beta * (u_new - u_old) + beta * p * (v_new - v_old))
-                         + n_molecules * jnp.log(v_new / v_old))
-            accept = jnp.log(jax.random.uniform(k2, dtype=v_old.dtype)) < log_alpha
-            return jax.tree.map(
-                lambda a, b: jnp.where(accept, a, b), ss_new, ss), accept
+        mol_ids, n_molecules = self._molecules_for(ts.system)
 
         def n_attempt_kernel(ts, ss, key):
-            def body(carry_ss, k):
-                out_ss, acc = kernel(ts, carry_ss, k)
-                return out_ss, acc
-            keys = jax.random.split(key, self.n_attempts)
-            final_ss, accepts = jax.lax.scan(body, ss, keys)
-            return final_ss, jnp.sum(accepts)
+            return self._scan_attempts(ts, ss, key, mol_ids, n_molecules)
 
-        kernel_key = (cache_key, self.n_attempts)
+        kernel_key = (ts.system.fingerprint, self.n_attempts)
         if kernel_key not in self._kernels:
             self._kernels[kernel_key] = jax.jit(n_attempt_kernel)
         new_ss, n_acc = self._kernels[kernel_key](ts, sampler_state, key)

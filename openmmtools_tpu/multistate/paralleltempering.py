@@ -11,13 +11,11 @@ from __future__ import annotations
 
 from typing import Optional, Sequence
 
-import jax
 import jax.numpy as jnp
 import numpy as np
 
 from openmmtools_tpu.constants import BAR_TO_KJ_PER_MOL_NM3, kB
 from openmmtools_tpu.multistate.replicaexchange import ReplicaExchangeSampler
-from openmmtools_tpu.states import SamplerState, ThermodynamicState
 from openmmtools_tpu.system import make_energy_fn, volume as box_volume
 
 
@@ -51,18 +49,12 @@ class ParallelTemperingSampler(ReplicaExchangeSampler):
                   for t in temps]
         super().create(states, sampler_states, storage=storage, **kwargs)
 
-    def _build_iteration_fn(self):
-        """Same pipeline as the base class but with the O(N) energy path."""
-        moves = self._moves_per_state()
-        stacked = self._stacked_sampled
+    def _build_energies_fn(self):
+        """O(N) energy path: U(x) once per replica; u_k = beta_k (U + p_k V)
+        (paralleltempering.py:175). Plugs into the base class's fused
+        iteration program (propagation/mixing/stats are shared)."""
         system = self._thermodynamic_states[0].system
-        homogeneous = all(self._moves_equal(m, moves[0])
-                          for m in moves[1:])
-
-        def _bind(m):
-            integ = m._get_integrator(self._thermodynamic_states[0])
-            return integ.bind(system), m.n_steps, m.reassign_velocities
-
+        stacked = self._stacked_sampled
         u_fn = make_energy_fn(system)
         # beta-rescale over sampled + same-system unsampled columns (the
         # stacked states); different-system endpoint states are appended
@@ -72,39 +64,6 @@ class ParallelTemperingSampler(ReplicaExchangeSampler):
         pressure = stacked_all.pressure  # or None (same p across ladder)
         unsampled_separate = self._unsampled_separate
         separate_u = self._separate_unsampled_u
-
-        def _make_propagate(bound, n_steps, reassign):
-            def prop(x, v, box, key, temperature, params):
-                ss = SamplerState(positions=x,
-                                  velocities=None if reassign else v,
-                                  box_vectors=box)
-                state = bound.initial_state(ss, key, temperature=temperature,
-                                            global_params=params)
-                state = bound.run_program(n_steps)(state)
-                return state.positions, state.velocities
-            return prop
-
-        if homogeneous:
-            prop0 = _make_propagate(*_bind(moves[0]))
-
-            def propagate_one(x, v, box, key, s):
-                temperature = stacked.temperature[s]
-                params = {k: v_[s]
-                          for k, v_ in stacked.global_params.items()}
-                return prop0(x, v, box, key, temperature, params)
-        else:
-            # heterogeneous per-state moves: same lax.switch dispatch as
-            # the base class (previously this override silently propagated
-            # every state with moves[0])
-            branches = [_make_propagate(*_bind(m)) for m in moves]
-
-            def propagate_one(x, v, box, key, s):
-                temperature = stacked.temperature[s]
-                params = {k: v_[s]
-                          for k, v_ in stacked.global_params.items()}
-                return jax.lax.switch(
-                    s, [lambda op, p=p: p(*op) for p in branches],
-                    (x, v, box, key, temperature, params))
 
         def energies_one(x, box, s):
             # U(x) once; u_k = beta_k (U + p_k V)  (paralleltempering.py:175)
@@ -119,42 +78,7 @@ class ParallelTemperingSampler(ReplicaExchangeSampler):
                 u = jnp.concatenate([u, separate_u(x, box)])
             return u
 
-        mix_kernel = self._mix_kernel
-
-        def iteration_fn(carry, mix_params):
-            # counter-based keys (see MultiStateCarry): must match the base
-            # sampler's derivation so PT resumes are bitwise-continuous too
-            base_key = jax.random.fold_in(carry.rng_key, carry.iteration)
-            mix_key, prop_key = jax.random.split(base_key)
-            states = carry.replica_states
-            n_acc, n_prop = carry.n_accepted, carry.n_proposed
-            if mix_kernel is not None:
-                states, n_acc, n_prop = mix_kernel(
-                    mix_key, states, carry.energies, n_acc, n_prop,
-                    mix_params)
-            n = carry.positions.shape[0]
-            keys = jax.random.split(prop_key, n)
-            box_axis = None if carry.boxes is None else 0
-            xs, vs = jax.vmap(propagate_one, in_axes=(0, 0, box_axis, 0, 0))(
-                carry.positions, carry.velocities, carry.boxes, keys, states)
-            u = jax.vmap(energies_one, in_axes=(0, box_axis, 0))(
-                xs, carry.boxes, states)
-            return carry.replace(
-                positions=xs, velocities=vs, replica_states=states,
-                energies=u, n_accepted=n_acc, n_proposed=n_prop,
-                iteration=carry.iteration + 1)
-
-        self._iteration_program = iteration_fn  # raw, for batched scans
-        if self._sharding is not None:
-            from jax.sharding import NamedSharding, PartitionSpec as P
-
-            replicated = NamedSharding(self._sharding.rng_key.mesh, P())
-            mix_shardings = jax.tree.map(lambda _: replicated,
-                                         self._mix_params())
-            return jax.jit(iteration_fn,
-                           in_shardings=(self._sharding, mix_shardings),
-                           out_shardings=self._sharding)
-        return jax.jit(iteration_fn)
+        return energies_one
 
 
 from openmmtools_tpu.multistate.analyzer import (  # noqa: E402,F401

@@ -176,6 +176,8 @@ class MultiStateReporter:
         grp.attrs["n_systems"] = len(system_jsons)
         for g, sj in enumerate(system_jsons):
             grp.attrs[f"system_json_{g}"] = sj
+        import numpy as _np
+
         for i, s in enumerate(all_states):
             sg = grp.require_group(f"state_{i}")
             sg.attrs["system_index"] = system_of_state[i]
@@ -184,6 +186,18 @@ class MultiStateReporter:
                 "null" if s.pressure is None else float(s.pressure))
             sg.attrs["global_params"] = json.dumps(
                 {k: float(v) for k, v in s.global_params.items()})
+            # dtype fidelity: a resumed sampler must rebuild states with
+            # the ORIGINAL scalar dtypes — an f32 temperature read back as
+            # weak f64 changes u = beta(U + pV) at the LSB, which is enough
+            # to flip a near-threshold swap decision and break bitwise
+            # resume continuity. Per-field map: protocols routinely mix an
+            # f32 temperature with f64 global parameters (lambda ladders)
+            dtypes = {"temperature": _np.asarray(s.temperature).dtype.name}
+            if s.pressure is not None:
+                dtypes["pressure"] = _np.asarray(s.pressure).dtype.name
+            for k, v in s.global_params.items():
+                dtypes["param:" + k] = _np.asarray(v).dtype.name
+            sg.attrs["scalar_dtypes"] = json.dumps(dtypes)
 
     @property
     def n_sampled_states(self) -> Optional[int]:
@@ -208,14 +222,21 @@ class MultiStateReporter:
 
         def build(i):
             sg = grp[f"state_{i}"]
+            dtypes = json.loads(sg.attrs.get("scalar_dtypes", "{}"))
+            if not dtypes and "scalar_dtype" in sg.attrs:  # transitional
+                d = sg.attrs["scalar_dtype"]
+                dtypes = {"temperature": d, "pressure": d}
             pressure = sg.attrs["pressure"]
             pressure = None if pressure == "null" else jnp.asarray(
-                float(pressure))
+                float(pressure), dtype=dtypes.get("pressure"))
             return ThermodynamicState(
                 system=systems[int(sg.attrs.get("system_index", 0))],
-                temperature=jnp.asarray(float(sg.attrs["temperature"])),
+                temperature=jnp.asarray(float(sg.attrs["temperature"]),
+                                        dtype=dtypes.get("temperature")),
                 pressure=pressure,
-                global_params={k: jnp.asarray(v) for k, v in
+                global_params={k: jnp.asarray(v,
+                                              dtype=dtypes.get("param:" + k))
+                               for k, v in
                                json.loads(sg.attrs["global_params"]).items()})
 
         states = [build(i) for i in range(n_states)]
@@ -253,9 +274,16 @@ class MultiStateReporter:
                                  for m, w in move.move_set]
             for attr in ("n_steps", "timestep", "collision_rate", "splitting",
                          "reassign_velocities", "n_restart_attempts",
-                         "n_inner_steps", "displacement_sigma"):
+                         "n_inner_steps", "displacement_sigma",
+                         "volume_scale", "n_attempts",
+                         "constraint_tolerance", "measure_shadow_work",
+                         "measure_heat"):
                 if hasattr(move, attr):
                     d[attr] = getattr(move, attr)
+            # metropolized moves: atom subset (None or an index list)
+            subset = getattr(move, "atom_subset", None)
+            if subset is not None:
+                d["atom_subset"] = [int(i) for i in subset]
             return d
 
         if isinstance(moves, (list, tuple)):

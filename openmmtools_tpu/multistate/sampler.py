@@ -63,6 +63,12 @@ class MultiStateCarry:
     n_proposed: jax.Array                # (K, K) int32
     rng_key: jax.Array                   # base key, constant for the run
     iteration: jax.Array                 # () int32 RNG counter
+    # (S, 2) int32 (accepted, proposed) totals for each statistics-carrying
+    # move segment (metropolized / barostat / GHMC / HMC) in the compiled
+    # move program, summed over replicas and iterations (the on-device
+    # analog of the reference's per-move ``statistics`` dicts,
+    # mcmc.py:872-970). S = 0 for plain integrator moves.
+    move_stats: jax.Array
 
 
 
@@ -226,6 +232,14 @@ class MultiStateSampler:
         return np.asarray(self._carry.energies)
 
     @property
+    def move_statistics(self) -> np.ndarray:
+        """(S, 2) (accepted, proposed) totals for the statistics-carrying
+        segments of the compiled move program, summed over replicas and
+        iterations (mcmc.py:872-970 ``statistics`` analog). Empty for plain
+        integrator moves. In-memory only (not persisted across resume)."""
+        return np.asarray(self._carry.move_stats)
+
+    @property
     def is_completed(self) -> bool:
         return self._is_completed(self.number_of_iterations)
 
@@ -245,6 +259,9 @@ class MultiStateSampler:
         """
         thermodynamic_states = [_resolve(ts) for ts in thermodynamic_states]
         self._thermodynamic_states = list(thermodynamic_states)
+        # validate the move specification eagerly (length mismatch / bad
+        # types fail at create, not at the first run() compile)
+        self._moves_per_state()
         self._unsampled_states = [
             _resolve(ts) for ts in (unsampled_thermodynamic_states or [])]
         # Unsampled endpoint states whose SYSTEM differs from the sampled
@@ -314,6 +331,8 @@ class MultiStateSampler:
             n_proposed=jnp.zeros((k, k), dtype=jnp.int32),
             rng_key=jax.random.PRNGKey(self._rng_seed),
             iteration=jnp.zeros((), dtype=jnp.int32),
+            move_stats=jnp.zeros((self._count_move_stats(), 2),
+                                 dtype=jnp.int32),
         )
         self._iteration = 0
         # reference multistatesampler accepts a Reporter or a plain path
@@ -366,8 +385,13 @@ class MultiStateSampler:
                 self._reporter.write_mixing_scheme(scheme)
 
         # initial energies (iteration 0 bookkeeping, multistatesampler.py:738)
+        # dtype pinned to the positions dtype: reduced potentials can widen
+        # to f64 through f64 temperatures, but the carry's energies dtype is
+        # canonical — it sets the stored HDF5 dataset dtype (fixed at the
+        # iteration-0 write) and the mix kernel's arithmetic precision, both
+        # of which must not differ between a fresh run and a resumed one
         self._carry = self._carry.replace(
-            energies=self._compute_energies(self._carry))
+            energies=self._compute_energies(self._carry).astype(dtype))
         self._check_nan_energy()
         self._report_iteration()
 
@@ -385,7 +409,8 @@ class MultiStateSampler:
             boxes=None if self._carry.boxes is None else replica_sharding,
             replica_states=replica_sharding, energies=replica_sharding,
             n_accepted=replicated, n_proposed=replicated,
-            rng_key=replicated, iteration=replicated)
+            rng_key=replicated, iteration=replicated,
+            move_stats=replicated)
         self._carry = jax.tree.map(
             lambda leaf, sh: jax.device_put(leaf, sh), self._carry,
             self._sharding,
@@ -459,6 +484,17 @@ class MultiStateSampler:
                                        for i in range(u_all.shape[0])]
             sampler._state_history = [s_all[i]
                                       for i in range(s_all.shape[0])]
+            # restore the LAST energy matrix bitwise from storage: create()
+            # recomputed it through _compute_energies, whose XLA program
+            # fuses differently from the in-loop energies_one (f32 rounding
+            # ~1e-6) — enough to flip a near-threshold swap decision and
+            # break bitwise resume continuity. The carry's energies dtype
+            # (= positions dtype) is canonical; old files whose dataset was
+            # created wider cast back exactly (the values originated at
+            # this dtype)
+            sampler._carry = sampler._carry.replace(
+                energies=jnp.asarray(u_all[it],
+                                     dtype=sampler._carry.energies.dtype))
         except Exception as e:  # analysis resume is best-effort
             logger.warning("could not restore online-analysis energy "
                            "history: %s", e)
@@ -481,14 +517,14 @@ class MultiStateSampler:
     # ------------------------------------------------------------------
     # the fused iteration program
     # ------------------------------------------------------------------
-    def _move_for_kernel(self) -> BaseIntegratorMove:
-        return self._moves_per_state()[0]
-
-    def _moves_per_state(self) -> List[BaseIntegratorMove]:
-        """One integrator-based move per thermodynamic state (the reference
-        accepts heterogeneous per-state moves, multistatesampler.py:63).
+    def _moves_per_state(self) -> List[MCMCMove]:
+        """One MCMC move (program) per thermodynamic state (the reference
+        accepts heterogeneous per-state moves, multistatesampler.py:63, and
+        ANY MCMCMove — _propagate_replica calls ``mcmc_move.apply``
+        generically, multistatesampler.py:1313).
         A single move broadcasts to all states; a list must match the
-        state count exactly — no silent truncation to element [0]."""
+        state count exactly — no silent truncation to element [0].
+        Unsupported move types fail in :meth:`_compile_segment`."""
         k = max(1, len(self._thermodynamic_states))
         moves = self._mcmc_moves
         if not isinstance(moves, (list, tuple)):
@@ -500,11 +536,253 @@ class MultiStateSampler:
                 "mcmc_moves list length %d != number of thermodynamic "
                 "states %d" % (len(moves), k))
         for m in moves:
-            if not isinstance(m, BaseIntegratorMove):
+            if not isinstance(m, MCMCMove):
                 raise TypeError(
-                    "MultiStateSampler requires integrator-based moves for "
-                    "the fused TPU path (got %r)" % type(m))
+                    "MultiStateSampler moves must be MCMCMove instances "
+                    "(got %r)" % type(m))
         return list(moves)
+
+    @staticmethod
+    def _first_integrator_move(move) -> Optional[BaseIntegratorMove]:
+        """First integrator-based leaf of a move program (for timing / the
+        ns-per-day estimate); None when the program has none."""
+        from openmmtools_tpu.mcmc import SequenceMove, WeightedMove
+
+        if isinstance(move, BaseIntegratorMove):
+            return move
+        children = []
+        if isinstance(move, SequenceMove):
+            children = move.move_list
+        elif isinstance(move, WeightedMove):
+            children = [m for m, _ in move.move_set]
+        for child in children:
+            found = MultiStateSampler._first_integrator_move(child)
+            if found is not None:
+                return found
+        return None
+
+    def _count_move_stats(self) -> int:
+        """Number of statistics-carrying segments in the compiled move
+        program (max across heterogeneous per-state programs — shorter
+        programs pad with zero rows so lax.switch branches agree)."""
+        from openmmtools_tpu.mcmc import (
+            MetropolizedMove,
+            SequenceMove,
+            WeightedMove,
+            _MetropolizedIntegratorMove,
+        )
+
+        def count(move):
+            if isinstance(move, SequenceMove):
+                return sum(count(m) for m in move.move_list)
+            if isinstance(move, WeightedMove):
+                return sum(count(m) for m, _ in move.move_set)
+            if isinstance(move, (_MetropolizedIntegratorMove,
+                                 MetropolizedMove)):
+                return 1
+            return 0
+
+        try:
+            moves = self._moves_per_state()
+        except (TypeError, ValueError):
+            return 0
+        return max(count(m) for m in moves)
+
+    def _compile_segment(self, move):
+        """Compile one MCMCMove into a jittable segment function
+
+            seg(x, v, box, key, temperature, pressure, params)
+                -> (x, v, box, stats)
+
+        where ``stats`` is an (S, 2) int32 array of (accepted, proposed)
+        increments for the statistics-carrying segments in traversal order
+        (S may be 0). Returns ``(seg, S)``.
+
+        This is how the reference's "any MCMCMove per state" contract
+        (multistatesampler.py:63,1313; MonteCarloBarostatMove exists for
+        exactly this, mcmc.py:1597) enters the fused TPU iteration: the
+        move tree is compiled into one traced program per state instead of
+        dispatched through Python `.apply` calls per replica.
+        """
+        from openmmtools_tpu.mcmc import (
+            MetropolizedMove,
+            MonteCarloBarostatMove,
+            SequenceMove,
+            WeightedMove,
+            _MetropolizedIntegratorMove,
+        )
+
+        system = self._thermodynamic_states[0].system
+
+        if isinstance(move, BaseIntegratorMove):
+            integ = move._get_integrator(self._thermodynamic_states[0])
+            bound = integ.bind(system)
+            n_steps = move.n_steps
+            reassign = move.reassign_velocities
+            track = isinstance(move, _MetropolizedIntegratorMove)
+
+            def seg(x, v, box, key, temperature, pressure, params):
+                ss = SamplerState(positions=x,
+                                  velocities=None if reassign else v,
+                                  box_vectors=box)
+                st = bound.initial_state(ss, key, temperature=temperature,
+                                         global_params=params)
+                st = bound.run_program(n_steps)(st)
+                if track:
+                    stats = jnp.stack(
+                        [st.n_accepted, st.n_proposed]).astype(jnp.int32)[None]
+                else:
+                    stats = jnp.zeros((0, 2), jnp.int32)
+                return st.positions, st.velocities, box, stats
+
+            return seg, (1 if track else 0)
+
+        if isinstance(move, MonteCarloBarostatMove):
+            stacked = self._stacked_sampled
+            if stacked.pressure is None:
+                raise TypeError(
+                    "MonteCarloBarostatMove in a multistate move program "
+                    "requires NPT thermodynamic states (pressure is None)")
+            if self._carry is not None and self._carry.boxes is None:
+                raise TypeError(
+                    "MonteCarloBarostatMove requires periodic sampler "
+                    "states (no box vectors present)")
+            mol_ids, n_molecules = move._molecules_for(system)
+            n_attempts = move.n_attempts
+
+            def seg(x, v, box, key, temperature, pressure, params):
+                ts = ThermodynamicState(
+                    system=system, temperature=temperature,
+                    pressure=pressure, global_params=params)
+                ss = SamplerState(positions=x, box_vectors=box)
+                ss_new, n_acc = move._scan_attempts(ts, ss, key, mol_ids,
+                                                    n_molecules)
+                stats = jnp.stack([n_acc.astype(jnp.int32),
+                                   jnp.int32(n_attempts)])[None]
+                return ss_new.positions, v, ss_new.box_vectors, stats
+
+            return seg, 1
+
+        if isinstance(move, MetropolizedMove):
+            def seg(x, v, box, key, temperature, pressure, params):
+                ts = ThermodynamicState(
+                    system=system, temperature=temperature,
+                    pressure=pressure, global_params=params)
+                ss = SamplerState(positions=x, box_vectors=box)
+                ss_new, accept = move._metropolis_kernel(ts, ss, key)
+                stats = jnp.stack([accept.astype(jnp.int32),
+                                   jnp.int32(1)])[None]
+                return ss_new.positions, v, box, stats
+
+            return seg, 1
+
+        if isinstance(move, SequenceMove):
+            compiled = [self._compile_segment(m) for m in move.move_list]
+            total = sum(n for _, n in compiled)
+
+            def seg(x, v, box, key, temperature, pressure, params):
+                keys = jax.random.split(key, max(1, len(compiled)))
+                rows = []
+                for (sub, _), k in zip(compiled, keys):
+                    x, v, box, st = sub(x, v, box, k, temperature, pressure,
+                                        params)
+                    rows.append(st)
+                stats = (jnp.concatenate(rows) if rows
+                         else jnp.zeros((0, 2), jnp.int32))
+                return x, v, box, stats
+
+            return seg, total
+
+        if isinstance(move, WeightedMove):
+            compiled = [self._compile_segment(m) for m, _ in move.move_set]
+            weights = np.asarray([w for _, w in move.move_set],
+                                 dtype=np.float64)
+            weights = weights / weights.sum()
+            offsets = np.cumsum([0] + [n for _, n in compiled])
+            total = int(offsets[-1])
+
+            def make_branch(i):
+                sub, n_i = compiled[i]
+                off = int(offsets[i])
+
+                def branch(op):
+                    x, v, box, key, temperature, pressure, params = op
+                    x, v, box, st = sub(x, v, box, key, temperature,
+                                        pressure, params)
+                    full = jnp.zeros((total, 2), jnp.int32)
+                    if n_i:
+                        full = jax.lax.dynamic_update_slice_in_dim(
+                            full, st, off, axis=0)
+                    return x, v, box, full
+
+                return branch
+
+            branches = [make_branch(i) for i in range(len(compiled))]
+
+            def seg(x, v, box, key, temperature, pressure, params):
+                k1, k2 = jax.random.split(key)
+                idx = jax.random.choice(k1, len(compiled),
+                                        p=jnp.asarray(weights))
+                return jax.lax.switch(
+                    idx, branches,
+                    (x, v, box, k2, temperature, pressure, params))
+
+            return seg, total
+
+        raise TypeError(
+            "unsupported MCMCMove type for the fused multistate program: "
+            "%r (supported: BaseIntegratorMove subclasses, MetropolizedMove "
+            "subclasses incl. MonteCarloBarostatMove, SequenceMove, "
+            "WeightedMove)" % type(move))
+
+    def _build_propagate_fn(self):
+        """Compile the per-state move programs into
+
+            propagate_one(x, v, box, key, s) -> (x, v, box, stats)
+
+        with ``stats`` padded to (S_max, 2) across heterogeneous states.
+        Shared by the base iteration program and the parallel-tempering
+        O(N) override."""
+        moves = self._moves_per_state()
+        stacked = self._stacked_sampled
+        homogeneous = all(self._moves_equal(m, moves[0]) for m in moves[1:])
+
+        def pad(stats, s_max):
+            if stats.shape[0] == s_max:
+                return stats
+            return jnp.concatenate(
+                [stats, jnp.zeros((s_max - stats.shape[0], 2), jnp.int32)])
+
+        if homogeneous:
+            seg, s_max = self._compile_segment(moves[0])
+
+            def propagate_one(x, v, box, key, s):
+                temperature, pressure, params = self._state_params_at(
+                    stacked, s)
+                return seg(x, v, box, key, temperature, pressure, params)
+
+            return propagate_one, s_max
+
+        # heterogeneous per-state moves (multistatesampler.py:63): one
+        # propagation program per state, selected in-trace by the replica's
+        # current state index. Each branch compiles once.
+        compiled = [self._compile_segment(m) for m in moves]
+        s_max = max(n for _, n in compiled)
+
+        def make_branch(sub):
+            def branch(op):
+                x, v, box, st = sub(*op)
+                return x, v, box, pad(st, s_max)
+            return branch
+
+        branches = [make_branch(sub) for sub, _ in compiled]
+
+        def propagate_one(x, v, box, key, s):
+            temperature, pressure, params = self._state_params_at(stacked, s)
+            return jax.lax.switch(
+                s, branches, (x, v, box, key, temperature, pressure, params))
+
+        return propagate_one, s_max
 
     @staticmethod
     def _moves_equal(a: BaseIntegratorMove, b: BaseIntegratorMove) -> bool:
@@ -547,50 +825,12 @@ class MultiStateSampler:
                 for ts in self._unsampled_states]
         return jnp.stack(cols)
 
-    def _build_iteration_fn(self):
-        moves = self._moves_per_state()
-        move = moves[0]
+    def _build_energies_fn(self):
+        """energies_one(x, box, state_index) -> (K [+ n_uns],) reduced
+        potentials — the locality-aware generic path. ParallelTempering
+        overrides this with its O(N) beta-rescaled variant."""
         stacked_all = self._stacked_states    # sampled + unsampled (energies)
-        stacked = self._stacked_sampled       # sampled (propagation)
         system = self._thermodynamic_states[0].system
-        homogeneous = all(self._moves_equal(m, move) for m in moves[1:])
-
-        def _bind(m):
-            integ = m._get_integrator(self._thermodynamic_states[0])
-            # velocities are always initialized by create()/from_storage
-            # before the program is built, so the traced reassign flag is
-            # just the move option
-            return integ.bind(system), m.n_steps, m.reassign_velocities
-
-        def _make_propagate(bound, n_steps, reassign):
-            def prop(x, v, box, key, temperature, params):
-                ss = SamplerState(positions=x,
-                                  velocities=None if reassign else v,
-                                  box_vectors=box)
-                state = bound.initial_state(ss, key, temperature=temperature,
-                                            global_params=params)
-                state = bound.run_program(n_steps)(state)
-                return state.positions, state.velocities
-            return prop
-
-        if homogeneous:
-            prop0 = _make_propagate(*_bind(move))
-
-            def propagate_one(x, v, box, key, s):
-                temperature, _, params = self._state_params_at(stacked, s)
-                return prop0(x, v, box, key, temperature, params)
-        else:
-            # heterogeneous per-state moves (multistatesampler.py:63): one
-            # propagation program per state, selected in-trace by the
-            # replica's current state index.  Each branch compiles once.
-            branches = [_make_propagate(*_bind(m)) for m in moves]
-
-            def propagate_one(x, v, box, key, s):
-                temperature, _, params = self._state_params_at(stacked, s)
-                return jax.lax.switch(
-                    s, [lambda op, p=p: p(*op) for p in branches],
-                    (x, v, box, key, temperature, params))
-
         locality = self.locality
         k_states = len(self._thermodynamic_states)
         unsampled_separate = self._unsampled_separate
@@ -659,6 +899,11 @@ class MultiStateSampler:
                 u_full = jnp.concatenate([u_full, separate_u(x, box)])
             return u_full
 
+        return energies_one
+
+    def _build_iteration_fn(self):
+        propagate_one, _ = self._build_propagate_fn()
+        energies_one = self._build_energies_fn()
         mix_kernel = self._mix_kernel  # subclass hook (may be None)
 
         def iteration_fn(carry: MultiStateCarry,
@@ -676,14 +921,25 @@ class MultiStateSampler:
             n = carry.positions.shape[0]
             keys = jax.random.split(prop_key, n)
             box_axis = None if carry.boxes is None else 0
-            xs, vs = jax.vmap(propagate_one, in_axes=(0, 0, box_axis, 0, 0))(
+            xs, vs, boxes, stats = jax.vmap(
+                propagate_one, in_axes=(0, 0, box_axis, 0, 0),
+                out_axes=(0, 0, box_axis, 0))(
                 carry.positions, carry.velocities, carry.boxes, keys, states)
+            # move programs may change per-replica boxes (MC barostat) —
+            # the energy matrix must use the POST-move boxes (the
+            # reference's u_kn is computed from the propagated contexts,
+            # multistatesampler.py:1437)
             u = jax.vmap(energies_one, in_axes=(0, box_axis, 0))(
-                xs, carry.boxes, states)
+                xs, boxes, states).astype(carry.energies.dtype)
             return carry.replace(
-                positions=xs, velocities=vs, replica_states=states,
+                positions=xs, velocities=vs, boxes=boxes,
+                replica_states=states,
                 energies=u, n_accepted=n_acc, n_proposed=n_prop,
-                iteration=carry.iteration + 1)
+                iteration=carry.iteration + 1,
+                # dtype pinned: x64 mode promotes int32 sums to int64,
+                # which breaks the scan-carry type invariant
+                move_stats=carry.move_stats
+                + stats.sum(axis=0, dtype=jnp.int32))
 
         self._iteration_program = iteration_fn  # raw, for batched scans
         if self._sharding is not None:
@@ -765,7 +1021,6 @@ class MultiStateSampler:
         return {}
 
     def _compute_energies(self, carry) -> jax.Array:
-        move = self._move_for_kernel()
         system = self._thermodynamic_states[0].system
         stacked_all = self._stacked_states
 
@@ -1077,7 +1332,7 @@ class MultiStateSampler:
         """seconds/iteration + ns/day estimate (multistatesampler.py:1766)."""
         self._timing["iteration_seconds"] = iteration_seconds
         try:
-            move = self._move_for_kernel()
+            move = self._first_integrator_move(self._moves_per_state()[0])
             integ = move._get_integrator(self._thermodynamic_states[0])
             ps_per_iter = move.n_steps * integ.timestep
             self._timing["ns_per_day"] = (

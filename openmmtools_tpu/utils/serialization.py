@@ -25,10 +25,15 @@ def _encode(value: Any) -> Any:
     if isinstance(value, (int, float, str, bool, type(None))):
         return value
     if isinstance(value, np.ndarray):
-        return {"_type": "ndarray", "data": value.tolist(), "dtype": str(value.dtype)}
+        # explicit shape: tolist() of a zero-size (0, k) array is [] and
+        # would round-trip as shape (0,), silently changing the pytree
+        # structure (breaks resumed-sampler program reuse)
+        return {"_type": "ndarray", "data": value.tolist(),
+                "dtype": str(value.dtype), "shape": list(value.shape)}
     if isinstance(value, jax.Array):
         arr = np.asarray(value)
-        return {"_type": "ndarray", "data": arr.tolist(), "dtype": str(arr.dtype)}
+        return {"_type": "ndarray", "data": arr.tolist(),
+                "dtype": str(arr.dtype), "shape": list(arr.shape)}
     if isinstance(value, dict):
         return {"_type": "dict", "items": {k: _encode(v) for k, v in value.items()}}
     if isinstance(value, (list, tuple)):
@@ -50,7 +55,10 @@ def _decode(value: Any) -> Any:
     if isinstance(value, dict):
         t = value.get("_type")
         if t == "ndarray":
-            return np.asarray(value["data"], dtype=value["dtype"])
+            arr = np.asarray(value["data"], dtype=value["dtype"])
+            if "shape" in value:
+                arr = arr.reshape(value["shape"])
+            return arr
         if t == "dict":
             return {k: _decode(v) for k, v in value["items"].items()}
         if t == "list":
