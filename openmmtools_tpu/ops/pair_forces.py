@@ -63,6 +63,9 @@ def dense_pair_energy_forces(
     shift_rf=True,
     switch_coulomb=False,
     exclude_index=None,
+    row_start=None,
+    row_block=None,
+    n_valid=None,
 ):
     """Energy and forces of the dense all-pairs LJ+Coulomb sum.
 
@@ -70,6 +73,15 @@ def dense_pair_energy_forces(
     the value and ``-grad`` of :func:`ops.nonbonded.all_pairs_energy`.
     ``exclude_index`` pairs are masked out of the sum (see that function's
     docstring for the f32 subtract-back cancellation rationale).
+
+    Row-blocked (rectangular) mode — the atom-axis sharding building block
+    (parallel/atom_shard.py): with ``row_start`` (traced device offset) and
+    ``row_block`` (static rows per device), only the (row_block, N) pair
+    plane is evaluated; ``U`` is this block's half-sum (blocks psum to the
+    exact total because ordered pairs appear once in i's block and once in
+    j's) and ``F`` has shape (row_block, 3) — the owned rows' exact forces.
+    ``n_valid`` masks padded tail rows/columns when N was padded to a
+    multiple of the device count.
     """
     n = x.shape[0]
     dtype = x.dtype
@@ -81,37 +93,70 @@ def dense_pair_energy_forces(
         else charges * charge_scale
     eps = epsilons if lj_scale is None else epsilons * lj_scale
 
-    # per-component displacement planes; (N, N, 3) never materializes
+    if row_start is None:
+        b = n
+        x_i = x
+        row_ids = None  # full square: iota planes below
+    else:
+        b = int(row_block)
+        x_i = jax.lax.dynamic_slice_in_dim(x, row_start, b)
+        row_ids = row_start + jnp.arange(b, dtype=jnp.int32)
+
+    # per-component displacement planes; (B, N, 3) never materializes
     ds = []
     r2 = None
     if periodic:
         Ld = jnp.diagonal(box)
     for c in range(3):
-        d = x[:, c][:, None] - x[None, :, c]
+        d = x_i[:, c][:, None] - x[None, :, c]
         if periodic:
             d = _min_image_1d(d, Ld[c])
         ds.append(d)
         r2 = d * d if r2 is None else r2 + d * d
 
-    row = jax.lax.broadcasted_iota(jnp.int32, (n, n), 0)
-    col = jax.lax.broadcasted_iota(jnp.int32, (n, n), 1)
+    col = jax.lax.broadcasted_iota(jnp.int32, (b, n), 1)
+    if row_ids is None:
+        row = jax.lax.broadcasted_iota(jnp.int32, (b, n), 0)
+    else:
+        row = jnp.broadcast_to(row_ids[:, None], (b, n))
     # ordered pairs (i != j): each unordered pair counted twice, so energy
     # is halved below while the force row-sums come out exact
     mask = row != col
+    if n_valid is not None and n_valid < n:
+        mask = mask & (row < n_valid) & (col < n_valid)
     if cutoff is not None and method != "no_cutoff":
         mask = mask & (r2 < cutoff * cutoff)
     if exclude_index is not None and exclude_index.shape[0] > 0:
-        keep = jnp.ones((n, n), jnp.bool_)
-        keep = keep.at[exclude_index[:, 0], exclude_index[:, 1]].set(False)
-        keep = keep.at[exclude_index[:, 1], exclude_index[:, 0]].set(False)
+        keep = jnp.ones((b, n), jnp.bool_)
+        if row_ids is None:
+            keep = keep.at[exclude_index[:, 0],
+                           exclude_index[:, 1]].set(False)
+            keep = keep.at[exclude_index[:, 1],
+                           exclude_index[:, 0]].set(False)
+        else:
+            # scatter into the row block: shift to block-local row indices,
+            # route rows owned by other devices to the (dropped) OOB row b
+            for a, bcol in ((0, 1), (1, 0)):
+                ri = exclude_index[:, a] - row_start
+                ri = jnp.where((ri >= 0) & (ri < b), ri, b)
+                keep = keep.at[ri, exclude_index[:, bcol]].set(
+                    False, mode="drop")
         mask = mask & jax.lax.optimization_barrier(keep)
 
     # clamp masked-out entries to a safe distance (double-where pattern)
     inv_r2 = jnp.where(mask, 1.0 / jnp.maximum(r2, 1e-12), 0.0)
 
-    sig_ij = 0.5 * (sigmas[:, None] + sigmas[None, :])
     seps = jnp.sqrt(eps)
-    eps_ij = seps[:, None] * seps[None, :]
+    if row_ids is None:
+        sig_i, seps_i = sigmas, seps
+        q_i = q
+    else:
+        sig_i = jax.lax.dynamic_slice_in_dim(sigmas, row_start, b)
+        seps_i = jax.lax.dynamic_slice_in_dim(seps, row_start, b)
+        q_i = None if q is None else jax.lax.dynamic_slice_in_dim(
+            q, row_start, b)
+    sig_ij = 0.5 * (sig_i[:, None] + sigmas[None, :])
+    eps_ij = seps_i[:, None] * seps[None, :]
 
     s2 = sig_ij * sig_ij * inv_r2
     s6 = s2 * s2 * s2
@@ -126,18 +171,18 @@ def dense_pair_energy_forces(
     if q is None:
         e_c = w_c = None
     elif method in ("no_cutoff", "cutoff_nonperiodic_nocoulombmod"):
-        kqq = ONE_4PI_EPS0 * (q[:, None] * q[None, :])
+        kqq = ONE_4PI_EPS0 * (q_i[:, None] * q[None, :])
         e_c = kqq * inv_r
         w_c = kqq * inv_r2 * inv_r
     elif method in ("cutoff_periodic", "cutoff_nonperiodic"):
         k_rf, c_rf = reaction_field_constants(cutoff, dielectric)
         if not shift_rf:
             c_rf = 0.0
-        kqq = ONE_4PI_EPS0 * (q[:, None] * q[None, :])
+        kqq = ONE_4PI_EPS0 * (q_i[:, None] * q[None, :])
         e_c = kqq * (inv_r + k_rf * r2 - c_rf)
         w_c = kqq * (inv_r2 * inv_r - 2.0 * k_rf)
     elif method in ("pme", "ewald"):
-        kqq = ONE_4PI_EPS0 * (q[:, None] * q[None, :])
+        kqq = ONE_4PI_EPS0 * (q_i[:, None] * q[None, :])
         erfc_ar = jax.scipy.special.erfc(alpha * r)
         gauss = (2.0 * alpha / math.sqrt(math.pi)) * jnp.exp(
             -(alpha * alpha) * r2)

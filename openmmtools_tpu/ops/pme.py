@@ -222,18 +222,59 @@ class EwaldReciprocalTerm:
                              (two_pi / lengths[2]) * x[:, 2], weight, M)
         return ONE_4PI_EPS0 * (two_pi / volume) * W
 
-    def energy(self, x, box, params=None):
+    def effective_charge(self, params=None):
+        """Charges after global-parameter scaling ('exact-PME' alchemical
+        treatment, alchemy.py:1664-1683: alchemical charges scale linearly
+        with lambda in BOTH direct and reciprocal space)."""
         q = self.charge
         if (self.charge_scale_param is not None and params is not None
                 and self.charge_scale_param in params):
             q = q * params[self.charge_scale_param]
         if (self.lambda_name is not None and self.alch_mask is not None
                 and params is not None and self.lambda_name in params):
-            # 'exact-PME' alchemical treatment (alchemy.py:1664-1683): the
-            # alchemical particles' charges scale linearly with lambda in
-            # BOTH direct and reciprocal space
             lam = params[self.lambda_name]
             q = q * (1.0 + (lam - 1.0) * self.alch_mask)
+        return q
+
+    def self_exclusion_energy(self, q, x, box):
+        """Self energy + exclusion corrections (the O(N)+O(E) remainder of
+        the reciprocal term; shared with the atom-sharded evaluator)."""
+        lengths = jnp.diagonal(box)
+        e_self = -ONE_4PI_EPS0 * self.alpha / jnp.sqrt(jnp.pi) * jnp.sum(q * q)
+        e_excl = jnp.zeros((), dtype=x.dtype)
+        if self.exclusion_index.shape[0] > 0:
+            i = self.exclusion_index[:, 0]
+            j = self.exclusion_index[:, 1]
+            # barriered gathers (both autodiff directions)
+            from openmmtools_tpu.ops.geometry import gather_rows
+
+            d = gather_rows(x, i) - gather_rows(x, j)
+            d = d - lengths * jnp.round(d / lengths)
+            r = jnp.sqrt(jnp.maximum(jnp.sum(d * d, axis=1), 1e-12))
+            e_excl = -ONE_4PI_EPS0 * jnp.sum(
+                q[i] * q[j] * jax.scipy.special.erf(self.alpha * r) / r)
+        return e_self + e_excl
+
+    def weight_grid(self, box):
+        """Hermitian half-cube k-space weight grid (M+1, 2M+1, 2M+1) for
+        the factorized path (kmax set)."""
+        M = int(self.kmax)
+        lengths = jnp.diagonal(box)
+        dtype = lengths.dtype
+        two_pi = 2.0 * jnp.pi
+        mj = jnp.arange(-M, M + 1, dtype=dtype)
+        mjx = jnp.arange(0, M + 1, dtype=dtype)
+        kx_ax = two_pi * mjx / lengths[0]
+        k_ax = [two_pi * mj / lengths[c] for c in (1, 2)]
+        k2 = (kx_ax[:, None, None] ** 2 + k_ax[0][None, :, None] ** 2
+              + k_ax[1][None, None, :] ** 2)
+        inv_k2 = jnp.where(k2 > 0, 1.0 / jnp.maximum(k2, 1e-12), 0.0)
+        hermitian = jnp.where(mjx > 0, 2.0, 1.0)[:, None, None]
+        return (hermitian * jnp.exp(-k2 / (4.0 * self.alpha * self.alpha))
+                * inv_k2)
+
+    def energy(self, x, box, params=None):
+        q = self.effective_charge(params)
         lengths = jnp.diagonal(box)
         volume = jnp.prod(lengths)
         two_pi = 2.0 * jnp.pi
@@ -253,22 +294,7 @@ class EwaldReciprocalTerm:
             weight = jnp.exp(-k2 / (4.0 * self.alpha * self.alpha)) / k2
             e_rec = (ONE_4PI_EPS0 * (two_pi / volume)
                      * 2.0 * jnp.sum(weight * s2))
-        # self energy
-        e_self = -ONE_4PI_EPS0 * self.alpha / jnp.sqrt(jnp.pi) * jnp.sum(q * q)
-        # exclusion corrections: remove erf(alpha r)/r for excluded pairs
-        e_excl = jnp.zeros((), dtype=x.dtype)
-        if self.exclusion_index.shape[0] > 0:
-            i = self.exclusion_index[:, 0]
-            j = self.exclusion_index[:, 1]
-            # barriered gathers (both autodiff directions)
-            from openmmtools_tpu.ops.geometry import gather_rows
-
-            d = gather_rows(x, i) - gather_rows(x, j)
-            d = d - lengths * jnp.round(d / lengths)
-            r = jnp.sqrt(jnp.maximum(jnp.sum(d * d, axis=1), 1e-12))
-            e_excl = -ONE_4PI_EPS0 * jnp.sum(
-                q[i] * q[j] * jax.scipy.special.erf(self.alpha * r) / r)
-        return e_rec + e_self + e_excl
+        return e_rec + self.self_exclusion_energy(q, x, box)
 
 
 def make_ewald_reciprocal_term(charges, box_edge, cutoff,
