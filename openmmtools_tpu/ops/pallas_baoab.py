@@ -72,19 +72,21 @@ def _fast_round(z):
     return (z + half).astype(jnp.int32).astype(jnp.float32)
 
 
-def _fast_rsqrt(x):
-    """1/sqrt(x) via the bit-trick seed + 2 Newton steps (~1e-7 rel).
+def _fast_rsqrt(x, newton_steps=2):
+    """1/sqrt(x) via the bit-trick seed + Newton steps (2 -> ~1e-7 rel).
 
     jnp.sqrt/rsqrt run on the slow transcendental unit (measured: the
     switch region's one sqrt/pair cost ~50 us/step at N=2048); the
     integer-shift seed plus two Newton iterations uses only full-rate
     VPU ops. x = 0 yields a huge finite seed that diverges to inf — ok,
-    callers mask those lanes.
+    callers mask those lanes. ``newton_steps`` is an experiment knob
+    (round-5 op-lever sweep): 1 step leaves ~1.7e-3 rel error — wrong
+    forces at the tolerance standards here — and is for measurement only.
     """
     i = pltpu.bitcast(x, jnp.int32)
     y = pltpu.bitcast(jnp.int32(0x5F3759DF) - (i >> 1), jnp.float32)
-    y = y * (1.5 - 0.5 * x * y * y)
-    y = y * (1.5 - 0.5 * x * y * y)
+    for _ in range(newton_steps):
+        y = y * (1.5 - 0.5 * x * y * y)
     return y
 
 
@@ -401,7 +403,12 @@ class FusedSortedLangevin:
     def __init__(self, n_particles, cutoff, switch_width, sigma, epsilon,
                  mass, timestep, collision_rate, shell_block=8,
                  skin=None, sort_interval=500, interpret=False,
-                 tokens=("V", "R", "O", "R", "V")):
+                 tokens=("V", "R", "O", "R", "V"),
+                 rsqrt_newton=2, bf16_mask=False):
+        # experiment knobs (round-5 op-lever sweep, scripts/tune_levers.py):
+        # rsqrt_newton < 2 and bf16_mask change numerics — measurement only
+        self.rsqrt_newton = int(rsqrt_newton)
+        self.bf16_mask = bool(bf16_mask)
         self.n = int(n_particles)
         self.n_pad = _round_up(self.n, 128)
         self.rc = float(cutoff)
@@ -555,9 +562,23 @@ class FusedSortedLangevin:
                 d.append(dc)
                 r2 = dc * dc if r2 is None else r2 + dc * dc
 
-            mask = (r2 < rc2) & (r2 > 1e-12)
+            if self.bf16_mask:
+                # round-5 op-lever experiment: classify pairs from a bf16
+                # r^2 (cheaper per-element IF the VPU runs bf16 compares
+                # at 2x). Physics survivors still use the f32 r2 plane —
+                # lanes are evaluated unconditionally on the VPU, so this
+                # can only win if bf16 compare/mul rate beats f32.
+                r2_bf = None
+                for dc in d:
+                    dcb = dc.astype(jnp.bfloat16)
+                    r2_bf = dcb * dcb if r2_bf is None else r2_bf + dcb * dcb
+                mask = ((r2_bf < jnp.bfloat16(rc2))
+                        & (r2_bf > jnp.bfloat16(1e-12)))
+            else:
+                mask = (r2 < rc2) & (r2 > 1e-12)
 
-            inv_r = jnp.where(mask, _fast_rsqrt(r2), jnp.zeros((), dtype))
+            inv_r = jnp.where(mask, _fast_rsqrt(r2, self.rsqrt_newton),
+                              jnp.zeros((), dtype))
             inv_r2 = inv_r * inv_r
             s2 = sig2 * inv_r2
             s6 = s2 * s2 * s2
