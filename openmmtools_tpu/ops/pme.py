@@ -42,6 +42,26 @@ DEFAULT_EWALD_ERROR_TOLERANCE = 5e-4  # reference testsystems.py default
 # the speed.  Overridable for experiments/tests.
 SF_PRECISION = jax.lax.Precision.HIGH
 
+# Backward contraction structure for the hand VJP (round-5 DHFR recip
+# profile, ROADMAP).  The 3-axis form runs three heavy (N, K_c) matmuls,
+# each forcing XLA to materialize a DIFFERENT (N, ~K^2) phase-product
+# staging in HBM (yz: (2M+1)^2 cols, xz/xy: (M+1)(2M+1) cols — ~415 MB
+# total at DHFR shape, the measured 0.78 ms backward is their traffic,
+# not MACs).  The finishing stages only ever need four per-particle
+# SCALARS (H0, Hx, Hy, Hz = Σ_k B·m_axis·Px·Py·Pz), so all four fold
+# into ONE matmul against a single shared staging D[n, yz]:
+#     V[n, x, a] = Σ_yz D[n, yz] · (B·m_a)[x, yz]   (a = 1, mx, my, mz)
+#     H[n, a]    = Σ_x  V[n, x, a] · Px[n, x]
+# halving backward HBM traffic.  False restores the 3-axis form (kept
+# for A/B measurement; both are exact).
+SF_BWD_SHARED = True
+
+# Precision override for the backward contraction only (None -> follow
+# SF_PRECISION).  Experiment knob: the force tolerance (5e-4) is 100x
+# looser than what HIGH delivers (5.7e-6), so a cheaper backward pass
+# may be admissible where the forward is not — measured, not assumed.
+SF_BWD_PRECISION = None
+
 
 def ewald_alpha(cutoff: float, tol: float = DEFAULT_EWALD_ERROR_TOLERANCE
                 ) -> float:
@@ -113,17 +133,35 @@ def _sf_bwd(M, res, g):
     mj = jnp.arange(-M, M + 1, dtype=tx.dtype)
     mjx = jnp.arange(0, M + 1, dtype=tx.dtype)
     B = jax.lax.complex(w, jnp.zeros_like(w)) * jnp.conj(S)
-    hi = functools.partial(jnp.einsum,
-                           precision=SF_PRECISION)
-    # one heavy contraction per axis; the per-axis m factor applies in the
-    # cheap (N, K) finishing stage
-    Cx = hi('xyz,ny,nz->nx', B, Py, Pz)     # heavy
-    Cy = hi('xyz,nx,nz->ny', B, Px, Pz)     # heavy
-    Cz = hi('xyz,nx,ny->nz', B, Px, Py)     # heavy
-    H0 = jnp.sum(Cx * Px, axis=1)
-    Hx = jnp.sum(Cx * Px * mjx[None, :], axis=1)
-    Hy = jnp.sum(Cy * Py * mj[None, :], axis=1)
-    Hz = jnp.sum(Cz * Pz * mj[None, :], axis=1)
+    hi = functools.partial(
+        jnp.einsum,
+        precision=SF_PRECISION if SF_BWD_PRECISION is None
+        else SF_BWD_PRECISION)
+    if SF_BWD_SHARED:
+        # ONE shared staging D[n, y, z] = Py·Pz and ONE heavy matmul for
+        # all four finishing sums (see the SF_BWD_SHARED note at the top).
+        # Expressed as einsum, never reshape+dot (the axon backend
+        # miscompiles reshape-of-padded-3D + dot, ROADMAP round-2 #3).
+        D = Py[:, :, None] * Pz[:, None, :]            # (N, 2M+1, 2M+1)
+        G = jnp.stack(
+            [B,
+             B * jax.lax.complex(mjx, jnp.zeros_like(mjx))[:, None, None],
+             B * jax.lax.complex(mj, jnp.zeros_like(mj))[None, :, None],
+             B * jax.lax.complex(mj, jnp.zeros_like(mj))[None, None, :]],
+            axis=-1)                                   # (M+1, 2M+1, 2M+1, 4)
+        V = hi('nyz,xyza->nxa', D, G)                  # heavy (the only one)
+        H = jnp.sum(V * Px[:, :, None], axis=1)        # (N, 4)
+        H0, Hx, Hy, Hz = H[:, 0], H[:, 1], H[:, 2], H[:, 3]
+    else:
+        # one heavy contraction per axis; the per-axis m factor applies in
+        # the cheap (N, K) finishing stage
+        Cx = hi('xyz,ny,nz->nx', B, Py, Pz)     # heavy
+        Cy = hi('xyz,nx,nz->ny', B, Px, Pz)     # heavy
+        Cz = hi('xyz,nx,ny->nz', B, Px, Py)     # heavy
+        H0 = jnp.sum(Cx * Px, axis=1)
+        Hx = jnp.sum(Cx * Px * mjx[None, :], axis=1)
+        Hy = jnp.sum(Cy * Py * mj[None, :], axis=1)
+        Hz = jnp.sum(Cz * Pz * mj[None, :], axis=1)
     dq = g * 2.0 * jnp.real(H0)
     dtx = g * q * (-2.0) * jnp.imag(Hx)
     dty = g * q * (-2.0) * jnp.imag(Hy)

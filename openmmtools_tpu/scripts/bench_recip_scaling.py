@@ -46,13 +46,18 @@ def build(n):
     return term, x, box, box_edge
 
 
-def time_inprogram(step, x0, iters=20, reps=5):
+def time_inprogram(step, x0, iters=20, reps=5, agg="median"):
     """Per-application wall time of ``step`` (array -> same-shape array).
 
     The relay's per-dispatch constant (~30 ms) and occasional phantom
     block_until_ready returns make single-call timing meaningless at the
     sub-ms scale; instead chain ``iters`` data-dependent applications into
     ONE device program, end each rep with a real host fetch, and divide.
+
+    ``agg="min"`` takes the fastest rep at each trip count instead of the
+    median — use it with larger ``reps``/``iters`` during relay-stall
+    windows (CLAUDE.md relay rule 11: stalls distort medians for minutes;
+    the fastest fetch-verified rep is the machine's honest rate).
     """
     def make(length):
         def prog(a):
@@ -64,7 +69,7 @@ def time_inprogram(step, x0, iters=20, reps=5):
 
         return jax.jit(prog)
 
-    def med_time(fn):
+    def rep_time(fn):
         out = fn(x0)
         np.asarray(jax.device_get(jax.tree.leaves(out)[0]))  # compile+sync
         times = []
@@ -73,12 +78,13 @@ def time_inprogram(step, x0, iters=20, reps=5):
             out = fn(x0)
             np.asarray(jax.device_get(jax.tree.leaves(out)[0]))  # true sync
             times.append(time.perf_counter() - t0)
-        return sorted(times)[len(times) // 2], out
+        t = min(times) if agg == "min" else sorted(times)[len(times) // 2]
+        return t, out
 
     # two trip counts; the slope cancels the dispatch constant exactly
     lo = max(2, iters // 5)
-    t_lo, _ = med_time(make(lo))
-    t_hi, out = med_time(make(iters))
+    t_lo, _ = rep_time(make(lo))
+    t_hi, out = rep_time(make(iters))
     return max(t_hi - t_lo, 1e-9) / (iters - lo), out
 
 

@@ -4,23 +4,19 @@ Round 4 measured the factorized Ewald at DHFR shape (N=23.5k, kmax=16) at
 1.27 ms isolated / 1.61 ms in-situ vs a 0.54 ms N*(2M+1)^2 op model — the
 only budget line where measured >> modeled with no recorded explanation.
 
-Hypothesis under test: the cost is the HBM round trip of the staged
-structure-factor intermediate, not MACs. Whatever contraction order XLA
-picks for einsum('n,nx,ny,nz->xyz'), it must materialize either
-(N, (M+1)(2M+1)) [pair x first: 561 cols -> 105 MB complex64 at DHFR] or
-(N, (2M+1)^2) [pair yz first: 1089 cols -> 205 MB], written + read once
-per pass — and SF_PRECISION=HIGH runs THREE bf16 passes per matmul. At
-~819 GB/s v5e HBM bandwidth those are sub-ms-to-ms scale numbers, i.e.
-the measured time.
+Round-5 findings so far (first pass of this script): forward E_rec
+0.364 ms, E_rec+grad 1.139 ms (backward ~0.776 ms) — and the backward's
+three per-axis contractions each force a DIFFERENT (N, ~K^2) staged
+phase-product intermediate into HBM (yz 205 MB + xz 105 + xy 105 at
+DHFR; model 0.26-0.50 ms/pass write+read at 819 GB/s), which explains
+the gap: the cost is staging traffic, not MACs.
 
-Measures, slope-timed in-program:
-  1. forward E_rec only (current einsum)
-  2. E_rec + grad (the production cost; backward has 3 heavy contractions)
-  3. forward variants with hand-staged intermediates:
-       xy-first (N, 561) vs yz-first (N, 1089) — NO reshapes (the axon
-       backend miscompiles reshape-of-padded-3D + dot, CLAUDE.md rule 4);
-       staging is expressed with elementwise outer products + einsum
-  4. numerics of each variant vs the shipped path (miscompile guard)
+This pass measures the fix (ops/pme.py SF_BWD_SHARED: all four finishing
+sums fold into ONE matmul against ONE shared (N, (2M+1)^2) staging) and
+the backward-precision lever (SF_BWD_PRECISION=DEFAULT: 1-pass bf16 on
+the backward only), with grad numerics pinned against a NumPy f64
+reference so a cheaper pass is admitted only inside the 5e-4 Ewald force
+tolerance.
 
 Run: timeout 1750 python -m openmmtools_tpu.scripts.profile_recip
 """
@@ -30,11 +26,54 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from openmmtools_tpu.constants import ONE_4PI_EPS0
-from openmmtools_tpu.ops.pme import SF_PRECISION, _phase_tables
+import openmmtools_tpu.ops.pme as pme
 from openmmtools_tpu.scripts.bench_recip_scaling import build, time_inprogram
 
 N = 23500
+
+
+def f64_reference_grad(term, x, box):
+    """NumPy f64 oracle for dE_rec/dx (factorized path, full precision)."""
+    M = int(term.kmax)
+    lengths = np.diagonal(np.asarray(box, np.float64))
+    volume = float(np.prod(lengths))
+    two_pi = 2.0 * np.pi
+    q = np.asarray(term.charge, np.float64)
+    xx = np.asarray(x, np.float64)
+    th = [two_pi * xx[:, c] / lengths[c] for c in range(3)]
+    mjx = np.arange(0, M + 1, dtype=np.float64)
+    mj = np.arange(-M, M + 1, dtype=np.float64)
+    Px = np.exp(1j * th[0][:, None] * mjx[None, :])
+    Py = np.exp(1j * th[1][:, None] * mj[None, :])
+    Pz = np.exp(1j * th[2][:, None] * mj[None, :])
+    kx = two_pi * mjx / lengths[0]
+    ky = two_pi * mj / lengths[1]
+    kz = two_pi * mj / lengths[2]
+    k2 = (kx[:, None, None] ** 2 + ky[None, :, None] ** 2
+          + kz[None, None, :] ** 2)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        inv_k2 = np.where(k2 > 0, 1.0 / k2, 0.0)
+    herm = np.where(mjx > 0, 2.0, 1.0)[:, None, None]
+    w = herm * np.exp(-k2 / (4.0 * term.alpha ** 2)) * inv_k2
+    S = np.einsum('n,nx,ny,nz->xyz', q.astype(np.complex128), Px, Py, Pz,
+                  optimize=True)
+    B = w * np.conj(S)
+    pref = pme.ONE_4PI_EPS0 * (two_pi / volume)
+    # dE/dtheta_c = -2 pref q Im(H_c); dE/dx_c = dE/dtheta_c * 2 pi / L_c
+    grads = []
+    for c in range(3):
+        if c == 0:
+            Hc = np.einsum('xyz,nx,ny,nz->n', B * mjx[:, None, None],
+                           Px, Py, Pz, optimize=True)
+        elif c == 1:
+            Hc = np.einsum('xyz,nx,ny,nz->n', B * mj[None, :, None],
+                           Px, Py, Pz, optimize=True)
+        else:
+            Hc = np.einsum('xyz,nx,ny,nz->n', B * mj[None, None, :],
+                           Px, Py, Pz, optimize=True)
+        dth = pref * q * (-2.0) * np.imag(Hc)
+        grads.append(dth * two_pi / lengths[c])
+    return np.stack(grads, axis=1)
 
 
 def main():
@@ -42,89 +81,55 @@ def main():
     term, x, box, box_edge = build(N)
     M = int(term.kmax)
     print(f"N={N} kmax={M} box={box_edge:.2f} nm "
-          f"SF_PRECISION={SF_PRECISION}", flush=True)
+          f"SF_PRECISION={pme.SF_PRECISION}", flush=True)
     x = jnp.asarray(x)
     box = jnp.asarray(box)
 
     def e_rec(xx):
         return term.energy(xx, box, None)
 
-    # 1. forward only
+    # forward only (backward structure doesn't matter here)
     def fwd_step(a):
         return a + 1e-20 * e_rec(a)
 
-    t_fwd, _ = time_inprogram(fwd_step, x, iters=20)
+    t_fwd, _ = time_inprogram(fwd_step, x, iters=100, reps=10,
+                              agg="min")
     print(f"forward E_rec:            {t_fwd * 1e3:7.3f} ms", flush=True)
 
-    # 2. forward + gradient (production cost)
+    print("computing f64 reference grad (NumPy, host)...", flush=True)
+    t0 = time.perf_counter()
+    g_ref = f64_reference_grad(term, x, box)
+    g_scale = float(np.max(np.abs(g_ref)))
+    print(f"  done in {time.perf_counter() - t0:.0f}s "
+          f"(max |g| = {g_scale:.3e})", flush=True)
+
     def fg_step(a):
         u, g = jax.value_and_grad(e_rec)(a)
         return a + 1e-20 * g
 
-    t_fg, _ = time_inprogram(fg_step, x, iters=20)
-    print(f"E_rec + grad:             {t_fg * 1e3:7.3f} ms "
-          f"(backward ~ {1e3 * (t_fg - t_fwd):.3f} ms)", flush=True)
-
-    # 3. staged-forward variants (energy only, weight-summed |S|^2)
-    lengths = jnp.diagonal(box)
-    volume = jnp.prod(lengths)
-    two_pi = 2.0 * jnp.pi
-    w = term.weight_grid(box)
-    q = jnp.asarray(term.charge)
-    pref = ONE_4PI_EPS0 * (two_pi / volume)
-
-    def tables(xx):
-        tx = (two_pi / lengths[0]) * xx[:, 0]
-        ty = (two_pi / lengths[1]) * xx[:, 1]
-        tz = (two_pi / lengths[2]) * xx[:, 2]
-        return (_phase_tables(tx, M, half=True), _phase_tables(ty, M),
-                _phase_tables(tz, M))
-
-    def v_oneshot(xx):
-        Px, Py, Pz = tables(xx)
-        S = jnp.einsum('n,nx,ny,nz->xyz',
-                       jax.lax.complex(q, jnp.zeros_like(q)),
-                       Px, Py, Pz, precision=SF_PRECISION)
-        return pref * jnp.sum(w * (jnp.real(S) ** 2 + jnp.imag(S) ** 2))
-
-    def v_xy_first(xx):
-        Px, Py, Pz = tables(xx)
-        A = jax.lax.complex(q, jnp.zeros_like(q))[:, None] * Px   # (N, M+1)
-        Pxy = A[:, :, None] * Py[:, None, :]                      # (N, M+1, 2M+1)
-        S = jnp.einsum('nxy,nz->xyz', Pxy, Pz, precision=SF_PRECISION)
-        return pref * jnp.sum(w * (jnp.real(S) ** 2 + jnp.imag(S) ** 2))
-
-    def v_yz_first(xx):
-        Px, Py, Pz = tables(xx)
-        A = jax.lax.complex(q, jnp.zeros_like(q))[:, None] * Px
-        Pyz = Py[:, :, None] * Pz[:, None, :]                     # (N, 2M+1, 2M+1)
-        S = jnp.einsum('nx,nyz->xyz', A, Pyz, precision=SF_PRECISION)
-        return pref * jnp.sum(w * (jnp.real(S) ** 2 + jnp.imag(S) ** 2))
-
-    e_ref = None
-    for label, fn in (("oneshot (shipped form)", v_oneshot),
-                      ("staged xy-first (N,561)", v_xy_first),
-                      ("staged yz-first (N,1089)", v_yz_first)):
-        def step(a, fn=fn):
-            return a + 1e-20 * fn(a)
-
-        t, _ = time_inprogram(step, x, iters=20)
-        e_val = float(jax.jit(fn)(x))
-        if e_ref is None:
-            e_ref = e_val
-        rel = abs(e_val - e_ref) / max(abs(e_ref), 1e-9)
-        print(f"fwd {label:26s}: {t * 1e3:7.3f} ms  E={e_val:.3f} "
-              f"(rel vs shipped {rel:.2e})", flush=True)
-
-    # HBM traffic model
-    bw = 819e9  # v5e HBM GB/s
-    for label, cols in (("xy-first", (M + 1) * (2 * M + 1)),
-                        ("yz-first", (2 * M + 1) ** 2)):
-        bytes_int = N * cols * 8  # complex64
-        t_model = 2 * bytes_int / bw
-        print(f"traffic model {label}: intermediate {bytes_int / 1e6:.0f} MB"
-              f" -> {t_model * 1e3:.3f} ms/pass (write+read, f32 pair)",
-              flush=True)
+    combos = [
+        ("3-axis  HIGH bwd (r4 shipped)", False, None),
+        ("shared  HIGH bwd (r5 default)", True, None),
+        ("shared  DEFAULT bwd (1-pass bf16)", True,
+         jax.lax.Precision.DEFAULT),
+        ("3-axis  DEFAULT bwd", False, jax.lax.Precision.DEFAULT),
+    ]
+    for label, shared, bwd_prec in combos:
+        pme.SF_BWD_SHARED = shared
+        pme.SF_BWD_PRECISION = bwd_prec
+        t_fg, _ = time_inprogram(fg_step, x, iters=100, reps=10,
+                                 agg="min")
+        g = jax.jit(jax.grad(e_rec))(x)
+        g = np.asarray(jax.device_get(g), np.float64)
+        # max error relative to the global force scale (the Ewald 5e-4
+        # tolerance is defined on the total-force scale, not per tiny
+        # component)
+        err = float(np.max(np.abs(g - g_ref))) / g_scale
+        print(f"E+grad {label:34s}: {t_fg * 1e3:7.3f} ms  "
+              f"(bwd ~{1e3 * (t_fg - t_fwd):6.3f} ms, max err/scale "
+              f"{err:.2e})", flush=True)
+    pme.SF_BWD_SHARED = True
+    pme.SF_BWD_PRECISION = None
     print("ALL DONE", flush=True)
 
 
