@@ -68,6 +68,64 @@ def _controlled(params, name: Optional[str]):
     return params[name]
 
 
+# -- restraint-volume helpers (reference forces.py:169-225) ------------------
+
+
+def _sphere_volume(radius: float) -> float:
+    return 4.0 / 3.0 * math.pi * float(radius) ** 3
+
+
+def _harmonic_volume(radius: float, spring_constant: float,
+                     beta: float) -> float:
+    """Closed form of ∫_0^R 4πr² exp(-βKr²/2) dr (forces.py:174-205)."""
+    bk = beta * spring_constant
+    bkr2_2 = 0.5 * bk * radius * radius
+    volume = (math.sqrt(math.pi / 2.0) * math.erf(math.sqrt(bkr2_2))
+              / bk ** 1.5)
+    volume -= math.exp(-bkr2_2) * radius / bk
+    return 4.0 * math.pi * volume
+
+
+def _harmonic_radius(spring_constant: float, potential_energy: float) -> float:
+    """r where (K/2)r² == potential_energy (forces.py:208-225)."""
+    return math.sqrt(2.0 * potential_energy / spring_constant)
+
+
+def integrate_restraint_volume(radial_potential, temperature,
+                               square_well=False, radius_cutoff=None,
+                               energy_cutoff=None, r_min=0.0, r_max=None,
+                               analytical_volume=0.0) -> float:
+    """Numeric restraint volume ∫ 4πr² exp(-βu(r)) dr with hard walls
+    (reference ``_integrate_restraint_volume``, forces.py:496-590).
+
+    ``radial_potential(r)`` returns the restraint energy in kJ/mol at
+    separation r (nm); ``energy_cutoff`` is in kT and zeroes the integrand
+    past it; ``square_well`` reweights the ACCESSIBLE region (as bounded by
+    the cutoffs applied to the original potential) to zero energy.  The
+    classes' ``compute_restraint_volume`` pick tighter limits and analytic
+    shortcuts; this function is also the shortcut-free oracle the parity
+    tests integrate against.
+    """
+    from scipy.integrate import quad
+
+    beta = 1.0 / (kB * float(temperature))
+    if r_max is None:
+        r_max = 100.0  # reference fallback for non-periodic states
+    if radius_cutoff is not None:
+        r_max = min(r_max, float(radius_cutoff))
+
+    def integrand(r):
+        u = float(radial_potential(r))
+        if energy_cutoff is not None and beta * u > energy_cutoff:
+            return 0.0
+        if square_well:
+            u = 0.0
+        return 4.0 * math.pi * r * r * math.exp(-beta * u)
+
+    value, _ = quad(integrand, float(r_min), float(r_max), limit=200)
+    return value + float(analytical_volume)
+
+
 # ---------------------------------------------------------------------------
 # radially-symmetric restraints (forces.py:234-1100)
 # ---------------------------------------------------------------------------
@@ -100,26 +158,56 @@ class HarmonicRestraintForce:
 
     def distance_at_energy(self, potential_energy):
         """r(U) inverse (forces.py:881)."""
-        return jnp.sqrt(2.0 * potential_energy / self.spring_constant)
+        return _harmonic_radius(float(self.spring_constant),
+                                float(potential_energy))
 
-    # -- standard-state correction (forces.py:400-670) ----------------------
+    def radial_potential(self, r: float) -> float:
+        """Restraint energy (kJ/mol) at centroid separation r (nm)."""
+        return 0.5 * float(self.spring_constant) * float(r) ** 2
+
+    def compute_restraint_volume(self, temperature, square_well=False,
+                                 radius_cutoff=None,
+                                 energy_cutoff=None) -> float:
+        """Analytic restraint volume (reference forces.py:839-851).
+
+        ``energy_cutoff`` is in kT (hard wall where u(r) reaches it;
+        default 100 kT, indistinguishable from no wall); ``radius_cutoff``
+        in nm. ``square_well`` reweights the accessible region to zero
+        energy (sphere volume)."""
+        kT = kB * float(temperature)
+        if energy_cutoff is None:
+            energy_cutoff = 100.0
+        radius = self.distance_at_energy(energy_cutoff * kT)
+        if radius_cutoff is not None:
+            radius = min(radius, float(radius_cutoff))
+        if square_well:
+            return _sphere_volume(radius)
+        return _harmonic_volume(radius, float(self.spring_constant),
+                                1.0 / kT)
+
+    # -- standard-state correction (forces.py:400-459) -----------------------
     def compute_standard_state_correction(self, temperature, square_well=False,
                                           radius_cutoff=None,
+                                          energy_cutoff=None,
                                           max_volume=None) -> float:
-        """-ln(V_standard / V_restraint), with V_restraint from the analytic
-        harmonic volume or a numeric square-well integral
-        (_compute_harmonic_volume forces.py:174)."""
-        kT = kB * float(temperature)
-        K = float(self.spring_constant)
-        if square_well:
-            if radius_cutoff is None and max_volume is None:
-                raise ValueError("square_well needs radius_cutoff/max_volume")
-            if radius_cutoff is not None:
-                v_restraint = 4.0 / 3.0 * math.pi * float(radius_cutoff) ** 3
-            else:
-                v_restraint = float(max_volume)
+        """-ln(V_standard / V_restraint) with the reference's dispatch:
+        pure square well (no cutoffs) needs an explicit ``max_volume``;
+        square well + radius cutoff is the cutoff sphere; everything else
+        goes through ``compute_restraint_volume``; ``max_volume`` bounds
+        the result (the reference bounds by the periodic box volume)."""
+        if square_well and energy_cutoff is None and radius_cutoff is None:
+            if max_volume is None:
+                raise ValueError("square_well with no cutoffs needs "
+                                 "max_volume (the reference uses the "
+                                 "periodic box volume)")
+            v_restraint = float(max_volume)
+        elif square_well and radius_cutoff is not None and energy_cutoff is None:
+            v_restraint = _sphere_volume(radius_cutoff)
         else:
-            v_restraint = (2.0 * math.pi * kT / K) ** 1.5
+            v_restraint = self.compute_restraint_volume(
+                temperature, square_well, radius_cutoff, energy_cutoff)
+        if max_volume is not None and v_restraint > float(max_volume):
+            v_restraint = float(max_volume)
         return -math.log(STANDARD_STATE_VOLUME / v_restraint)
 
 
@@ -138,6 +226,9 @@ class HarmonicRestraintBondForce:
         r = safe_norm(x[self.atom1] - x[self.atom2])
         return lam * 0.5 * self.spring_constant * r * r
 
+    distance_at_energy = HarmonicRestraintForce.distance_at_energy
+    radial_potential = HarmonicRestraintForce.radial_potential
+    compute_restraint_volume = HarmonicRestraintForce.compute_restraint_volume
     compute_standard_state_correction = (
         HarmonicRestraintForce.compute_standard_state_correction)
 
@@ -162,20 +253,52 @@ class FlatBottomRestraintForce:
         dr = jnp.maximum(r - self.well_radius, 0.0)
         return lam * 0.5 * self.spring_constant * dr * dr
 
-    def compute_standard_state_correction(self, temperature,
-                                          n_points=10000, r_max=None) -> float:
-        """Numeric volume integral of exp(-beta U) (forces.py:545-600)."""
+    def distance_at_energy(self, potential_energy):
+        """r0 + harmonic radius (reference forces.py:1000-1016; the inverse
+        is undefined at zero energy — the whole well is at zero)."""
+        if float(potential_energy) == 0.0:
+            raise ValueError("cannot compute the distance at zero potential "
+                             "energy for a flat-bottom restraint")
+        return float(self.well_radius) + _harmonic_radius(
+            float(self.spring_constant), float(potential_energy))
+
+    def radial_potential(self, r: float) -> float:
+        dr = max(float(r) - float(self.well_radius), 0.0)
+        return 0.5 * float(self.spring_constant) * dr * dr
+
+    def _integral_limits(self, temperature, radius_cutoff, energy_cutoff):
+        """(r_min, r_max, analytic inner volume) — the flat well contributes
+        a sphere analytically; only the harmonic wall integrates numerically
+        (reference forces.py:1018-1034)."""
         kT = kB * float(temperature)
-        beta = 1.0 / kT
-        K = float(self.spring_constant)
-        r0 = float(self.well_radius)
-        if r_max is None:
-            r_max = r0 + 10.0 * math.sqrt(kT / K)
-        r = np.linspace(1e-6, r_max, n_points)
-        u = 0.5 * K * np.maximum(r - r0, 0.0) ** 2
-        v_restraint = 4.0 * math.pi * np.trapezoid(
-            np.exp(-beta * u) * r**2, r)
-        return -math.log(STANDARD_STATE_VOLUME / v_restraint)
+        if energy_cutoff is None:
+            energy_cutoff = 100.0
+        # directly, not via distance_at_energy: that raises at zero energy,
+        # but a zero energy cutoff legitimately pins the wall to the well
+        # edge (reference forces.py:1018-1034 does the same)
+        r_max = float(self.well_radius) + _harmonic_radius(
+            float(self.spring_constant), energy_cutoff * kT)
+        if radius_cutoff is not None:
+            r_max = min(r_max, float(radius_cutoff))
+        r_min = min(r_max, float(self.well_radius))
+        return r_min, r_max, _sphere_volume(r_min)
+
+    def compute_restraint_volume(self, temperature, square_well=False,
+                                 radius_cutoff=None,
+                                 energy_cutoff=None) -> float:
+        """Sphere volume for the square-well reweighting; flat sphere +
+        numeric wall integral otherwise (reference forces.py:985-997)."""
+        r_min, r_max, v_inner = self._integral_limits(
+            temperature, radius_cutoff, energy_cutoff)
+        if square_well:
+            return _sphere_volume(r_max)
+        return integrate_restraint_volume(
+            self.radial_potential, temperature, square_well=False,
+            radius_cutoff=radius_cutoff, energy_cutoff=energy_cutoff,
+            r_min=r_min, r_max=r_max, analytical_volume=v_inner)
+
+    compute_standard_state_correction = (
+        HarmonicRestraintForce.compute_standard_state_correction)
 
 
 @pytree_dataclass
@@ -195,6 +318,10 @@ class FlatBottomRestraintBondForce:
         dr = jnp.maximum(r - self.well_radius, 0.0)
         return lam * 0.5 * self.spring_constant * dr * dr
 
+    distance_at_energy = FlatBottomRestraintForce.distance_at_energy
+    radial_potential = FlatBottomRestraintForce.radial_potential
+    _integral_limits = FlatBottomRestraintForce._integral_limits
+    compute_restraint_volume = FlatBottomRestraintForce.compute_restraint_volume
     compute_standard_state_correction = (
         FlatBottomRestraintForce.compute_standard_state_correction)
 

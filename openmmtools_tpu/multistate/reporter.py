@@ -135,7 +135,23 @@ class MultiStateReporter:
             self.checkpoint_interval = int(
                 self._checkpoint.attrs.get("checkpoint_interval",
                                            self.checkpoint_interval))
+        self._sync_analysis_particles(mode)
         return self
+
+    def _sync_analysis_particles(self, mode):
+        """Stored analysis_particle_indices take priority over the
+        constructor's on every reopen (multistatereporter.py:371-389,
+        tested test_sampling.py:816): the first open stamps them into the
+        file; later opens with a different set silently restore the stored
+        one (the file's per-iteration analysis_positions were written with
+        the stored set — honoring a new set would mislabel them)."""
+        if mode == "w":
+            self._analysis.attrs["analysis_particle_indices"] = (
+                self.analysis_particle_indices)
+        elif "analysis_particle_indices" in self._analysis.attrs:
+            self.analysis_particle_indices = np.asarray(
+                self._analysis.attrs["analysis_particle_indices"],
+                dtype=np.int64)
 
     def close(self):
         for f in (self._analysis, self._checkpoint):
@@ -368,11 +384,41 @@ class MultiStateReporter:
                           np.asarray(n_proposed, dtype=np.int64))
         self._analysis.flush()
 
+    def _map_iteration_to_good(self, iteration):
+        """Resolve per-iteration read indices against the ``last_iteration``
+        resume pointer (multistatereporter.py:1517-1541): after a
+        ``write_last_iteration`` rollback, later rows must read as if they
+        were never written — negative indices and open slices resolve
+        against the rolled-back end, and past-the-end access raises
+        IndexError. Files never stamped with a pointer (direct ``write_*``
+        use without a sampler) read raw."""
+        idx = slice(None) if iteration is None else iteration
+        if "last_iteration" not in self._analysis.attrs:
+            return idx
+        last_good = int(self._analysis.attrs["last_iteration"])
+        return np.arange(last_good + 1)[idx]
+
+    @staticmethod
+    def _select_rows(ds, mapped):
+        """Row-select an HDF5 dataset by the (possibly decreasing or
+        unsorted) index array ``_map_iteration_to_good`` produced — h5py
+        fancy selection requires increasing indices, so gather sorted and
+        un-permute on the host."""
+        if isinstance(mapped, slice):
+            return ds[mapped]
+        arr = np.asarray(mapped)
+        if arr.ndim == 0:
+            return ds[int(arr)]
+        order = np.argsort(arr, kind="stable")
+        out = ds[arr[order]]
+        inv = np.empty_like(order)
+        inv[order] = np.arange(order.size)
+        return out[inv]
+
     def read_energies(self, iterations=None):
-        ds = self._analysis["energies"]
-        data = ds[...] if iterations is None else ds[iterations]
-        states = self._analysis["states"]
-        s = states[...] if iterations is None else states[iterations]
+        idx = self._map_iteration_to_good(iterations)
+        data = self._select_rows(self._analysis["energies"], idx)
+        s = self._select_rows(self._analysis["states"], idx)
         return data, s
 
     def read_neighborhoods(self, iterations=None):
@@ -382,12 +428,16 @@ class MultiStateReporter:
         ds = self._analysis.get("neighborhoods")
         if ds is None:
             return None
-        return ds[...] if iterations is None else ds[iterations]
+        return self._select_rows(ds, self._map_iteration_to_good(iterations))
 
     def read_replica_states(self, iteration):
-        return self._analysis["states"][iteration]
+        return self._select_rows(self._analysis["states"],
+                                 self._map_iteration_to_good(iteration))
 
     def read_analysis_velocities(self, iterations=None):
+        # raw reads: position/velocity_interval strides mean these datasets
+        # are legitimately shorter than last_iteration+1, so the rollback
+        # map (which asserts full per-iteration coverage) does not apply
         ds = self._analysis.get("analysis_velocities")
         if ds is None:
             return None

@@ -189,3 +189,69 @@ def test_restrain_atoms_by_dsl():
     with pytest.raises(ValueError):
         restrain_atoms_by_dsl(ala.system, ala.positions, ala.topology,
                               "resname BOGUS")
+
+
+def test_restraint_volume_integrated_matches_analytic():
+    """Reference test_compute_restraint_volume (test_forces.py:233): the
+    classes' analytic/shortcut restraint volumes agree with shortcut-free
+    numerical integration across the square_well x energy_cutoff x
+    radius_cutoff matrix (energy cutoffs in kT, radii in nm)."""
+    from openmmtools_tpu.forces import integrate_restraint_volume
+
+    T = 300.0
+    restraints = [
+        HarmonicRestraintBondForce(spring_constant=jnp.asarray(400.0)),
+        FlatBottomRestraintBondForce(spring_constant=jnp.asarray(200.0),
+                                     well_radius=jnp.asarray(0.5)),
+    ]
+    energy_cutoffs = [0.0, 5.0, 10.0]
+    radius_cutoffs = [0.05, 0.6, 2.0]
+
+    def assert_close(restraint, square_well, radius_cutoff, energy_cutoff):
+        analytic = restraint.compute_restraint_volume(
+            T, square_well, radius_cutoff, energy_cutoff)
+        # shortcut-free oracle: quad over the raw radial potential with a
+        # generous, numerically informed domain (no analytic inner sphere)
+        r_hi = getattr(restraint, "well_radius", 0.0)
+        r_hi = float(r_hi) + 20.0 * math.sqrt(
+            kB * T / float(restraint.spring_constant))
+        # the classes default the energy wall to 100 kT; the oracle must
+        # share that wall to test the shortcut math, not the default
+        ec = 100.0 if energy_cutoff is None else energy_cutoff
+        integrated = integrate_restraint_volume(
+            restraint.radial_potential, T, square_well=square_well,
+            radius_cutoff=radius_cutoff, energy_cutoff=ec,
+            r_max=r_hi)
+        assert np.isclose(integrated, analytic, rtol=1e-2, atol=1e-9), (
+            f"{type(restraint).__name__}: square_well={square_well}, "
+            f"radius_cutoff={radius_cutoff}, energy_cutoff={energy_cutoff}: "
+            f"integrated={integrated}, analytic={analytic}")
+
+    for restraint in restraints:
+        assert_close(restraint, False, None, None)
+        for square_well in (True, False):
+            for ec in energy_cutoffs:
+                assert_close(restraint, square_well, None, ec)
+            for rc in radius_cutoffs:
+                assert_close(restraint, square_well, rc, None)
+            for ec, rc in zip(energy_cutoffs, radius_cutoffs):
+                assert_close(restraint, square_well, rc, ec)
+            for ec, rc in zip(energy_cutoffs, reversed(radius_cutoffs)):
+                assert_close(restraint, square_well, rc, ec)
+
+
+def test_ssc_energy_cutoff_and_max_volume_bound():
+    """Energy-cutoff SSC path + the max_volume bound
+    (reference forces.py:440-459)."""
+    f = HarmonicRestraintBondForce(spring_constant=jnp.asarray(400.0))
+    T = 300.0
+    # a tight energy cutoff shrinks the restraint volume -> larger -ln(V0/V)
+    ssc_tight = f.compute_standard_state_correction(T, energy_cutoff=0.5)
+    ssc_loose = f.compute_standard_state_correction(T, energy_cutoff=100.0)
+    assert ssc_tight < ssc_loose
+    # max_volume bounds the volume from above
+    v_tiny = 1e-6
+    ssc_bounded = f.compute_standard_state_correction(T, max_volume=v_tiny)
+    assert np.isclose(
+        ssc_bounded,
+        -math.log(STANDARD_STATE_VOLUME / v_tiny), rtol=1e-10)

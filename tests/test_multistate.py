@@ -1323,3 +1323,84 @@ def test_reporter_position_velocity_intervals(tmp_path):
         assert np.any(pos[4] != 0)
         assert not np.any(pos[3])  # gap rows stay empty
         assert "analysis_velocities" not in f
+
+
+def test_last_iteration_rollback_read_semantics(tmp_path):
+    """Reference test_last_iteration_functions (test_sampling.py:2080):
+    after write_last_iteration rolls the file back, read_energies resolves
+    ints, negative indices, and slices against the rolled-back end, and
+    out-of-range access raises IndexError."""
+    ho, states = _make_states()
+    path = str(tmp_path / "rollback.h5")
+    sampler = ReplicaExchangeSampler(
+        mcmc_moves=_move(5), number_of_iterations=10,
+        online_analysis_interval=None, rng_seed=7)
+    reporter = MultiStateReporter(path, checkpoint_interval=2)
+    sampler.create(states, SamplerState(positions=ho.positions),
+                   storage=reporter)
+    sampler.run()
+    reporter.close()
+
+    reporter = MultiStateReporter(path, checkpoint_interval=2).open("a")
+    all_energies, _ = reporter.read_energies()
+    assert all_energies.shape[0] == 11  # iterations 0..10
+    last_index = 4
+    reporter.write_last_iteration(last_index)
+    reporter.close()
+
+    reporter = MultiStateReporter(path, checkpoint_interval=2).open("r")
+    e1, _ = reporter.read_energies(1)
+    np.testing.assert_array_equal(e1, all_energies[1])
+    e_neg, _ = reporter.read_energies(-1)
+    np.testing.assert_array_equal(e_neg, all_energies[last_index])
+    e_all, _ = reporter.read_energies()
+    np.testing.assert_array_equal(e_all, all_energies[:last_index + 1])
+    e_rev, _ = reporter.read_energies(slice(-1, None, -1))
+    np.testing.assert_array_equal(e_rev, all_energies[last_index::-1])
+    with pytest.raises(IndexError):
+        reporter.read_energies(7)
+    reporter.close()
+
+
+def test_analysis_particle_indices_stored_wins(tmp_path):
+    """Reference test_analysis_particle_mismatch (test_sampling.py:816):
+    the set stamped at file creation has priority over any set passed to a
+    later reopen (in both directions: blank->set and set->other-set)."""
+    blank_file = str(tmp_path / "blank.h5")
+    MultiStateReporter(
+        blank_file, analysis_particle_indices=()).open("w").close()
+    reopened = MultiStateReporter(
+        blank_file, analysis_particle_indices=(0, 1)).open("r")
+    assert reopened.analysis_particle_indices.size == 0
+    reopened.close()
+
+    set1_file = str(tmp_path / "set1.h5")
+    MultiStateReporter(
+        set1_file, analysis_particle_indices=(0, 1)).open("w").close()
+    for passed in ((), (0, 2)):
+        reopened = MultiStateReporter(
+            set1_file, analysis_particle_indices=passed).open("r")
+        np.testing.assert_array_equal(
+            reopened.analysis_particle_indices, [0, 1])
+        reopened.close()
+
+
+def test_parallel_tempering_min_max_ladder(tmp_path):
+    """Reference TestParallelTempering.test_temperatures
+    (test_sampling.py:2861): the min/max/n constructor produces exactly
+    n states spanning [min, max] (logarithmic spacing)."""
+    ho = HarmonicOscillator(K=K_LADDER[0])
+    ref = ho.thermodynamic_state(300.0)
+    sampler = ParallelTemperingSampler(
+        mcmc_moves=_move(5), number_of_iterations=2,
+        online_analysis_interval=None, rng_seed=11)
+    sampler.create(ref, SamplerState(positions=ho.positions),
+                   min_temperature=300.0, max_temperature=400.0,
+                   n_temperatures=5)
+    temps = [float(s.temperature) for s in sampler._thermodynamic_states]
+    assert len(temps) == 5
+    assert np.isclose(min(temps), 300.0)
+    assert np.isclose(max(temps), 400.0)
+    assert all(t2 > t1 for t1, t2 in zip(temps, temps[1:]))
+    sampler.run()
+    assert np.all(np.isfinite(sampler.energies_last_iteration))
