@@ -174,6 +174,137 @@ def _sf_bwd(M, res, g):
 _sf_weighted_sum.defvjp(_sf_fwd, _sf_bwd)
 
 
+# ---------------------------------------------------------------------------
+# real-basis (parity-folded) structure factors — round-5 recip push
+# ---------------------------------------------------------------------------
+#
+# The complex path contracts (N, 2M+1) complex phase tables: every heavy
+# matmul is 4 real matmuls over (2M+1)^2 staged columns.  Real charges
+# give one more symmetry beyond the Hermitian kx-fold: w(k) is even in
+# ky and kz separately, and summing |S|^2 over the four (±ky, ±kz) sign
+# combinations DIAGONALIZES in the cos/sin basis:
+#
+#   S(kx, ±my, ±mz) = T1 ∓∓ T4 + i(±T2 + ±T3)   with
+#   T1 = Σ q Px Cy Cz,  T2 = Σ q Px Cy Sz,  T3 = Σ q Px Sy Cz,
+#   T4 = Σ q Px Sy Sz   (all complex through Px)
+#   Σ_signs |S|^2 = 4 (|T1|^2 + |T2|^2 + |T3|^2 + |T4|^2)
+#
+# so with stacked real tables X = [cos, sin](N, 2(M+1)) per axis (sin
+# column 0 = 0 makes the boundary my=0 / mz=0 terms exact automatically),
+# ONE real einsum T[x2, yb, zb] = Σ_n (q X)·(Y ⊗ Z) and
+# W = Σ tile(w·wy·wz, (2,2,2)) ⊙ T² replace the complex contraction —
+# half the staged columns ((M+1)^2·4 vs (2M+1)^2 complex) and half the
+# real MACs (2 vs 4 matmuls of half width) in BOTH directions.  The
+# backward reuses the shared-staging trick: all four finishing sums
+# (dq, dθx, dθy, dθz) are trilinear forms against the SAME (N, yb·zb)
+# staging with block-swapped/±m-folded copies of B = dW/dT.
+
+
+def _real_tables(theta, M):
+    """(N, 2(M+1)) stacked [cos(mθ) | sin(mθ)], m = 0..M (sin col 0 = 0)."""
+    m = jnp.arange(0, M + 1, dtype=theta.dtype)
+    th = theta[:, None] * m[None, :]
+    return jnp.concatenate([jnp.cos(th), jnp.sin(th)], axis=1)
+
+
+def _real_weight_full(w, M):
+    """tile(w_quadrant·wy·wz, (2,2,2)) from the signed (M+1, 2M+1, 2M+1)
+    weight grid (w is even in ky and kz: w[:, M+m, :] == w[:, M-m, :])."""
+    wq = w[:, M:, M:]
+    mult = jnp.where(jnp.arange(M + 1) > 0, 2.0, 1.0).astype(w.dtype)
+    wq = wq * mult[None, :, None] * mult[None, None, :]
+    return jnp.tile(wq, (2, 2, 2))
+
+
+def _sf_forward_real(q, tx, ty, tz, M):
+    X = _real_tables(tx, M)
+    Y = _real_tables(ty, M)
+    Z = _real_tables(tz, M)
+    D = Y[:, :, None] * Z[:, None, :]
+    T = jnp.einsum('nx,nyz->xyz', q[:, None] * X, D,
+                   precision=SF_PRECISION)
+    return T, X, Y, Z
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5,))
+def _sf_weighted_sum_real(q, tx, ty, tz, w, M):
+    """Real-basis W = Σ_k w(k)|S(k)|² (same contract as _sf_weighted_sum;
+    ``w`` is the SAME signed Hermitian-half grid — folded internally)."""
+    T, _, _, _ = _sf_forward_real(q, tx, ty, tz, M)
+    return jnp.sum(_real_weight_full(w, M) * T * T)
+
+
+def _sfr_fwd(q, tx, ty, tz, w, M):
+    T, _, _, _ = _sf_forward_real(q, tx, ty, tz, M)
+    return (jnp.sum(_real_weight_full(w, M) * T * T),
+            (q, tx, ty, tz, w, T))
+
+
+def _swap_mblocks(B, axis, M):
+    """Fold d[cos|sin]/dθ into the k-tensor: Σ_b B ⊙ d(table)/dθ ==
+    Σ_b B' ⊙ table with B' = [m·B_sin | -m·B_cos] along ``axis``."""
+    Bc = jax.lax.slice_in_dim(B, 0, M + 1, axis=axis)
+    Bs = jax.lax.slice_in_dim(B, M + 1, 2 * (M + 1), axis=axis)
+    m = jnp.arange(0, M + 1, dtype=B.dtype)
+    shape = [1] * B.ndim
+    shape[axis] = M + 1
+    m = m.reshape(shape)
+    return jnp.concatenate([m * Bs, -m * Bc], axis=axis)
+
+
+def _sfr_bwd(M, res, g):
+    q, tx, ty, tz, w, T = res
+    X = _real_tables(tx, M)
+    Y = _real_tables(ty, M)
+    Z = _real_tables(tz, M)
+    B = (2.0 * g) * _real_weight_full(w, M) * T
+    G = jnp.stack([B,
+                   _swap_mblocks(B, 0, M),
+                   _swap_mblocks(B, 1, M),
+                   _swap_mblocks(B, 2, M)], axis=-1)
+    D = Y[:, :, None] * Z[:, None, :]
+    V = jnp.einsum('nyz,xyza->nxa', D, G,
+                   precision=SF_PRECISION if SF_BWD_PRECISION is None
+                   else SF_BWD_PRECISION)
+    H = jnp.sum(V * X[:, :, None], axis=1)          # (N, 4)
+    dq = H[:, 0]
+    dtx = q * H[:, 1]
+    dty = q * H[:, 2]
+    dtz = q * H[:, 3]
+    # w cotangent: per-signed-cell |S|² reconstructed from the T blocks
+    # (box/virial derivatives flow through w)
+    M1 = M + 1
+    Tr1, Ti1 = T[:M1, :M1, :M1], T[M1:, :M1, :M1]
+    Tr2, Ti2 = T[:M1, :M1, M1:], T[M1:, :M1, M1:]
+    Tr3, Ti3 = T[:M1, M1:, :M1], T[M1:, M1:, :M1]
+    Tr4, Ti4 = T[:M1, M1:, M1:], T[M1:, M1:, M1:]
+
+    def s2q(sy, sz):
+        sre = Tr1 - (sy * sz) * Tr4 - sz * Ti2 - sy * Ti3
+        sim = Ti1 - (sy * sz) * Ti4 + sz * Tr2 + sy * Tr3
+        return sre * sre + sim * sim
+
+    def z_row(sy):
+        neg = s2q(sy, -1)[:, :, :0:-1]       # mz = M..1 mirrored
+        return jnp.concatenate([neg, s2q(sy, 1)], axis=2)
+
+    s2 = jnp.concatenate([z_row(-1)[:, :0:-1, :], z_row(1)], axis=1)
+    dw = g * s2
+    return dq, dtx, dty, dtz, dw
+
+
+_sf_weighted_sum_real.defvjp(_sfr_fwd, _sfr_bwd)
+
+# Structure-factor implementation for the factorized path: 'real'
+# (parity-folded cos/sin basis, above) or 'complex' (Hermitian-half
+# complex tables).  Both are exact (CPU f64/f32 parity to 1e-15/6e-7,
+# full suite green under either); 'complex' ships until the real basis
+# has hardware numbers (scripts/profile_recip.py A/B) — einsum stagings
+# have miscompiled on this backend before (ROADMAP round-2 finding 3),
+# so new contraction structures are guilty until measured on silicon.
+SF_IMPL = "complex"
+
+
 def _half_space_kvectors(n_max: Tuple[int, int, int]) -> np.ndarray:
     """Integer k-vectors covering half of reciprocal space (k and -k give
     identical |S|^2; the weight 2 is applied in the energy)."""
@@ -255,9 +386,11 @@ class EwaldReciprocalTerm:
         hermitian = jnp.where(mjx > 0, 2.0, 1.0)[:, None, None]
         weight = (hermitian * jnp.exp(-k2 / (4.0 * self.alpha * self.alpha))
                   * inv_k2)
-        W = _sf_weighted_sum(q, (two_pi / lengths[0]) * x[:, 0],
-                             (two_pi / lengths[1]) * x[:, 1],
-                             (two_pi / lengths[2]) * x[:, 2], weight, M)
+        sf = (_sf_weighted_sum_real if SF_IMPL == "real"
+              else _sf_weighted_sum)
+        W = sf(q, (two_pi / lengths[0]) * x[:, 0],
+               (two_pi / lengths[1]) * x[:, 1],
+               (two_pi / lengths[2]) * x[:, 2], weight, M)
         return ONE_4PI_EPS0 * (two_pi / volume) * W
 
     def effective_charge(self, params=None):

@@ -11,12 +11,18 @@ phase-product intermediate into HBM (yz 205 MB + xz 105 + xy 105 at
 DHFR; model 0.26-0.50 ms/pass write+read at 819 GB/s), which explains
 the gap: the cost is staging traffic, not MACs.
 
-This pass measures the fix (ops/pme.py SF_BWD_SHARED: all four finishing
-sums fold into ONE matmul against ONE shared (N, (2M+1)^2) staging) and
-the backward-precision lever (SF_BWD_PRECISION=DEFAULT: 1-pass bf16 on
-the backward only), with grad numerics pinned against a NumPy f64
-reference so a cheaper pass is admitted only inside the 5e-4 Ewald force
-tolerance.
+This pass measures the fixes, each A/B'd on hardware with grad numerics
+pinned against a NumPy f64 reference (a cheaper pass is admitted only
+inside the 5e-4 Ewald force tolerance):
+  1. SF_BWD_SHARED — all four complex-path finishing sums fold into ONE
+     matmul against ONE shared (N, (2M+1)^2) staging (measured r5:
+     E+grad 0.929 -> 0.753 ms);
+  2. SF_IMPL='real' — parity-folded cos/sin basis: real charges make
+     w(k) even in ky/kz, and the sign-summed |S|^2 diagonalizes in the
+     cos/sin basis, halving staged columns AND real MACs in both
+     directions (see the pme.py real-basis note);
+  3. SF_BWD_PRECISION=DEFAULT — 1-pass bf16 backward (REFUTED for the
+     complex path at 2.8e-3 > 5e-4; re-measured for the real basis).
 
 Run: timeout 1750 python -m openmmtools_tpu.scripts.profile_recip
 """
@@ -92,9 +98,14 @@ def main():
     def fwd_step(a):
         return a + 1e-20 * e_rec(a)
 
-    t_fwd, _ = time_inprogram(fwd_step, x, iters=100, reps=10,
-                              agg="min")
-    print(f"forward E_rec:            {t_fwd * 1e3:7.3f} ms", flush=True)
+    t_fwd_by_impl = {}
+    for impl in ("complex", "real"):
+        pme.SF_IMPL = impl
+        t_fwd, _ = time_inprogram(fwd_step, x, iters=100, reps=10,
+                                  agg="min")
+        t_fwd_by_impl[impl] = t_fwd
+        print(f"forward E_rec [{impl:7s}]:  {t_fwd * 1e3:7.3f} ms",
+              flush=True)
 
     print("computing f64 reference grad (NumPy, host)...", flush=True)
     t0 = time.perf_counter()
@@ -108,13 +119,14 @@ def main():
         return a + 1e-20 * g
 
     combos = [
-        ("3-axis  HIGH bwd (r4 shipped)", False, None),
-        ("shared  HIGH bwd (r5 default)", True, None),
-        ("shared  DEFAULT bwd (1-pass bf16)", True,
+        ("complex 3-axis HIGH bwd (r4)", "complex", False, None),
+        ("complex shared HIGH bwd", "complex", True, None),
+        ("REAL-BASIS HIGH (r5 default)", "real", True, None),
+        ("REAL-BASIS DEFAULT bwd (bf16)", "real", True,
          jax.lax.Precision.DEFAULT),
-        ("3-axis  DEFAULT bwd", False, jax.lax.Precision.DEFAULT),
     ]
-    for label, shared, bwd_prec in combos:
+    for label, impl, shared, bwd_prec in combos:
+        pme.SF_IMPL = impl
         pme.SF_BWD_SHARED = shared
         pme.SF_BWD_PRECISION = bwd_prec
         t_fg, _ = time_inprogram(fg_step, x, iters=100, reps=10,
@@ -125,9 +137,11 @@ def main():
         # tolerance is defined on the total-force scale, not per tiny
         # component)
         err = float(np.max(np.abs(g - g_ref))) / g_scale
+        t_fwd = t_fwd_by_impl[impl]
         print(f"E+grad {label:34s}: {t_fg * 1e3:7.3f} ms  "
               f"(bwd ~{1e3 * (t_fg - t_fwd):6.3f} ms, max err/scale "
               f"{err:.2e})", flush=True)
+    pme.SF_IMPL = "real"
     pme.SF_BWD_SHARED = True
     pme.SF_BWD_PRECISION = None
     print("ALL DONE", flush=True)
