@@ -297,12 +297,13 @@ _sf_weighted_sum_real.defvjp(_sfr_fwd, _sfr_bwd)
 
 # Structure-factor implementation for the factorized path: 'real'
 # (parity-folded cos/sin basis, above) or 'complex' (Hermitian-half
-# complex tables).  Both are exact (CPU f64/f32 parity to 1e-15/6e-7,
-# full suite green under either); 'complex' ships until the real basis
-# has hardware numbers (scripts/profile_recip.py A/B) — einsum stagings
-# have miscompiled on this backend before (ROADMAP round-2 finding 3),
-# so new contraction structures are guilty until measured on silicon.
-SF_IMPL = "complex"
+# complex tables).  Both are exact (CPU f64/f32 parity to 1e-15/6e-7;
+# suite green under either).  Hardware A/B at DHFR shape (v5e,
+# 2026-08-20, f64-oracle-pinned): E+grad 0.691 ms (complex shared) ->
+# 0.468 ms (real) at max grad err 1.66e-5 of force scale (complex:
+# 2.47e-5) — the real basis is both faster AND slightly more accurate
+# (half the bf16 passes touch half the columns), so it ships.
+SF_IMPL = "real"
 
 
 def _half_space_kvectors(n_max: Tuple[int, int, int]) -> np.ndarray:
