@@ -182,3 +182,70 @@ def test_alchemical_sampler_resume_roundtrip(tmp_path):
     np.testing.assert_array_equal(
         np.asarray(sampler_a.energies_last_iteration),
         np.asarray(resumed.energies_last_iteration))
+
+
+def test_two_region_ladder_energy_matrix_and_resume(tmp_path):
+    """Multi-region seam end-to-end: two suffixed AlchemicalStates drive
+    independent lambda ladders through CompoundThermodynamicState -> REMD;
+    the fused energy matrix must match independent per-state recomputation
+    with explicit suffixed params, and the suffixed ladder must survive
+    checkpoint/resume (reference multi-region compound states,
+    alchemy.py:1693-1720 + test_alchemy.py:2139)."""
+    fluid = LennardJonesFluid(nparticles=N_PARTICLES, reduced_density=0.30)
+    factory = AbsoluteAlchemicalFactory()
+    regions = [AlchemicalRegion(alchemical_atoms=[0], name="a"),
+               AlchemicalRegion(alchemical_atoms=[1], name="b")]
+    alch_system = factory.create_alchemical_system(fluid.system, regions)
+    base = ThermodynamicState(alch_system, jnp.asarray(TEMP))
+    compound = CompoundThermodynamicState(
+        base_state=base,
+        composable_states=[
+            AlchemicalState(parameters_name_suffix="a"),
+            AlchemicalState(parameters_name_suffix="b")])
+    lams = np.linspace(1.0, 0.2, 4)
+    states = create_thermodynamic_state_protocol(
+        compound, {"lambda_sterics_a": lams,
+                   "lambda_sterics_b": lams[::-1]},
+        constants={"lambda_electrostatics_a": 1.0,
+                   "lambda_electrostatics_b": 1.0})
+
+    move = LangevinSplittingDynamicsMove(
+        timestep=0.002, collision_rate=1.0, n_steps=10)
+    path = str(tmp_path / "tworeg.h5")
+    reporter = MultiStateReporter(path, checkpoint_interval=1)
+    sampler = ReplicaExchangeSampler(
+        mcmc_moves=move, number_of_iterations=6,
+        online_analysis_interval=None, rng_seed=4)
+    sampler.create(states, [SamplerState(positions=fluid.positions)] * 4,
+                   storage=reporter)
+    sampler.run()
+
+    # fused energy matrix == independent recomputation with explicit
+    # suffixed params (the multi-region lambda wiring seam)
+    u_fused = np.asarray(sampler.energies_last_iteration)
+    xs = np.asarray(sampler._carry.positions)
+    states_by_replica = np.asarray(sampler._carry.replica_states)
+    for r in range(4):
+        ss = SamplerState(positions=jnp.asarray(xs[r]))
+        for j, (la, lb) in enumerate(zip(lams, lams[::-1])):
+            u_direct = float(base.replace(global_params={
+                **base.global_params,
+                "lambda_sterics_a": la, "lambda_sterics_b": lb,
+                "lambda_electrostatics_a": 1.0,
+                "lambda_electrostatics_b": 1.0,
+            }).reduced_potential(ss))
+            assert abs(u_direct - u_fused[r, j]) < 5e-3 * max(
+                abs(u_direct), 1.0), (r, j, u_direct, u_fused[r, j])
+    assert states_by_replica.shape == (4,)
+    reporter.close()
+
+    # suffixed ladders survive storage
+    resumed = ReplicaExchangeSampler.from_storage(
+        MultiStateReporter(path, checkpoint_interval=1))
+    for name, expect in (("lambda_sterics_a", lams),
+                         ("lambda_sterics_b", lams[::-1])):
+        got = [float(ts.global_params[name])
+               for ts in resumed._thermodynamic_states]
+        np.testing.assert_allclose(got, expect, atol=1e-6)
+    resumed.run(2)
+    assert np.all(np.isfinite(resumed.energies_last_iteration))
