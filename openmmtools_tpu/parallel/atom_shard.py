@@ -45,6 +45,7 @@ from jax.sharding import Mesh, PartitionSpec as P
 
 from openmmtools_tpu.constants import ONE_4PI_EPS0
 from openmmtools_tpu.ops import nonbonded, pair_forces
+from openmmtools_tpu.ops import pme as _pme
 from openmmtools_tpu.ops.pme import EwaldReciprocalTerm, _sf_bwd, _sf_forward
 from openmmtools_tpu.system import NonbondedTerm, _param
 
@@ -85,6 +86,31 @@ def _sfs_bwd(M, axis_name, res, g):
 
 
 _sf_weighted_sum_sharded.defvjp(_sfs_fwd, _sfs_bwd)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6))
+def _sf_weighted_sum_real_sharded(q, tx, ty, tz, w, M, axis_name):
+    """Real-basis (parity-folded) sharded analog: the T tensor is a sum
+    over particles, so each device contracts its block and the partial T
+    psums; the backward reuses pme._sfr_bwd verbatim (local cos/sin
+    tables x global T). Dispatch follows pme.SF_IMPL."""
+    T_local, _, _, _ = _pme._sf_forward_real(q, tx, ty, tz, M)
+    T = jax.lax.psum(T_local, axis_name)
+    return jnp.sum(_pme._real_weight_full(w, M) * T * T)
+
+
+def _sfrs_fwd(q, tx, ty, tz, w, M, axis_name):
+    T_local, _, _, _ = _pme._sf_forward_real(q, tx, ty, tz, M)
+    T = jax.lax.psum(T_local, axis_name)
+    return (jnp.sum(_pme._real_weight_full(w, M) * T * T),
+            (q, tx, ty, tz, w, T))
+
+
+def _sfrs_bwd(M, axis_name, res, g):
+    return _pme._sfr_bwd(M, res, g)
+
+
+_sf_weighted_sum_real_sharded.defvjp(_sfrs_fwd, _sfrs_bwd)
 
 
 # ---------------------------------------------------------------------------
@@ -138,12 +164,13 @@ def make_sharded_energy_force_fn(system, mesh: Mesh, axis_name: str = "atom"):
         volume = jnp.prod(lengths)
         two_pi = 2.0 * jnp.pi
         w = term.weight_grid(box)
-        W = _sf_weighted_sum_sharded(
-            q_blk.astype(x_blk.dtype),
-            (two_pi / lengths[0]) * x_blk[:, 0],
-            (two_pi / lengths[1]) * x_blk[:, 1],
-            (two_pi / lengths[2]) * x_blk[:, 2],
-            w.astype(x_blk.dtype), int(term.kmax), axis_name)
+        sf = (_sf_weighted_sum_real_sharded if _pme.SF_IMPL == "real"
+              else _sf_weighted_sum_sharded)
+        W = sf(q_blk.astype(x_blk.dtype),
+               (two_pi / lengths[0]) * x_blk[:, 0],
+               (two_pi / lengths[1]) * x_blk[:, 1],
+               (two_pi / lengths[2]) * x_blk[:, 2],
+               w.astype(x_blk.dtype), int(term.kmax), axis_name)
         return ONE_4PI_EPS0 * (two_pi / volume) * W
 
     def body(x_blk, x, box, params):
