@@ -408,24 +408,41 @@ class EwaldReciprocalTerm:
             q = q * (1.0 + (lam - 1.0) * self.alch_mask)
         return q
 
+    def self_energy(self, q):
+        """O(N) Ewald self-energy (configuration-independent)."""
+        return (-ONE_4PI_EPS0 * self.alpha / jnp.sqrt(jnp.pi)
+                * jnp.sum(q * q))
+
+    def exclusion_correction_of_r(self, q, r):
+        """Exclusion correction given precomputed pair distances ``r``
+        aligned with ``exclusion_index`` rows — the hook the sweep path
+        uses to FUSE this correction into the exception add-back's pair
+        loop (one shared gather/scatter pass instead of two; round-5
+        DHFR budget: the separate loops cost 0.69 + ~0.5 ms/step)."""
+        i = self.exclusion_index[:, 0]
+        j = self.exclusion_index[:, 1]
+        return -ONE_4PI_EPS0 * jnp.sum(
+            q[i] * q[j] * jax.scipy.special.erf(self.alpha * r) / r)
+
+    def exclusion_energy(self, q, x, box):
+        """O(E) exclusion corrections with their own (barriered) gathers."""
+        if self.exclusion_index.shape[0] == 0:
+            return jnp.zeros((), dtype=x.dtype)
+        lengths = jnp.diagonal(box)
+        i = self.exclusion_index[:, 0]
+        j = self.exclusion_index[:, 1]
+        # barriered gathers (both autodiff directions)
+        from openmmtools_tpu.ops.geometry import gather_rows
+
+        d = gather_rows(x, i) - gather_rows(x, j)
+        d = d - lengths * jnp.round(d / lengths)
+        r = jnp.sqrt(jnp.maximum(jnp.sum(d * d, axis=1), 1e-12))
+        return self.exclusion_correction_of_r(q, r)
+
     def self_exclusion_energy(self, q, x, box):
         """Self energy + exclusion corrections (the O(N)+O(E) remainder of
         the reciprocal term; shared with the atom-sharded evaluator)."""
-        lengths = jnp.diagonal(box)
-        e_self = -ONE_4PI_EPS0 * self.alpha / jnp.sqrt(jnp.pi) * jnp.sum(q * q)
-        e_excl = jnp.zeros((), dtype=x.dtype)
-        if self.exclusion_index.shape[0] > 0:
-            i = self.exclusion_index[:, 0]
-            j = self.exclusion_index[:, 1]
-            # barriered gathers (both autodiff directions)
-            from openmmtools_tpu.ops.geometry import gather_rows
-
-            d = gather_rows(x, i) - gather_rows(x, j)
-            d = d - lengths * jnp.round(d / lengths)
-            r = jnp.sqrt(jnp.maximum(jnp.sum(d * d, axis=1), 1e-12))
-            e_excl = -ONE_4PI_EPS0 * jnp.sum(
-                q[i] * q[j] * jax.scipy.special.erf(self.alpha * r) / r)
-        return e_self + e_excl
+        return self.self_energy(q) + self.exclusion_energy(q, x, box)
 
     def weight_grid(self, box):
         """Hermitian half-cube k-space weight grid (M+1, 2M+1, 2M+1) for
@@ -444,6 +461,20 @@ class EwaldReciprocalTerm:
         hermitian = jnp.where(mjx > 0, 2.0, 1.0)[:, None, None]
         return (hermitian * jnp.exp(-k2 / (4.0 * self.alpha * self.alpha))
                 * inv_k2)
+
+    def energy_without_exclusions(self, x, box, params=None):
+        """k-space + self energy only; the caller supplies the exclusion
+        correction (via ``exclusion_correction_of_r``) from a pair loop it
+        already runs — the sweep path's fused-exception optimization."""
+        q = self.effective_charge(params)
+        lengths = jnp.diagonal(box)
+        volume = jnp.prod(lengths)
+        if self.kmax is not None:
+            e_rec = self._reciprocal_factorized(q, x, lengths, volume)
+        else:
+            raise NotImplementedError(
+                "fused exclusion path requires the factorized (kmax) form")
+        return e_rec + self.self_energy(q)
 
     def energy(self, x, box, params=None):
         q = self.effective_charge(params)
