@@ -640,38 +640,90 @@ class BoundIntegrator:
             t for t in self.system.terms
             if t is not term and (g is None or t.force_group == g))
 
-        # Fuse the Ewald exclusion correction into the exception add-back
-        # when both iterate the SAME pair list (true by construction for
-        # the amber/water builders): the two loops each cost a full
-        # barriered gather + backward scatter pass over (E, 3) rows —
-        # 0.69 + ~0.5 ms/step at DHFR (round-5 profile_dhfr_step) — but
-        # the correction only needs r, which the exception loop already
-        # computes.  One shared pair pass replaces both.
+        # ONE barriered gather (and ONE backward scatter) for the whole
+        # O(B+A+T+E) remainder.  Separately, each valence term and the
+        # exception add-back and the reciprocal term's exclusion
+        # correction pay their own fenced gather + backward scatter-add
+        # pass — 9+ serialized row passes totalling ~1.6 ms/step at DHFR
+        # (round-5 profile_dhfr_step).  All their index columns
+        # concatenate into one flat gather whose static slices feed the
+        # rows-variant energy kernels (ops/bonded.py *_rows), the
+        # exception pair math, and — when the recip term's exclusion list
+        # is the same pair list (true by construction in the amber/water
+        # builders) — the -erf(alpha r)/r correction from the same r.
+        import numpy as _np
+
+        from openmmtools_tpu.ops import bonded as _bonded
         from openmmtools_tpu.ops.pme import EwaldReciprocalTerm as _Recip
-        import numpy as _np2
+        from openmmtools_tpu.system import (
+            HarmonicAngleTerm as _HA,
+            HarmonicBondTerm as _HB,
+            PeriodicTorsionTerm as _PT,
+        )
 
         fused_recip = None
         if (self._sweep_alch is None
                 and term.exception_index.shape[0] > 0):
             for t in other_terms:
                 if (isinstance(t, _Recip) and t.kmax is not None
-                        and _np2.array_equal(
-                            _np2.asarray(t.exclusion_index),
-                            _np2.asarray(term.exception_index))):
+                        and _np.array_equal(
+                            _np.asarray(t.exclusion_index),
+                            _np.asarray(term.exception_index))):
                     fused_recip = t
                     break
 
+        valence = []      # exact-type plain valence terms, fused gather
+        leftover = []     # everything else evaluates via its own energy()
+        cols = []
+        for t in other_terms:
+            if t is fused_recip:
+                continue
+            if type(t) in (_HB, _HA, _PT):
+                if t.index.shape[0] == 0:
+                    continue  # empty term contributes exactly 0
+                valence.append(t)
+                for c in range(t.index.shape[1]):
+                    cols.append(_np.asarray(t.index[:, c], _np.int32))
+            else:
+                leftover.append(t)
+        fuse_exceptions = (self._sweep_alch is None
+                           and term.exception_index.shape[0] > 0)
+        if fuse_exceptions:
+            exc = _np.asarray(term.exception_index, _np.int32)
+            cols += [exc[:, 0], exc[:, 1]]
+        idx_all = _np.concatenate(cols) if cols else None
+
         def u_rest(xx):
             tot = jnp.zeros((), xx.dtype)
+            X = gather_rows(xx, idx_all) if idx_all is not None else None
+            off = 0
+
+            def seg(count):
+                nonlocal off
+                rows = jax.lax.slice_in_dim(X, off, off + count, axis=0)
+                off += count
+                return rows
+
+            for t in valence:
+                m = t.index.shape[0]
+                if type(t) is _HB:
+                    tot = tot + _bonded.harmonic_bond_energy_rows(
+                        seg(m), seg(m), t.length, t.k)
+                elif type(t) is _HA:
+                    tot = tot + _bonded.harmonic_angle_energy_rows(
+                        seg(m), seg(m), seg(m), t.angle, t.k)
+                else:
+                    tot = tot + _bonded.periodic_torsion_energy_rows(
+                        seg(m), seg(m), seg(m), seg(m),
+                        t.periodicity, t.phase, t.k)
             if term.exception_index.shape[0] > 0:
                 if self._sweep_alch is not None:
                     # kernel masking already removed the standard pair
                     # (the 'subtract'); only the softcore add remains
                     tot = tot + term.exception_add_energy(xx, box, params)
-                elif fused_recip is not None:
-                    i = term.exception_index[:, 0]
-                    j = term.exception_index[:, 1]
-                    d = gather_rows(xx, i) - gather_rows(xx, j)
+                else:
+                    m = term.exception_index.shape[0]
+                    d = seg(m) - seg(m)
                     if term.periodic:
                         d = minimum_image(d, box)
                     r2 = jnp.maximum(jnp.sum(d * d, axis=-1), 1e-12)
@@ -683,21 +735,17 @@ class BoundIntegrator:
                          + nonbonded.coulomb_pair(
                              r, term.exception_chargeprod, "no_cutoff"))
                     tot = tot + jnp.sum(e)
-                    # ...and the SAME r serves the reciprocal term's
-                    # -erf(alpha r)/r exclusion correction
-                    qr = fused_recip.effective_charge(params)
-                    tot = tot + fused_recip.exclusion_correction_of_r(qr, r)
-                else:
-                    tot = tot + nonbonded.pair_list_energy(
-                        xx, box, term.exception_index,
-                        term.exception_chargeprod, term.exception_sigma,
-                        term.exception_epsilon,
-                        method="no_cutoff", periodic=term.periodic)
-            for t in other_terms:
-                if t is fused_recip:
-                    tot = tot + t.energy_without_exclusions(xx, box, params)
-                else:
-                    tot = tot + t.energy(xx, box, params)
+                    if fused_recip is not None:
+                        # ...and the SAME r serves the reciprocal term's
+                        # -erf(alpha r)/r exclusion correction
+                        qr = fused_recip.effective_charge(params)
+                        tot = tot + fused_recip.exclusion_correction_of_r(
+                            qr, r)
+            if fused_recip is not None:
+                tot = tot + fused_recip.energy_without_exclusions(
+                    xx, box, params)
+            for t in leftover:
+                tot = tot + t.energy(xx, box, params)
             return tot
 
         u_r, g_r = jax.value_and_grad(u_rest)(x)

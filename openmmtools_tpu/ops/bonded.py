@@ -29,6 +29,15 @@ from openmmtools_tpu.ops.geometry import (
 # the fast path.
 
 
+def harmonic_bond_energy_rows(xi, xj, length, k, scale=None):
+    """Bond energy from pre-gathered endpoint rows (fused-gather path)."""
+    r = safe_norm(xi - xj)
+    e = 0.5 * k * (r - length) ** 2
+    if scale is not None:
+        e = e * scale
+    return jnp.sum(e)
+
+
 def harmonic_bond_energy(x, index, length, k, scale=None):
     """Sum of (k/2)(r - r0)^2 over bonds.
 
@@ -39,8 +48,13 @@ def harmonic_bond_energy(x, index, length, k, scale=None):
         return jnp.zeros((), dtype=x.dtype)
     xi = gather_rows(x, index[:, 0])
     xj = gather_rows(x, index[:, 1])
-    r = safe_norm(xi - xj)
-    e = 0.5 * k * (r - length) ** 2
+    return harmonic_bond_energy_rows(xi, xj, length, k, scale)
+
+
+def harmonic_angle_energy_rows(xi, xj, xk, theta0, k, scale=None):
+    """Angle energy from pre-gathered rows (fused-gather path)."""
+    th = angle(xi, xj, xk)
+    e = 0.5 * k * (th - theta0) ** 2
     if scale is not None:
         e = e * scale
     return jnp.sum(e)
@@ -53,8 +67,14 @@ def harmonic_angle_energy(x, index, theta0, k, scale=None):
     xi = gather_rows(x, index[:, 0])
     xj = gather_rows(x, index[:, 1])
     xk = gather_rows(x, index[:, 2])
-    th = angle(xi, xj, xk)
-    e = 0.5 * k * (th - theta0) ** 2
+    return harmonic_angle_energy_rows(xi, xj, xk, theta0, k, scale)
+
+
+def periodic_torsion_energy_rows(xi, xj, xk, xl, periodicity, phase, k,
+                                 scale=None):
+    """Torsion energy from pre-gathered rows (fused-gather path)."""
+    phi = dihedral(xi, xj, xk, xl)
+    e = k * (1.0 + jnp.cos(periodicity * phi - phase))
     if scale is not None:
         e = e * scale
     return jnp.sum(e)
@@ -68,8 +88,5 @@ def periodic_torsion_energy(x, index, periodicity, phase, k, scale=None):
     xj = gather_rows(x, index[:, 1])
     xk = gather_rows(x, index[:, 2])
     xl = gather_rows(x, index[:, 3])
-    phi = dihedral(xi, xj, xk, xl)
-    e = k * (1.0 + jnp.cos(periodicity * phi - phase))
-    if scale is not None:
-        e = e * scale
-    return jnp.sum(e)
+    return periodic_torsion_energy_rows(xi, xj, xk, xl, periodicity, phase,
+                                        k, scale)
