@@ -31,7 +31,10 @@ import numpy as np
 from openmmtools_tpu.constants import ONE_4PI_EPS0
 from openmmtools_tpu.utils.pytree import pytree_dataclass, static_field
 
-DEFAULT_EWALD_ERROR_TOLERANCE = 5e-4  # reference testsystems.py default
+# OpenMM NonbondedForce's default PME tolerance.  NOTE: the reference's
+# *testsystems* override this to 1e-5 (testsystems.py:69); builders take
+# a tol argument, so systems can ask for either.
+DEFAULT_EWALD_ERROR_TOLERANCE = 5e-4
 
 # MXU precision for the structure-factor contractions.  DEFAULT (single
 # bf16 pass) silently loses the large-k phases (DHFR recip off by ~1e6

@@ -20,6 +20,11 @@ def main(argv=None):
     p.add_argument("--steps", type=int, default=1000)
     p.add_argument("--timestep", type=float, default=0.002)
     p.add_argument("--no-check", action="store_true")
+    p.add_argument("--reference-defaults", action="store_true",
+                   help="reference testsystem config (cutoff 1.0 nm, "
+                        "switch 0.15 nm, Ewald tol 1e-5; "
+                        "testsystems.py:69-71) instead of the JAC "
+                        "convention (0.9 nm hard cutoff, tol 5e-4)")
     args = p.parse_args(argv)
 
     import jax
@@ -29,7 +34,13 @@ def main(argv=None):
     from openmmtools_tpu.models import DHFRExplicit
 
     t0 = time.perf_counter()
-    d = DHFRExplicit()
+    if args.reference_defaults:
+        d = DHFRExplicit(cutoff=1.0, switch_width=0.15,
+                         ewald_error_tolerance=1e-5)
+        print("config: reference testsystem defaults "
+              "(cutoff 1.0 nm, switch 0.15 nm, tol 1e-5)", flush=True)
+    else:
+        d = DHFRExplicit()
     print(f"DHFR built in {time.perf_counter()-t0:.0f}s: "
           f"{d.system.n_particles} atoms, "
           f"{d.system.constraints.n_constraints} constraints, "

@@ -72,6 +72,33 @@ def main():
 
     t_sweep = t_of(sweep_step, "sweep eval (k+rem)")
 
+    # -- Pallas kernel alone (sorted coords prepared outside) -------------
+    k = b._sweep_kernel
+    term0 = b._sweep_term
+    from openmmtools_tpu.ops.geometry import gather_rows as _gr
+
+    n = b.system.n_particles
+    L = jnp.diagonal(box)
+    xw = x0 - L * jnp.floor(x0 / L)
+    y = _gr(xw, sw["perm"])
+    pad = k.n_pad - n
+    y_pad = jnp.concatenate([y, jnp.full((pad, 3), 1e6, y.dtype)]) \
+        if pad else y
+    par = jnp.stack([jnp.asarray(term0.sigma),
+                     jnp.asarray(b._sweep_sqrt_eps),
+                     jnp.asarray(term0.charge)], axis=1)[
+        jnp.asarray(sw["perm"])]
+    par_pad = jnp.concatenate(
+        [par, jnp.zeros((pad, par.shape[1]), par.dtype)]) if pad else par
+    nblk0 = jnp.maximum(sw["nblk"], 0)
+
+    def kernel_step(yy):
+        F_s, u_s, _ = k.forces(yy, par_pad, box, sw["excl"],
+                               jnp.zeros((), bool), nblk0)
+        return yy + 1e-20 * F_s
+
+    t_of(kernel_step, "pallas kernel only", x=y_pad)
+
     # -- XLA remainder alone ---------------------------------------------
     term = b._sweep_term
     g = b._sweep_group
