@@ -348,12 +348,37 @@ class HostGuestVacuum(_PrmtopSystem):
 
 
 class HostGuestImplicit(_PrmtopSystem):
-    """CB7:B2 with GBSA-OBC implicit solvent (testsystems.py:3721)."""
+    """CB7:B2 with GB implicit solvent (testsystems.py:3717); the GB
+    model is selectable ('HCT' | 'OBC1' | 'OBC2', reference's named
+    subclasses testsystems.py:3765-3775).  NOTE: this class's default
+    stays OBC2 (round-3 energy pins); the reference's own default is
+    OBC1 — use HostGuestImplicitOBC1 for that exact configuration.
+    GBn/GBn2 are N/A here (neck-integral tables live inside OpenMM's
+    kernels; ROADMAP 'Explicit N/A decisions')."""
 
     _subdir = "cb7-b2"
     _prmtop = "complex-vacuum.prmtop"
     _crd = "complex-vacuum.inpcrd"
     _implicit = True
+
+    def __init__(self, gb_model="OBC2", **kwargs):
+        self._gb_model = gb_model
+        super().__init__(**kwargs)
+
+
+class HostGuestImplicitHCT(HostGuestImplicit):
+    def __init__(self, **kwargs):
+        super().__init__(gb_model="HCT", **kwargs)
+
+
+class HostGuestImplicitOBC1(HostGuestImplicit):
+    def __init__(self, **kwargs):
+        super().__init__(gb_model="OBC1", **kwargs)
+
+
+class HostGuestImplicitOBC2(HostGuestImplicit):
+    def __init__(self, **kwargs):
+        super().__init__(gb_model="OBC2", **kwargs)
 
 
 class LysozymeImplicit(_PrmtopSystem):

@@ -533,6 +533,24 @@ class LennardJonesFluid(TestSystem):
         self.positions = np.asarray(positions, dtype=np.float32)
 
 
+class LennardJonesFluidTruncated(LennardJonesFluid):
+    """LJ fluid with a truncated (hard-cutoff) potential instead of the
+    switched default (testsystems.py:2033 LennardJonesFluidTruncated)."""
+
+    def __init__(self, *args, **kwargs):
+        kwargs["switch_width"] = None
+        super().__init__(*args, **kwargs)
+
+
+class LennardJonesFluidSwitched(LennardJonesFluid):
+    """LJ fluid with an explicitly switched potential (3.4 A switch
+    width; testsystems.py:2056 LennardJonesFluidSwitched)."""
+
+    def __init__(self, *args, **kwargs):
+        kwargs["switch_width"] = 3.4 * A
+        super().__init__(*args, **kwargs)
+
+
 @pytree_dataclass
 class WCATerm:
     """Weeks–Chandler–Andersen pair potential: purely repulsive LJ, shifted by
@@ -649,6 +667,26 @@ class AlanineDipeptideImplicit(TestSystem):
             self.system.constraints.n_constraints
 
 
+class AlchemicalAlanineDipeptide(AlanineDipeptideVacuum):
+    """AlanineDipeptideVacuum with ALL 22 atoms alchemically modifiable
+    (testsystems.py:3390 AlchemicalAlanineDipeptide): the system is run
+    through AbsoluteAlchemicalFactory with a whole-molecule region, so
+    ``lambda_electrostatics`` / ``lambda_sterics`` global parameters
+    scale its interactions."""
+
+    def __init__(self, *args, **kwargs):
+        super().__init__(*args, **kwargs)
+        from openmmtools_tpu.alchemy import (
+            AbsoluteAlchemicalFactory,
+            AlchemicalRegion,
+        )
+
+        region = AlchemicalRegion(
+            alchemical_atoms=list(range(self.system.n_particles)))
+        self.system = AbsoluteAlchemicalFactory().create_alchemical_system(
+            self.system, region)
+
+
 class LennardJonesPair(TestSystem):
     """Two LJ particles at the potential minimum separation; analytic B2
     virial coefficient and binding free energy by quadrature
@@ -705,6 +743,9 @@ from openmmtools_tpu.models.more_systems import (  # noqa: E402,F401
     DNADodecamerExplicit,
     HostGuestExplicit,
     HostGuestImplicit,
+    HostGuestImplicitHCT,
+    HostGuestImplicitOBC1,
+    HostGuestImplicitOBC2,
     HostGuestVacuum,
     LysozymeImplicit,
     MethanolBox,

@@ -151,6 +151,78 @@ def test_energy_pins(name):
     assert abs(u - pin) < max(2e-3 * abs(pin), 1.0), (name, u, pin)
 
 
+def test_lj_fluid_truncated_switched_variants():
+    """LennardJonesFluidTruncated drops the switch, LennardJonesFluidSwitched
+    keeps it explicitly (reference testsystems.py:2033,2056): same
+    configuration, different tail treatment, different energies."""
+    from openmmtools_tpu.models import (
+        LennardJonesFluidSwitched,
+        LennardJonesFluidTruncated,
+    )
+
+    t = LennardJonesFluidTruncated(nparticles=216, reduced_density=0.5)
+    s = LennardJonesFluidSwitched(nparticles=216, reduced_density=0.5)
+    assert t.system.terms[0].switch_width is None
+    assert np.isclose(s.system.terms[0].switch_width, 0.34)
+    ut = float(t.thermodynamic_state(120.0).potential_energy(
+        t.sampler_state()))
+    us = float(s.thermodynamic_state(120.0).potential_energy(
+        s.sampler_state()))
+    assert np.isfinite(ut) and np.isfinite(us)
+    assert ut != us  # the switch modifies the tail region
+
+
+def test_host_guest_gb_ladder_distinct():
+    """The CB7:B2 GB ladder (HCT/OBC1/OBC2, reference testsystems.py:
+    3765-3775) gives distinct solvation energies; the OBC2 variant matches
+    the HostGuestImplicit default pin."""
+    from openmmtools_tpu.models import (
+        HostGuestImplicitHCT,
+        HostGuestImplicitOBC1,
+        HostGuestImplicitOBC2,
+    )
+    import jax
+
+    us = {}
+    for cls in (HostGuestImplicitHCT, HostGuestImplicitOBC1,
+                HostGuestImplicitOBC2):
+        ts = cls()
+        us[cls.__name__] = float(jax.jit(
+            lambda x, s: s.energy(x, None))(ts.sampler_state().positions,
+                                            ts.system))
+    vals = list(us.values())
+    assert all(np.isfinite(v) for v in vals)
+    assert len({round(v, 2) for v in vals}) == 3, us
+    assert abs(us["HostGuestImplicitOBC2"]
+               - _ENERGY_PINS["HostGuestImplicit"]) < 7.0
+
+
+def test_alchemical_alanine_endpoint_and_decoupling():
+    """AlchemicalAlanineDipeptide (reference testsystems.py:3390): at
+    lambda=1 the softcore system reproduces the vacuum energy; turning
+    lambdas off changes it."""
+    from openmmtools_tpu.models import (
+        AlanineDipeptideVacuum,
+        AlchemicalAlanineDipeptide,
+    )
+    import jax
+
+    ref = AlanineDipeptideVacuum()
+    alc = AlchemicalAlanineDipeptide()
+    x = alc.sampler_state().positions
+    u_ref = float(jax.jit(lambda xx, s: s.energy(xx, None))(x, ref.system))
+
+    def u_at(lam_s, lam_e):
+        params = {"lambda_sterics": lam_s, "lambda_electrostatics": lam_e}
+        return float(jax.jit(
+            lambda xx, s: s.energy(xx, None, params))(x, alc.system))
+
+    u1 = u_at(1.0, 1.0)
+    assert abs(u1 - u_ref) < max(1e-3 * abs(u_ref), 0.5), (u1, u_ref)
+    u_disch = u_at(1.0, 0.0)
+    assert np.isfinite(u_disch) and abs(u_disch - u1) > 1.0
+
+
 @pytest.mark.parametrize("name", sorted(set(get_available_testsystems())
                                         - _SLOW_SYSTEMS))
 def test_construction_is_pure_host(name):
