@@ -257,8 +257,8 @@ class DoubleWellDimer_WCAFluid(WCAFluid):
                  epsilon=120.0 * kB, sigma=3.4 * A, h=None, r0=None, w=None):
         super().__init__(nparticles=nparticles, density=density, mass=mass,
                          epsilon=epsilon, sigma=sigma)
-        if not 0 <= ndimers <= nparticles // 2:
-            raise ValueError(f"cannot create {ndimers} dimers with "
+        if not 0 <= ndimers <= self._max_bonds(nparticles):
+            raise ValueError(f"cannot create {ndimers} bonds with "
                              f"{nparticles} particles")
         h = 6.0 * 0.824 * 120.0 * kB if h is None else h
         r0 = 2.0 ** (1.0 / 6.0) * sigma if r0 is None else r0
@@ -282,19 +282,32 @@ class DoubleWellDimer_WCAFluid(WCAFluid):
     def _bond_indices(ndimers):
         return [(2 * i, 2 * i + 1) for i in range(ndimers)]
 
+    @staticmethod
+    def _max_bonds(nparticles):
+        return nparticles // 2
+
 
 class DoubleWellChain_WCAFluid(DoubleWellDimer_WCAFluid):
-    """Polymer chain of double-well bonds (testsystems.py:2541):
-    nchained particles bonded consecutively."""
+    """Polymer chain of double-well bonds (testsystems.py:2540):
+    nchained particles bonded consecutively.  Reference semantics
+    (:2610-2623): nchained = 0 is allowed and means the same as 1 (a bare
+    WCA fluid); a chain may span up to ALL nparticles (bond bound is
+    nparticles - 1, not the dimer fluid's nparticles // 2); negative
+    nchained raises ValueError."""
 
     def __init__(self, nchained=3, nparticles=216, **kwargs):
         self.nchained = nchained
-        super().__init__(ndimers=max(0, nchained - 1),
+        nchained = 1 if nchained == 0 else nchained
+        super().__init__(ndimers=nchained - 1,
                          nparticles=nparticles, **kwargs)
 
     @staticmethod
     def _bond_indices(nbonds):
         return [(i, i + 1) for i in range(nbonds)]
+
+    @staticmethod
+    def _max_bonds(nparticles):
+        return nparticles - 1
 
 
 # ---------------------------------------------------------------------------

@@ -151,6 +151,88 @@ def test_energy_pins(name):
     assert abs(u - pin) < max(2e-3 * abs(pin), 1.0), (name, u, pin)
 
 
+def test_subrandom_particle_positions_regimes():
+    """Sobol placement is deterministic per seed, in-box, and clash-free
+    enough for the default LJ gas (reference test_testsystems.py:63)."""
+    from openmmtools_tpu.models.testsystems import (
+        subrandom_particle_positions,
+    )
+
+    box = np.diag([2.0, 2.0, 2.0])
+    a = subrandom_particle_positions(216, box, seed=0)
+    b = subrandom_particle_positions(216, box, seed=0)
+    c = subrandom_particle_positions(216, box, seed=1)
+    assert np.array_equal(a, b)          # deterministic
+    assert not np.array_equal(a, c)      # seed-dependent scrambling
+    assert np.all(a >= 0.0) and np.all(a <= 2.0)
+    d = a[:, None, :] - a[None, :, :]
+    r2 = (d * d).sum(-1) + np.eye(216) * 1e9
+    assert np.sqrt(r2.min()) > 0.05      # no near-coincident pair
+
+
+def test_dw_systems_as_wca():
+    """ndimers=0 / nchained in {0, 1} reduce exactly to the WCA fluid
+    (reference test_testsystems.py:241-250): same term structure, same
+    energy at the same configuration."""
+    from openmmtools_tpu.models import (
+        DoubleWellChain_WCAFluid,
+        DoubleWellDimer_WCAFluid,
+        WCAFluid,
+    )
+
+    wca = WCAFluid()
+    u_ref = float(wca.thermodynamic_state(120.0).potential_energy(
+        wca.sampler_state()))
+    for ts in (DoubleWellDimer_WCAFluid(ndimers=0),
+               DoubleWellChain_WCAFluid(nchained=1),
+               DoubleWellChain_WCAFluid(nchained=0)):
+        assert len(ts.system.terms) == len(wca.system.terms)
+        u = float(ts.thermodynamic_state(120.0).potential_energy(
+            ts.sampler_state()))
+        assert np.isclose(u, u_ref, rtol=1e-6), type(ts).__name__
+
+
+def test_dw_systems_1_dimer():
+    """One dimer == two-particle chain (reference test_testsystems.py:253):
+    identical bond list, identical energy."""
+    from openmmtools_tpu.models import (
+        DoubleWellChain_WCAFluid,
+        DoubleWellDimer_WCAFluid,
+    )
+
+    dim = DoubleWellDimer_WCAFluid(ndimers=1)
+    cha = DoubleWellChain_WCAFluid(nchained=2)
+    assert np.array_equal(np.asarray(dim.system.terms[-1].index),
+                          np.asarray(cha.system.terms[-1].index))
+    u_d = float(dim.thermodynamic_state(120.0).potential_energy(
+        dim.sampler_state()))
+    u_c = float(cha.thermodynamic_state(120.0).potential_energy(
+        cha.sampler_state()))
+    assert np.isclose(u_d, u_c, rtol=1e-6)
+
+
+def test_double_well_dimer_and_chain_errors():
+    """Constructor validation parity (reference test_testsystems.py:
+    261-272): negative counts raise; the chain bound is nparticles-1
+    (a chain may span the whole system), the dimer bound nparticles//2."""
+    from openmmtools_tpu.models import (
+        DoubleWellChain_WCAFluid,
+        DoubleWellDimer_WCAFluid,
+    )
+
+    with pytest.raises(ValueError):
+        DoubleWellDimer_WCAFluid(ndimers=-1)
+    with pytest.raises(ValueError):
+        DoubleWellDimer_WCAFluid(ndimers=6, nparticles=10)
+    with pytest.raises(ValueError):
+        DoubleWellChain_WCAFluid(nchained=-1)
+    with pytest.raises(ValueError):
+        DoubleWellChain_WCAFluid(nchained=12, nparticles=10)
+    # the reference allows a whole-system chain (doctest :2598-2600)
+    DoubleWellChain_WCAFluid(nchained=8, nparticles=8)
+    DoubleWellChain_WCAFluid(nchained=10, nparticles=10)
+
+
 def test_lj_fluid_truncated_switched_variants():
     """LennardJonesFluidTruncated drops the switch, LennardJonesFluidSwitched
     keeps it explicitly (reference testsystems.py:2033,2056): same
